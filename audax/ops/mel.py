@@ -1,0 +1,139 @@
+"""Mel filterbanks, windows, and real-DFT matrices (host-side numpy).
+
+These are the *constants* of the log-mel frontend. On TPU we compute the STFT
+as two matmuls against precomputed cos/sin matrices — that routes the FLOPs
+through the MXU (a 128x128 systolic array built for exactly this) instead of
+an FFT butterfly, which XLA:TPU has no native primitive for and which would
+serialize on the VPU. For Whisper/UrbanSound sizes (n_fft 400/1024) the
+matmul-DFT is compute-trivial and the pipeline is HBM-bound anyway; fusing
+window+DFT+power+mel+log into one VMEM-resident pass (ops/pallas_mel.py) is
+where the real win is.
+
+Numerics match two reference parameterizations (SURVEY.md §6, hard part #1):
+  * torchaudio ``MelSpectrogram`` defaults — HTK mel scale, no filter norm
+    (reference: .charles/spectrogram.py:79-87).
+  * Whisper/librosa — Slaney scale, Slaney area norm
+    (reference behavior behind WhisperProcessor, AB/fineTune.py:88).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from audax.core.config import MelConfig
+
+__all__ = [
+    "hz_to_mel", "mel_to_hz", "mel_filterbank", "hann_window",
+    "dft_matrices", "frontend_constants",
+]
+
+
+def hz_to_mel(freq: np.ndarray, htk: bool) -> np.ndarray:
+    freq = np.asarray(freq, dtype=np.float64)
+    if htk:
+        return 2595.0 * np.log10(1.0 + freq / 700.0)
+    # Slaney: linear below 1 kHz, log above.
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    mel = freq / f_sp
+    above = freq >= min_log_hz
+    mel = np.where(above, min_log_mel + np.log(np.maximum(freq, 1e-10) / min_log_hz) / logstep, mel)
+    return mel
+
+
+def mel_to_hz(mel: np.ndarray, htk: bool) -> np.ndarray:
+    mel = np.asarray(mel, dtype=np.float64)
+    if htk:
+        return 700.0 * (10.0 ** (mel / 2595.0) - 1.0)
+    f_sp = 200.0 / 3.0
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    hz = f_sp * mel
+    above = mel >= min_log_mel
+    hz = np.where(above, min_log_hz * np.exp(logstep * (mel - min_log_mel)), hz)
+    return hz
+
+
+def mel_filterbank(
+    n_freqs: int,
+    n_mels: int,
+    sample_rate: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    *,
+    htk: bool = True,
+    norm_slaney: bool = False,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Triangular mel filterbank, shape ``[n_freqs, n_mels]``.
+
+    ``htk=True, norm_slaney=False`` reproduces torchaudio's defaults;
+    ``htk=False, norm_slaney=True`` reproduces librosa's (Whisper's) defaults.
+    """
+    fmax = float(fmax) if fmax else sample_rate / 2.0
+    all_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+    m_pts = np.linspace(hz_to_mel(fmin, htk), hz_to_mel(fmax, htk), n_mels + 2)
+    f_pts = mel_to_hz(m_pts, htk)
+
+    # Triangles: rising edge from f_pts[i] to f_pts[i+1], falling to f_pts[i+2].
+    slopes = f_pts[None, :] - all_freqs[:, None]              # [F, n_mels+2]
+    denom_down = np.maximum(f_pts[1:-1] - f_pts[:-2], 1e-10)
+    denom_up = np.maximum(f_pts[2:] - f_pts[1:-1], 1e-10)
+    down = -slopes[:, :-2] / denom_down
+    up = slopes[:, 2:] / denom_up
+    fb = np.maximum(0.0, np.minimum(down, up))                # [F, n_mels]
+
+    if norm_slaney:
+        enorm = 2.0 / (f_pts[2: n_mels + 2] - f_pts[:n_mels])
+        fb = fb * enorm[None, :]
+    return fb.astype(dtype)
+
+
+def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
+    """Periodic Hann window (torch.hann_window / scipy periodic convention)."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))).astype(dtype)
+
+
+def dft_matrices(n_fft: int, window: np.ndarray | None = None, dtype=np.float32):
+    """Real-DFT basis with the window folded in.
+
+    Returns ``(cos_w, sin_w)`` of shape ``[n_fft, n_fft//2+1]`` such that for a
+    frame ``x`` of length n_fft::
+
+        real = x @ cos_w ; imag = x @ sin_w ; power = real**2 + imag**2
+
+    equals ``|rfft(x * window)|**2``. Folding the window into the basis saves
+    an elementwise pass and keeps the kernel two-matmuls-plus-epilogue.
+    """
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    cos_m = np.cos(ang)
+    sin_m = -np.sin(ang)  # rfft convention: X_k = sum x_n exp(-i 2pi nk/N)
+    if window is not None:
+        cos_m = cos_m * window.astype(np.float64)[:, None]
+        sin_m = sin_m * window.astype(np.float64)[:, None]
+    return cos_m.astype(dtype), sin_m.astype(dtype)
+
+
+def frontend_constants(cfg: MelConfig, dtype=np.float32):
+    """All host-side constants for a mel config: (cos_w, sin_w, mel_fb).
+
+    When win_length < n_fft the window is centre-padded to n_fft with zeros,
+    matching torch.stft semantics.
+    """
+    win = hann_window(cfg.win, dtype=np.float64)
+    if cfg.win < cfg.n_fft:
+        pad_l = (cfg.n_fft - cfg.win) // 2
+        pad_r = cfg.n_fft - cfg.win - pad_l
+        win = np.pad(win, (pad_l, pad_r))
+    cos_w, sin_w = dft_matrices(cfg.n_fft, window=win, dtype=dtype)
+    fb = mel_filterbank(
+        cfg.n_freqs, cfg.n_mels, cfg.sample_rate, cfg.fmin, cfg.fmax,
+        htk=cfg.htk, norm_slaney=cfg.norm_slaney, dtype=dtype,
+    )
+    return cos_w, sin_w, fb

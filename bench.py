@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline benchmark: fused log-mel frontend throughput on one TPU chip vs
+the reference's CPU per-clip torch pipeline (BASELINE.json: ">=50x
+CPU-reference mel-frontend throughput").
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Timing note: on the tunneled "axon" TPU platform block_until_ready() does not
+synchronize; we dispatch N iterations then force one host fetch.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _time_tpu(fn, x, iters: int) -> float:
+    import jax
+    r = fn(x)
+    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]  # warm up + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(x)
+    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]  # fetch forces completion
+    return (time.perf_counter() - t0) / iters
+
+
+def cpu_reference_frames_per_sec(cfg, n_clips: int = 8) -> float:
+    """Reference-style CPU pipeline: per-clip torch.stft -> mel matmul -> log
+    (the per-file loop of .charles/spectrogram.py:136-175, torch CPU)."""
+    import torch
+
+    from audax.ops.mel import mel_filterbank
+
+    fb = torch.tensor(
+        mel_filterbank(cfg.n_freqs, cfg.n_mels, cfg.sample_rate, cfg.fmin,
+                       cfg.fmax, htk=cfg.htk, norm_slaney=cfg.norm_slaney)
+    )
+    win = torch.hann_window(cfg.n_fft)
+    clips = [torch.randn(cfg.sample_rate * 4) for _ in range(n_clips)]
+
+    def one(clip):
+        spec = torch.stft(clip, n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                          window=win, center=True, return_complex=True)
+        power = spec.abs() ** 2                       # [F, T]
+        mel = fb.T @ power                            # [M, T]
+        return torch.log(mel + 1e-6)
+
+    t = one(clips[0])
+    frames_per_clip = t.shape[1]
+    t0 = time.perf_counter()
+    for clip in clips:
+        one(clip)
+    dt = time.perf_counter() - t0
+    return n_clips * frames_per_clip / dt
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from audax.core.config import MelConfig
+    from audax.ops.pallas_mel import log_mel_pallas
+    from audax.ops.stft import log_mel_xla
+
+    cfg = MelConfig.urbansound_v2()
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fn = log_mel_pallas if on_tpu else log_mel_xla
+
+    batch, n_samples = 128, cfg.sample_rate * 4       # 128 x 4 s clips
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, n_samples)).astype(np.float32))
+    frames = batch * cfg.frames_for(n_samples)
+
+    dt = _time_tpu(lambda a: fn(a, cfg), x, iters=30)
+    tpu_fps = frames / dt
+
+    cpu_fps = cpu_reference_frames_per_sec(cfg)
+    print(json.dumps({
+        "metric": "mel_frames_per_sec_per_chip",
+        "value": round(tpu_fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(tpu_fps / cpu_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

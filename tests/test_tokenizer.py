@@ -1,0 +1,94 @@
+"""BPE trainer/codec and Whisper special-token layout tests."""
+
+import numpy as np
+import pytest
+
+from audax.symbolic.bpe import BPE, bytes_to_unicode, train_bpe
+from audax.symbolic.tokenizer import (VocabTokenizer, WhisperTokenizer,
+                                      WHISPER_LANGUAGES)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps while the quick fox runs",
+    "Asmorandamardicadaistinaculdacar is the magic word",
+    "pack my box with five dozen liquor jugs",
+] * 4
+
+
+def test_byte_table_reversible():
+    table = bytes_to_unicode()
+    assert len(table) == 256 and len(set(table.values())) == 256
+
+
+def test_bpe_roundtrip_and_merges():
+    bpe = train_bpe(CORPUS, vocab_size=300)
+    assert len(bpe.merges) > 0
+    for text in CORPUS[:4] + ["unseen words äöü ✓ 123"]:
+        ids = bpe.encode(text)
+        assert bpe.decode(ids) == text
+    # merges actually compress
+    assert len(bpe.encode("the quick brown fox")) < len("the quick brown fox")
+
+
+def test_bpe_specials_and_add_tokens(tmp_path):
+    bpe = train_bpe(CORPUS, vocab_size=280, special_tokens=["<abc_start>", "<abc_end>"])
+    ids = bpe.encode("<abc_start>the fox<abc_end>")
+    assert ids[0] == bpe.vocab["<abc_start>"]
+    assert ids[-1] == bpe.vocab["<abc_end>"]
+    assert bpe.decode(ids) == "<abc_start>the fox<abc_end>"
+    assert bpe.decode(ids, skip_specials=True) == "the fox"
+
+    before = len(bpe)
+    added = bpe.add_tokens(["<|MIDI|>", "<|/MIDI|>"])
+    assert added == 2 and len(bpe) == before + 2
+    ids2 = bpe.encode("<|MIDI|> G4 <|/MIDI|>")
+    assert bpe.vocab["<|MIDI|>"] in ids2
+
+    bpe.save(str(tmp_path))
+    loaded = BPE.load(str(tmp_path))
+    assert loaded.encode("the quick fox") == bpe.encode("the quick fox")
+    assert loaded.decode(ids2) == bpe.decode(ids2)
+
+
+def test_whisper_special_layout():
+    bpe = train_bpe(CORPUS, vocab_size=280)
+    tk = WhisperTokenizer(bpe)
+    base = len(bpe)
+    assert tk.eot == base and tk.sot == base + 1
+    assert tk.lang_token("en") == base + 2
+    assert tk.lang_token("zh") == base + 3
+    assert tk.transcribe == base + 2 + len(WHISPER_LANGUAGES) + 1
+    assert tk.no_timestamps == tk.transcribe + 4
+    assert tk.timestamp_begin == tk.no_timestamps + 1
+    # real-checkpoint cross-check: base 50257 -> published multilingual ids
+    class Fake:  # 50257-entry stand-in vocab
+        def __len__(self): return 50257
+    fk = WhisperTokenizer(Fake())
+    assert fk.eot == 50257 and fk.sot == 50258
+    assert fk.transcribe == 50359 and fk.no_timestamps == 50363
+    assert fk.timestamp_begin == 50364
+    assert fk.vocab_size == 51865          # whisper-small vocab exactly
+
+
+def test_whisper_sot_sequence_and_decode():
+    bpe = train_bpe(CORPUS, vocab_size=280)
+    tk = WhisperTokenizer(bpe)
+    seq = tk.sot_sequence(lang="en")
+    assert seq == [tk.sot, tk.lang_token("en"), tk.transcribe, tk.no_timestamps]
+    ids = seq + tk.encode("the fox") + [tk.eot]
+    assert tk.decode(ids) == "the fox"
+    assert "<|startoftranscript|>" in tk.decode(ids, skip_special=False)
+    assert tk.timestamp_token(1.0) == tk.timestamp_begin + 50
+    assert tk.timestamp_seconds(tk.timestamp_token(2.5)) == pytest.approx(2.5)
+
+
+def test_vocab_tokenizer(tmp_path):
+    vt = VocabTokenizer({"C4": 0, "D4": 1, "|": 2})
+    ids = vt.encode_tokens(["C4", "D4", "|", "X9"])
+    assert ids[:3] == [0, 1, 2] and ids[3] == vt.vocab["<unk>"]
+    assert vt.decode(ids[:3]) == ["C4", "D4", "|"]
+    p = str(tmp_path / "vocab.json")
+    vt.save(p)
+    vt2 = VocabTokenizer.load(p)
+    assert vt2.encode_tokens(["C4", "|"]) == [0, 2]
+    assert vt2.pad_id == vt.pad_id

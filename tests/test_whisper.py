@@ -1,0 +1,132 @@
+"""Whisper parity vs HF transformers (random tiny configs — no network) and
+KV-cache decode consistency (SURVEY.md §4: logit-parity tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audax.core.config import WhisperConfig
+from audax.models.whisper import (decode_step, decode_train, encode,
+                                  init_kv_cache, init_whisper_params,
+                                  precompute_cross_kv, whisper_forward)
+
+TINY = WhisperConfig(n_mels=16, n_audio_ctx=32, d_model=32, encoder_layers=2,
+                     decoder_layers=2, heads=2, vocab_size=111, n_text_ctx=24)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    hf_cfg = HFConfig(
+        vocab_size=TINY.vocab_size, num_mel_bins=TINY.n_mels,
+        encoder_layers=TINY.encoder_layers, encoder_attention_heads=TINY.heads,
+        decoder_layers=TINY.decoder_layers, decoder_attention_heads=TINY.heads,
+        d_model=TINY.d_model, decoder_ffn_dim=4 * TINY.d_model,
+        encoder_ffn_dim=4 * TINY.d_model,
+        max_source_positions=TINY.n_audio_ctx,
+        max_target_positions=TINY.n_text_ctx,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1, suppress_tokens=[], begin_suppress_tokens=[],
+    )
+    torch.manual_seed(0)
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    from audax.models.port import port_whisper_from_hf
+    params = port_whisper_from_hf(hf)
+    return hf, params
+
+
+def _mel(rng, b=2):
+    return rng.standard_normal((b, 2 * TINY.n_audio_ctx, TINY.n_mels)).astype(np.float32)
+
+
+def test_encoder_parity(hf_pair, rng):
+    torch = pytest.importorskip("torch")
+    hf, params = hf_pair
+    mel = _mel(rng)
+    ours = np.asarray(encode(params, TINY, jnp.asarray(mel)))
+    with torch.no_grad():
+        theirs = hf.model.encoder(torch.tensor(mel).transpose(1, 2)
+                                  ).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+
+
+def test_seq2seq_logit_parity(hf_pair, rng):
+    torch = pytest.importorskip("torch")
+    hf, params = hf_pair
+    mel = _mel(rng)
+    tokens = rng.integers(0, TINY.vocab_size, (2, 7)).astype(np.int32)
+    ours = np.asarray(whisper_forward(params, TINY, jnp.asarray(mel),
+                                      jnp.asarray(tokens)))
+    with torch.no_grad():
+        theirs = hf(input_features=torch.tensor(mel).transpose(1, 2),
+                    decoder_input_ids=torch.tensor(tokens.astype(np.int64))
+                    ).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-5, rtol=1e-4)
+
+
+def test_kv_cache_decode_matches_teacher_forced(rng):
+    """Greedy incremental decode must reproduce full-sequence logits."""
+    params = init_whisper_params(TINY, jax.random.key(0))
+    mel = jnp.asarray(_mel(rng, b=2))
+    enc = encode(params, TINY, mel)
+    tokens = jnp.asarray(rng.integers(0, TINY.vocab_size, (2, 6)), jnp.int32)
+
+    full = decode_train(params, TINY, tokens, enc)          # [B, 6, V]
+
+    cache = init_kv_cache(TINY, batch=2, max_len=8)
+    cross_kv = precompute_cross_kv(params, TINY, enc)
+    step_logits = []
+    for t in range(6):
+        logits, cache = decode_step(params, TINY, tokens[:, t],
+                                    jnp.int32(t), cache, cross_kv)
+        step_logits.append(logits)
+    stepped = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_decode_step_jits_under_while_loop(rng):
+    """The step must run inside lax.while_loop (static shapes, traced pos)."""
+    params = init_whisper_params(TINY, jax.random.key(0))
+    mel = jnp.asarray(_mel(rng, b=1))
+    enc = encode(params, TINY, mel)
+    cross_kv = precompute_cross_kv(params, TINY, enc)
+    max_len = 10
+
+    @jax.jit
+    def greedy(params, enc_unused):
+        cache = init_kv_cache(TINY, batch=1, max_len=max_len)
+        tokens = jnp.zeros((1, max_len), jnp.int32)
+
+        def cond(carry):
+            pos, *_ = carry
+            return pos < max_len - 1
+
+        def body(carry):
+            pos, tokens, cache = carry
+            logits, cache = decode_step(params, TINY, tokens[:, pos], pos,
+                                        cache, cross_kv)
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
+            return pos + 1, tokens, cache
+
+        from jax import lax
+        pos, tokens, _ = lax.while_loop(
+            cond, body, (jnp.int32(0), tokens, cache))
+        return tokens
+
+    from jax import lax
+    out = greedy(params, enc)
+    assert out.shape == (1, max_len)
+    assert int(jnp.max(out)) < TINY.vocab_size
+
+
+def test_config_presets():
+    assert WhisperConfig.tiny().d_model == 384
+    assert WhisperConfig.base().encoder_layers == 6
+    assert WhisperConfig.small().heads == 12
+    assert WhisperConfig.large_v3().n_mels == 128

@@ -195,6 +195,94 @@ def cmd_test_transformer(argv) -> int:
     return _classifier_common(argv, "transformer", train=False)
 
 
+@command("midi2wav")
+def cmd_midi2wav(argv) -> int:
+    p = argparse.ArgumentParser(prog="audax midi2wav")
+    p.add_argument("--midi-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--chunk-seconds", type=float, default=0.0)
+    p.add_argument("--soundfont", default="")
+    p.add_argument("--workers", type=int, default=0)
+    args = p.parse_args(argv)
+    from audax.core.config import DataGenConfig
+    from audax.data.music_dataset import stage_midi2wav
+    cfg = DataGenConfig.from_env()
+    if args.chunk_seconds:
+        cfg = replace(cfg, chunk_duration_s=args.chunk_seconds)
+    if args.soundfont:
+        cfg = replace(cfg, soundfont=args.soundfont)
+    stage_midi2wav(args.midi_dir, args.out_dir, cfg,
+                   workers=args.workers or None)
+    return 0
+
+
+@command("midi2abc")
+def cmd_midi2abc(argv) -> int:
+    p = argparse.ArgumentParser(prog="audax midi2abc")
+    p.add_argument("--midi-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--workers", type=int, default=0)
+    args = p.parse_args(argv)
+    from audax.data.music_dataset import stage_midi2abc
+    stage_midi2abc(args.midi_dir, args.out_dir, workers=args.workers or None)
+    return 0
+
+
+@command("gentokens-raw")
+def cmd_gentokens_raw(argv) -> int:
+    p = argparse.ArgumentParser(prog="audax gentokens-raw")
+    p.add_argument("--abc-dir", required=True)
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+    from audax.data.music_dataset import stage_gentokens_raw
+    stage_gentokens_raw(args.abc_dir, args.out)
+    return 0
+
+
+@command("gentokens-bpe")
+def cmd_gentokens_bpe(argv) -> int:
+    p = argparse.ArgumentParser(prog="audax gentokens-bpe")
+    p.add_argument("--abc-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--vocab-size", type=int, default=2000)
+    args = p.parse_args(argv)
+    from audax.data.music_dataset import stage_gentokens_bpe
+    stage_gentokens_bpe(args.abc_dir, args.out_dir, args.vocab_size)
+    return 0
+
+
+@command("genparquet")
+def cmd_genparquet(argv) -> int:
+    p = argparse.ArgumentParser(prog="audax genparquet")
+    p.add_argument("--wav-dir", required=True)
+    p.add_argument("--abc-dir", required=True)
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+    from audax.data.music_dataset import stage_genparquet
+    stage_genparquet(args.wav_dir, args.abc_dir, args.out)
+    return 0
+
+
+@command("make-midi-dataset")
+def cmd_make_midi_dataset(argv) -> int:
+    p = argparse.ArgumentParser(prog="audax make-midi-dataset")
+    p.add_argument("--num-items", type=int, default=0)
+    p.add_argument("--out-dir", default="")
+    p.add_argument("--soundfont", default="")
+    args = p.parse_args(argv)
+    from audax.core.config import DataGenConfig
+    from audax.data.synth import make_midi_dataset
+    cfg = DataGenConfig.from_env()
+    if args.num_items:
+        cfg = replace(cfg, num_items=args.num_items)
+    if args.out_dir:
+        cfg = replace(cfg, out_dir=args.out_dir)
+    if args.soundfont:
+        cfg = replace(cfg, soundfont=args.soundfont)
+    print(make_midi_dataset(cfg))
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     load_dotenv()

@@ -195,6 +195,120 @@ def cmd_test_transformer(argv) -> int:
     return _classifier_common(argv, "transformer", train=False)
 
 
+@command("train-music")
+def cmd_train_music(argv) -> int:
+    """Two-tower audio->ABC training (reference: music2midi/train.py main)."""
+    p = argparse.ArgumentParser(prog="audax train-music")
+    p.add_argument("--parquet", required=True)
+    p.add_argument("--tokenizer-dir", required=True)
+    p.add_argument("--ckpt-dir", default="artifacts/two_tower")
+    p.add_argument("--epochs", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--chunk-seconds", type=float, default=10.0)
+    p.add_argument("--lm-size", default="small",
+                   choices=["tiny", "small", "base"])
+    args = p.parse_args(argv)
+
+    import jax
+    from audax.core.config import TwoTowerConfig, WhisperConfig
+    from audax.data.music_dataset import MusicDataset
+    from audax.models.causal_lm import CausalLMConfig
+    from audax.models.two_tower import build_two_tower
+    from audax.symbolic.bpe import BPE
+    from audax.train.metrics_sink import MetricsSink
+    from audax.train.two_tower_loop import fit_two_tower
+    from audax.utils.reports import TWO_TOWER_DIAGRAM, model_report
+
+    tt = TwoTowerConfig.from_env()
+    if args.epochs:
+        tt = replace(tt, epochs=args.epochs)
+    if args.batch_size:
+        tt = replace(tt, batch_size=args.batch_size)
+
+    lm_dims = {"tiny": (128, 4, 4, 2), "small": (256, 6, 8, 4),
+               "base": (512, 12, 8, 4)}[args.lm_size]
+    lm_cfg = CausalLMConfig(vocab_size=2048, d_model=lm_dims[0],
+                            layers=lm_dims[1], heads=lm_dims[2],
+                            kv_heads=lm_dims[3])
+    audio_cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
+                 "small": WhisperConfig.small}[tt.whisper_size]()
+
+    bpe = BPE.load(args.tokenizer_dir)
+    ds = MusicDataset(args.parquet, bpe, max_tokens=tt.max_target_tokens)
+    model = build_two_tower(tt, audio_cfg, lm_cfg, len(bpe),
+                            jax.random.key(tt.seed))
+    print(model_report(
+        {"whisper(frozen)": model.audio_params,
+         "adapter": model.params["adapter"], "lm": model.params["lm"]},
+        trainable={"adapter": True, "lm": True},
+        diagram=TWO_TOWER_DIAGRAM))
+    sink = MetricsSink("two_tower", config=tt.asdict())
+    state, history = fit_two_tower(model, ds, chunk_seconds=args.chunk_seconds,
+                                   sink=sink, ckpt_dir=args.ckpt_dir)
+    sink.close()
+    print(args.ckpt_dir)
+    return 0
+
+
+@command("infer-music")
+def cmd_infer_music(argv) -> int:
+    """Audio -> ABC generation (reference: music2midi/inference.py main)."""
+    p = argparse.ArgumentParser(prog="audax infer-music")
+    p.add_argument("--wav", required=True)
+    p.add_argument("--tokenizer-dir", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--chunk-seconds", type=float, default=10.0)
+    p.add_argument("--max-tokens", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--lm-size", default="small",
+                   choices=["tiny", "small", "base"])
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from audax.core.config import TwoTowerConfig, WhisperConfig
+    from audax.data.audio_io import read_wav, resample, to_mono
+    from audax.frontend import LogMelFrontend, pad_or_trim
+    from audax.models.causal_lm import CausalLMConfig
+    from audax.models.two_tower import build_two_tower
+    from audax.symbolic.bpe import BPE
+    from audax.train.two_tower import load_trainable_checkpoint
+
+    tt = TwoTowerConfig.from_env()
+    lm_dims = {"tiny": (128, 4, 4, 2), "small": (256, 6, 8, 4),
+               "base": (512, 12, 8, 4)}[args.lm_size]
+    lm_cfg = CausalLMConfig(vocab_size=2048, d_model=lm_dims[0],
+                            layers=lm_dims[1], heads=lm_dims[2],
+                            kv_heads=lm_dims[3])
+    audio_cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
+                 "small": WhisperConfig.small}[tt.whisper_size]()
+    bpe = BPE.load(args.tokenizer_dir)
+    model = build_two_tower(tt, audio_cfg, lm_cfg, len(bpe),
+                            jax.random.key(0))
+    model = load_trainable_checkpoint(args.ckpt, model)
+
+    x, rate = read_wav(args.wav)
+    x = to_mono(x)
+    sr = 16000
+    if rate != sr:
+        x = resample(x, rate, sr)
+        log.warning("resampled %d -> %d Hz", rate, sr)
+    frontend = LogMelFrontend.whisper(audio_cfg.n_mels)
+    n = int(args.chunk_seconds * sr)
+    mel = frontend(pad_or_trim(jnp.asarray(x[:n]), n)[None])
+    enc = model.encode_audio(mel)
+    start = bpe.vocab.get("<abc_start>", 0)
+    end = bpe.vocab.get("<abc_end>", 1)
+    tokens, lengths = model.generate(
+        model.params, enc, start_id=start, end_id=end,
+        max_len=args.max_tokens, temperature=args.temperature,
+        rng=jax.random.key(0))
+    ids = np.asarray(tokens)[0, 1: int(np.asarray(lengths)[0]) - 1]
+    print(bpe.decode([int(i) for i in ids], skip_specials=True))
+    return 0
+
+
 @command("midi2wav")
 def cmd_midi2wav(argv) -> int:
     p = argparse.ArgumentParser(prog="audax midi2wav")

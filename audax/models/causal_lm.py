@@ -1,0 +1,349 @@
+"""Decoder-only causal LM (Qwen2/LLaMA family), TPU-first functional JAX.
+
+The reference's two-tower model wraps HF ``Qwen/Qwen3-0.6B-Base`` via
+AutoModelForCausalLM (reference: .charles/music2midi/model.py:209-224). This
+module owns the architecture in-framework: RMSNorm, rotary position
+embeddings, grouped-query attention, SwiGLU MLP, optional q/k norms
+(Qwen3-style) and tied output embeddings — stacked layers + ``lax.scan``
+(O(1) compile in depth), fixed-shape KV-cache decode, HF weight porting
+(``port_causal_lm_from_hf``), and a ``resize_embeddings`` implementing the
+extended-vocab contract (model.py:217-224).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Any]
+
+__all__ = ["CausalLMConfig", "init_causal_lm", "lm_forward", "lm_logits",
+           "embed_tokens", "forward_with_embeds", "LMKVCache",
+           "init_lm_cache", "lm_decode_step", "resize_embeddings",
+           "port_causal_lm_from_hf"]
+
+
+@dataclass(frozen=True)
+class CausalLMConfig:
+    vocab_size: int = 2048
+    d_model: int = 256
+    layers: int = 4
+    heads: int = 8
+    kv_heads: int = 4            # GQA; == heads -> MHA
+    ffn_dim: int = 0             # 0 -> 8/3 * d rounded to 128
+    rope_theta: float = 1e6
+    rms_eps: float = 1e-6
+    qkv_bias: bool = False       # Qwen2: True, Qwen3/llama: False
+    qk_norm: bool = False        # Qwen3: True
+    tie_embeddings: bool = True
+    max_seq: int = 2048
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.heads
+
+    @property
+    def ffn(self) -> int:
+        if self.ffn_dim:
+            return self.ffn_dim
+        return ((int(self.d_model * 8 / 3) + 127) // 128) * 128
+
+
+# ---------------------------------------------------------------- init ----
+def _dense(rng, d_in, d_out, *, bias=False):
+    p = {"kernel": jax.random.normal(rng, (d_in, d_out), jnp.float32)
+         / math.sqrt(d_in)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def init_causal_lm(cfg: CausalLMConfig, rng: jax.Array) -> Params:
+    ks = jax.random.split(rng, cfg.layers + 3)
+    hd = cfg.head_dim
+
+    def layer(k):
+        sub = jax.random.split(k, 7)
+        p = {
+            "attn_norm": {"scale": jnp.ones((cfg.d_model,))},
+            "q": _dense(sub[0], cfg.d_model, cfg.heads * hd, bias=cfg.qkv_bias),
+            "k": _dense(sub[1], cfg.d_model, cfg.kv_heads * hd, bias=cfg.qkv_bias),
+            "v": _dense(sub[2], cfg.d_model, cfg.kv_heads * hd, bias=cfg.qkv_bias),
+            "o": _dense(sub[3], cfg.heads * hd, cfg.d_model),
+            "mlp_norm": {"scale": jnp.ones((cfg.d_model,))},
+            "gate": _dense(sub[4], cfg.d_model, cfg.ffn),
+            "up": _dense(sub[5], cfg.d_model, cfg.ffn),
+            "down": _dense(sub[6], cfg.ffn, cfg.d_model),
+        }
+        if cfg.qk_norm:
+            p["q_norm"] = {"scale": jnp.ones((hd,))}
+            p["k_norm"] = {"scale": jnp.ones((hd,))}
+        return p
+
+    layers = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[layer(k) for k in ks[: cfg.layers]])
+    params = {
+        "embed": jax.random.normal(ks[-3], (cfg.vocab_size, cfg.d_model)) * 0.02,
+        "layers": layers,
+        "norm": {"scale": jnp.ones((cfg.d_model,))},
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = _dense(ks[-2], cfg.d_model, cfg.vocab_size)
+    return params
+
+
+# ------------------------------------------------------------ primitives --
+def rms_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    scale = lax.rsqrt((x32 * x32).mean(-1, keepdims=True) + eps)
+    return (x32 * scale * p["scale"]).astype(dtype)
+
+
+def _dense_fwd(p, x):
+    y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, HF half-split convention. x: [B, H, T, hd];
+    positions: [T] or [B, T]."""
+    hd = x.shape[-1]
+    inv = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    if positions.ndim == 1:
+        ang = positions.astype(jnp.float32)[:, None] * inv[None, :]   # [T, hd/2]
+        ang = ang[None, None]
+    else:
+        ang = positions.astype(jnp.float32)[:, None, :, None] * inv[None, None, None, :]
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin],
+                           axis=-1).astype(x.dtype)
+
+
+def _attn_block(layer, cfg: CausalLMConfig, x, positions, mask,
+                kv_cache=None, cache_pos=None):
+    """Returns (out, (k_all, v_all)). Causal masking via ``mask``
+    [B or 1, 1, Tq, Tk] boolean."""
+    b, t, _ = x.shape
+    hd = cfg.head_dim
+    h = rms_norm(layer["attn_norm"], x, cfg.rms_eps)
+    q = _dense_fwd(layer["q"], h).reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
+    k = _dense_fwd(layer["k"], h).reshape(b, t, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
+    v = _dense_fwd(layer["v"], h).reshape(b, t, cfg.kv_heads, hd).transpose(0, 2, 1, 3)
+    if cfg.qk_norm:
+        q = rms_norm(layer["q_norm"], q, cfg.rms_eps)
+        k = rms_norm(layer["k_norm"], k, cfg.rms_eps)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+    if kv_cache is not None:
+        k_cache, v_cache = kv_cache
+        k = lax.dynamic_update_slice(k_cache, k, (0, 0, cache_pos, 0))
+        v = lax.dynamic_update_slice(v_cache, v, (0, 0, cache_pos, 0))
+    rep = cfg.heads // cfg.kv_heads
+    k_full = jnp.repeat(k, rep, axis=1) if rep > 1 else k
+    v_full = jnp.repeat(v, rep, axis=1) if rep > 1 else v
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k_full)
+    scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_full)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.heads * hd)
+    return _dense_fwd(layer["o"], out), (k, v)
+
+
+def _mlp_block(layer, cfg, x):
+    h = rms_norm(layer["mlp_norm"], x, cfg.rms_eps)
+    return _dense_fwd(layer["down"],
+                      jax.nn.silu(_dense_fwd(layer["gate"], h))
+                      * _dense_fwd(layer["up"], h))
+
+
+# ------------------------------------------------------------- forward ----
+def embed_tokens(params: Params, tokens: jnp.ndarray,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    return params["embed"][tokens].astype(dtype)
+
+
+def forward_with_embeds(params: Params, cfg: CausalLMConfig,
+                        embeds: jnp.ndarray,
+                        attention_mask: Optional[jnp.ndarray] = None,
+                        dtype=jnp.float32) -> jnp.ndarray:
+    """Hidden-states forward from input embeddings (the two-tower fusion
+    entry point; reference feeds fused embeds at model.py:281-288).
+
+    attention_mask: [B, T] 1=real — padding is masked from keys.
+    Returns final hidden states [B, T, d] (pre-logits)."""
+    b, t, _ = embeds.shape
+    x = embeds.astype(dtype)
+    positions = jnp.arange(t)
+    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+    if attention_mask is not None:
+        key_mask = attention_mask[:, None, None, :].astype(bool)
+        mask = jnp.logical_and(causal, key_mask)
+    else:
+        mask = causal
+
+    def body(x, layer):
+        attn, _ = _attn_block(layer, cfg, x, positions, mask)
+        x = x + attn
+        x = x + _mlp_block(layer, cfg, x)
+        return x, None
+
+    x, _ = lax.scan(body, x, params["layers"])
+    return rms_norm(params["norm"], x, cfg.rms_eps)
+
+
+def lm_logits(params: Params, cfg: CausalLMConfig, hidden: jnp.ndarray
+              ) -> jnp.ndarray:
+    if cfg.tie_embeddings or "lm_head" not in params:
+        return jnp.einsum("btd,vd->btv", hidden,
+                          params["embed"].astype(hidden.dtype))
+    return _dense_fwd(params["lm_head"], hidden)
+
+
+def lm_forward(params: Params, cfg: CausalLMConfig, tokens: jnp.ndarray,
+               attention_mask: Optional[jnp.ndarray] = None,
+               dtype=jnp.float32) -> jnp.ndarray:
+    """tokens [B, T] -> logits [B, T, V]."""
+    hidden = forward_with_embeds(params, cfg, embed_tokens(params, tokens, dtype),
+                                 attention_mask, dtype)
+    return lm_logits(params, cfg, hidden)
+
+
+# ---------------------------------------------------------------- decode --
+class LMKVCache(NamedTuple):
+    k: jnp.ndarray               # [L, B, kvH, max_len, hd]
+    v: jnp.ndarray
+
+
+def init_lm_cache(cfg: CausalLMConfig, batch: int, max_len: int,
+                  dtype=jnp.float32) -> LMKVCache:
+    shape = (cfg.layers, batch, cfg.kv_heads, max_len, cfg.head_dim)
+    return LMKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def lm_decode_step(params: Params, cfg: CausalLMConfig,
+                   embed: jnp.ndarray,          # [B, d] current-token embed
+                   pos: jnp.ndarray,            # scalar int32
+                   cache: LMKVCache,
+                   dtype=jnp.float32) -> Tuple[jnp.ndarray, LMKVCache]:
+    """One autoregressive step from an input *embedding* (so the two-tower
+    prefix fusion reuses it). Returns (logits [B, V], cache)."""
+    x = embed.astype(dtype)[:, None, :]
+    max_len = cache.k.shape[3]
+    valid = (jnp.arange(max_len) <= pos)[None, None, None, :]
+    positions = pos[None] if pos.ndim == 0 else pos
+
+    def body(x, scanned):
+        layer, k_cache, v_cache = scanned
+        attn, (k_all, v_all) = _attn_block(
+            layer, cfg, x, positions, valid,
+            kv_cache=(k_cache, v_cache), cache_pos=pos)
+        x = x + attn
+        x = x + _mlp_block(layer, cfg, x)
+        return x, (k_all, v_all)
+
+    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    hidden = rms_norm(params["norm"], x, cfg.rms_eps)
+    logits = lm_logits(params, cfg, hidden)[:, 0]
+    return logits, LMKVCache(new_k, new_v)
+
+
+# ----------------------------------------------------------------- vocab --
+def resize_embeddings(params: Params, cfg: CausalLMConfig, new_vocab: int,
+                      rng: jax.Array) -> Tuple[Params, CausalLMConfig]:
+    """Extend (or shrink) the token embedding to ``new_vocab`` rows; new rows
+    init from the mean of existing rows plus small noise (HF
+    resize_token_embeddings semantics; the reference's matched-pair contract,
+    music2midi/README.md:16-26)."""
+    import dataclasses
+    embed = params["embed"]
+    old_vocab = embed.shape[0]
+    if new_vocab <= old_vocab:
+        new_embed = embed[:new_vocab]
+    else:
+        mean = embed.mean(axis=0, keepdims=True)
+        extra = mean + 0.02 * jax.random.normal(
+            rng, (new_vocab - old_vocab, embed.shape[1]), embed.dtype)
+        new_embed = jnp.concatenate([embed, extra], axis=0)
+    out = dict(params)
+    out["embed"] = new_embed
+    if "lm_head" in params:
+        head = params["lm_head"]["kernel"]
+        if new_vocab <= old_vocab:
+            new_head = head[:, :new_vocab]
+        else:
+            mean = head.mean(axis=1, keepdims=True)
+            extra = mean + 0.02 * jax.random.normal(
+                rng, (head.shape[0], new_vocab - old_vocab), head.dtype)
+            new_head = jnp.concatenate([head, extra], axis=1)
+        out["lm_head"] = {**params["lm_head"], "kernel": new_head}
+        if "bias" in params["lm_head"]:
+            bias = params["lm_head"]["bias"]
+            nb = jnp.zeros((new_vocab,), bias.dtype).at[: min(old_vocab, new_vocab)
+                                                        ].set(bias[:new_vocab])
+            out["lm_head"]["bias"] = nb
+    return out, dataclasses.replace(cfg, vocab_size=new_vocab)
+
+
+# ------------------------------------------------------------------ port --
+def port_causal_lm_from_hf(hf_model) -> Tuple[Params, CausalLMConfig]:
+    """Port a HF Qwen2/Qwen3/LLaMA-style ForCausalLM (in-memory, no network)."""
+    import numpy as np
+    hc = hf_model.config
+    sd = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
+    # note: a tied lm_head still appears in state_dict — trust the config flag
+    tie = bool(getattr(hc, "tie_word_embeddings", "lm_head.weight" not in sd))
+    cfg = CausalLMConfig(
+        vocab_size=hc.vocab_size, d_model=hc.hidden_size,
+        layers=hc.num_hidden_layers, heads=hc.num_attention_heads,
+        kv_heads=getattr(hc, "num_key_value_heads", hc.num_attention_heads),
+        ffn_dim=hc.intermediate_size,
+        rope_theta=float(getattr(hc, "rope_theta", 1e6)),
+        rms_eps=float(getattr(hc, "rms_norm_eps", 1e-6)),
+        qkv_bias=any(k.endswith("self_attn.q_proj.bias") for k in sd),
+        qk_norm=any(k.endswith("self_attn.q_norm.weight") for k in sd),
+        tie_embeddings=tie,
+        max_seq=getattr(hc, "max_position_embeddings", 2048),
+    )
+
+    def lin(prefix, bias=None):
+        p = {"kernel": jnp.asarray(sd[f"{prefix}.weight"].T)}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+        return p
+
+    layers = []
+    for i in range(cfg.layers):
+        pr = f"model.layers.{i}"
+        layer = {
+            "attn_norm": {"scale": jnp.asarray(sd[f"{pr}.input_layernorm.weight"])},
+            "q": lin(f"{pr}.self_attn.q_proj"),
+            "k": lin(f"{pr}.self_attn.k_proj"),
+            "v": lin(f"{pr}.self_attn.v_proj"),
+            "o": lin(f"{pr}.self_attn.o_proj"),
+            "mlp_norm": {"scale": jnp.asarray(sd[f"{pr}.post_attention_layernorm.weight"])},
+            "gate": lin(f"{pr}.mlp.gate_proj"),
+            "up": lin(f"{pr}.mlp.up_proj"),
+            "down": lin(f"{pr}.mlp.down_proj"),
+        }
+        if cfg.qk_norm:
+            layer["q_norm"] = {"scale": jnp.asarray(sd[f"{pr}.self_attn.q_norm.weight"])}
+            layer["k_norm"] = {"scale": jnp.asarray(sd[f"{pr}.self_attn.k_norm.weight"])}
+        layers.append(layer)
+    params: Params = {
+        "embed": jnp.asarray(sd["model.embed_tokens.weight"]),
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "norm": {"scale": jnp.asarray(sd["model.norm.weight"])},
+    }
+    if not tie:
+        params["lm_head"] = {"kernel": jnp.asarray(sd["lm_head.weight"].T)}
+    return params, cfg

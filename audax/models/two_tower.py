@@ -1,0 +1,224 @@
+"""Two-tower audio->ABC transcription model.
+
+Rebuilds .charles/music2midi/model.py as a TPU-first composition:
+
+  frozen Whisper encoder  ->  cross-attention adapter  ->  causal LM
+  (audax whisper encode)      (text queries, audio KV)     (audax causal_lm)
+
+Fixes designed in, not bolted on:
+  * the reference ran WhisperProcessor per-sample on CPU inside the train
+    loop (model.py:94-110, the major perf sink per SURVEY.md §3.4) — here
+    mel extraction is the batched fused frontend and the encoder pass is one
+    jitted call;
+  * generation recomputed the full prefix per token with no KV cache
+    (model.py:293-344) — here the adapter is applied per-token (its
+    cross-attention has no intra-text dependencies) and decoding rides the
+    LM's fixed-shape KV cache;
+  * ``requires_grad`` surgery (model.py:242-261) becomes a gradient mask:
+    adapter + top-K LM layers + final norm + embeddings train, everything
+    else is zeroed by optax transforms (train/two_tower.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from audax.core.config import TwoTowerConfig, WhisperConfig
+from audax.models.causal_lm import (CausalLMConfig, LMKVCache, embed_tokens,
+                                    forward_with_embeds, init_lm_cache,
+                                    lm_decode_step, lm_forward, lm_logits)
+from audax.models.whisper import encode as whisper_encode
+
+Params = Dict[str, Any]
+
+__all__ = ["TwoTowerModel", "init_adapter", "adapter_apply",
+           "build_two_tower"]
+
+
+# ----------------------------------------------------------- adapter ------
+def _dense(rng, d_in, d_out):
+    return {"kernel": jax.random.normal(rng, (d_in, d_out), jnp.float32)
+            / math.sqrt(d_in),
+            "bias": jnp.zeros((d_out,), jnp.float32)}
+
+
+def init_adapter(rng: jax.Array, audio_dim: int, text_dim: int,
+                 heads: int = 8, ffn_mult: int = 4) -> Params:
+    ks = jax.random.split(rng, 8)
+    return {
+        "audio_proj": _dense(ks[0], audio_dim, text_dim),
+        "q": _dense(ks[1], text_dim, text_dim),
+        "k": _dense(ks[2], text_dim, text_dim),
+        "v": _dense(ks[3], text_dim, text_dim),
+        "out": _dense(ks[4], text_dim, text_dim),
+        "ln1": {"scale": jnp.ones((text_dim,)), "bias": jnp.zeros((text_dim,))},
+        "ln2": {"scale": jnp.ones((text_dim,)), "bias": jnp.zeros((text_dim,))},
+        "ffn_in": _dense(ks[5], text_dim, ffn_mult * text_dim),
+        "ffn_out": _dense(ks[6], ffn_mult * text_dim, text_dim),
+    }
+
+
+def _ln(p, x, eps=1e-5):
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    return (x - mean) * lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _fwd(p, x):
+    return jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype)) \
+        + p["bias"].astype(x.dtype)
+
+
+def adapter_apply(p: Params, text: jnp.ndarray, audio: jnp.ndarray,
+                  heads: int = 8) -> jnp.ndarray:
+    """Fuse text embeds [B, T, d] with audio states [B, S, da]: text-query
+    cross-attention + FFN, post-LN residuals (reference :157-188). Position-
+    independent in T, so T=1 decode steps reuse it unchanged."""
+    b, t, d = text.shape
+    hd = d // heads
+    akv = _fwd(p["audio_proj"], audio.astype(text.dtype))       # [B, S, d]
+    q = _fwd(p["q"], text).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
+    k = _fwd(p["k"], akv).reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+    v = _fwd(p["v"], akv).reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * hd ** -0.5, k)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(text.dtype)
+    attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    attn = _fwd(p["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, d))
+    x = _ln(p["ln1"], text + attn)
+    h = _fwd(p["ffn_out"], jax.nn.gelu(_fwd(p["ffn_in"], x), approximate=False))
+    return _ln(p["ln2"], x + h)
+
+
+def build_two_tower(
+    cfg: TwoTowerConfig,
+    audio_cfg: WhisperConfig,
+    lm_cfg: CausalLMConfig,
+    vocab_size: int,
+    rng: jax.Array,
+    *,
+    audio_params: Optional[Params] = None,
+    lm_params: Optional[Params] = None,
+) -> "TwoTowerModel":
+    """Assemble the model: (optionally ported) towers + fresh adapter, with
+    the LM embedding resized to the extended ABC vocab (the reference's
+    resize_token_embeddings contract, model.py:217-224)."""
+    from audax.models.causal_lm import init_causal_lm, resize_embeddings
+    from audax.models.whisper import init_whisper_params
+
+    k_audio, k_lm, k_adapter, k_resize = jax.random.split(rng, 4)
+    if audio_params is None:
+        audio_params = init_whisper_params(audio_cfg, k_audio)
+    if lm_params is None:
+        lm_params = init_causal_lm(lm_cfg, k_lm)
+    if vocab_size != lm_cfg.vocab_size:
+        lm_params, lm_cfg = resize_embeddings(lm_params, lm_cfg, vocab_size,
+                                              k_resize)
+    adapter = init_adapter(k_adapter, audio_cfg.d_model, lm_cfg.d_model,
+                           heads=cfg.adapter_heads,
+                           ffn_mult=cfg.adapter_ffn_mult)
+    return TwoTowerModel(audio_params, audio_cfg,
+                         {"adapter": adapter, "lm": lm_params}, lm_cfg, cfg)
+
+
+# ------------------------------------------------------------- model ------
+class TwoTowerModel(NamedTuple):
+    """Bundle of the three towers. ``audio_params`` (Whisper) is always
+    frozen (stop_gradient in the loss); trainability within ``params`` is
+    decided by the optimizer masks (train/two_tower.py)."""
+
+    audio_params: Params
+    audio_cfg: WhisperConfig
+    params: Params                  # {"adapter": ..., "lm": ...}
+    lm_cfg: CausalLMConfig
+    cfg: TwoTowerConfig
+
+    # -- audio tower ------------------------------------------------------
+    def encode_audio(self, mel: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+        """Batched mel [B, T, n_mels] -> frozen encoder states."""
+        return lax.stop_gradient(
+            whisper_encode(self.audio_params, self.audio_cfg, mel, dtype))
+
+    # -- training forward -------------------------------------------------
+    def forward(self, params: Params, enc: jnp.ndarray,
+                input_ids: jnp.ndarray,
+                attention_mask: Optional[jnp.ndarray] = None,
+                dtype=jnp.float32) -> jnp.ndarray:
+        """Teacher-forced logits [B, T, V]; audio enters via the adapter
+        fusing every text position with audio context (reference :263-288)."""
+        text = embed_tokens(params["lm"], input_ids, dtype)
+        fused = adapter_apply(params["adapter"], text, enc,
+                              self.cfg.adapter_heads)
+        hidden = forward_with_embeds(params["lm"], self.lm_cfg, fused,
+                                     attention_mask, dtype)
+        return lm_logits(params["lm"], self.lm_cfg, hidden)
+
+    def loss(self, params: Params, enc: jnp.ndarray, input_ids: jnp.ndarray,
+             attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+        """Shifted CE with padding masked (labels = input_ids; HF labels=
+        semantics, reference :281-288)."""
+        import optax
+        logits = self.forward(params, enc, input_ids, attention_mask, dtype)
+        shift_logits = logits[:, :-1].astype(jnp.float32)
+        shift_labels = input_ids[:, 1:]
+        mask = attention_mask[:, 1:].astype(jnp.float32)
+        losses = optax.softmax_cross_entropy_with_integer_labels(
+            shift_logits, shift_labels)
+        return (losses * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+    # -- generation (KV-cached; the reference had none) -------------------
+    def generate(self, params: Params, enc: jnp.ndarray, *,
+                 start_id: int, end_id: int, max_len: int = 256,
+                 temperature: float = 0.7,
+                 rng: Optional[jax.Array] = None,
+                 dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Sample ABC ids [B, max_len]; returns (tokens, lengths)."""
+        b = enc.shape[0]
+        rng = rng if rng is not None else jax.random.key(0)
+        cache = init_lm_cache(self.lm_cfg, b, max_len, dtype)
+        tokens = jnp.full((b, max_len), end_id, jnp.int32)
+        tokens = tokens.at[:, 0].set(start_id)
+
+        adapter = params["adapter"]
+        lm = params["lm"]
+        heads = self.cfg.adapter_heads
+
+        def step_embed(tok):
+            text = embed_tokens(lm, tok[:, None], dtype)       # [B, 1, d]
+            return adapter_apply(adapter, text, enc, heads)[:, 0]
+
+        class Carry(NamedTuple):
+            pos: jnp.ndarray
+            tokens: jnp.ndarray
+            cache: LMKVCache
+            done: jnp.ndarray
+            lengths: jnp.ndarray
+
+        def cond(c):
+            return jnp.logical_and(c.pos < max_len - 1, ~jnp.all(c.done))
+
+        def body(c):
+            emb = step_embed(c.tokens[:, c.pos])
+            logits, cache = lm_decode_step(lm, self.lm_cfg, emb, c.pos,
+                                           c.cache, dtype)
+            key = jax.random.fold_in(rng, c.pos)
+            if temperature == 0.0:
+                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            else:
+                nxt = jax.random.categorical(key, logits / temperature,
+                                             -1).astype(jnp.int32)
+            nxt = jnp.where(c.done, end_id, nxt)
+            tokens = c.tokens.at[:, c.pos + 1].set(nxt)
+            newly = jnp.logical_and(~c.done, nxt == end_id)
+            done = jnp.logical_or(c.done, newly)
+            lengths = jnp.where(newly, c.pos + 2, c.lengths)
+            return Carry(c.pos + 1, tokens, cache, done, lengths)
+
+        init = Carry(jnp.int32(0), tokens, cache, jnp.zeros((b,), bool),
+                     jnp.full((b,), max_len, jnp.int32))
+        final = lax.while_loop(cond, body, init)
+        return final.tokens, final.lengths

@@ -1,0 +1,176 @@
+"""Two-tower training: dual-LR partial unfreezing, trainable-only
+checkpoints, validation loop.
+
+Reference semantics rebuilt (.charles/music2midi/train.py): dual learning
+rates adapter 1e-4 / LM 2e-5 (:230-279), frozen-Whisper assertion (:261-265)
+-> structural here (Whisper params never enter the optimizer), grad clip 1.0
+(:499), ReduceLROnPlateau on val loss (:467,524), space-saving
+trainable-only checkpoints (:281-334), 90/10 split validation (:364-385).
+
+Top-K unfreezing with stacked layers: the LM's layers are one [L, ...]
+stacked tensor, so "unfreeze the top K" is a per-layer gradient mask
+multiplied in before the optimizer — exact zero updates for frozen layers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from audax.core.config import TwoTowerConfig
+from audax.core.logging import get_logger
+from audax.models.two_tower import TwoTowerModel
+
+log = get_logger("audax.two_tower")
+
+__all__ = ["TwoTowerState", "init_two_tower_optimizer", "make_two_tower_step",
+           "layer_unfreeze_mask", "save_trainable_checkpoint",
+           "load_trainable_checkpoint", "trainable_param_counts"]
+
+
+class TwoTowerState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    layer_mask: jax.Array = None        # [L] 1.0 = trainable
+
+
+def layer_unfreeze_mask(n_layers: int, top_k: int) -> jnp.ndarray:
+    """1.0 for the top-K layers, 0.0 below (reference TOP_K_QWEN_LAYERS=4,
+    model.py:242-261)."""
+    mask = jnp.zeros((n_layers,), jnp.float32)
+    if top_k > 0:
+        mask = mask.at[max(0, n_layers - top_k):].set(1.0)
+    return mask
+
+
+def _mask_lm_grads(grads: Dict, mask: jnp.ndarray) -> Dict:
+    """Zero gradients of frozen (stacked) LM layers."""
+    def mask_leaf(g):
+        extra = (1,) * (g.ndim - 1)
+        return g * mask.reshape((-1,) + extra).astype(g.dtype)
+
+    lm = dict(grads["lm"])
+    lm["layers"] = jax.tree.map(mask_leaf, lm["layers"])
+    return {**grads, "lm": lm}
+
+
+def init_two_tower_optimizer(model: TwoTowerModel) -> Tuple[
+        optax.GradientTransformation, jnp.ndarray]:
+    """Dual-LR AdamW (adapter vs LM) with global-norm clipping."""
+    cfg = model.cfg
+
+    def label_fn(params):
+        return {"adapter": jax.tree.map(lambda _: "adapter", params["adapter"]),
+                "lm": jax.tree.map(lambda _: "lm", params["lm"])}
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.multi_transform(
+            {"adapter": optax.adamw(cfg.adapter_lr),
+             "lm": optax.adamw(cfg.lm_lr)},
+            label_fn),
+    )
+    mask = layer_unfreeze_mask(model.lm_cfg.layers, cfg.top_k_unfrozen_layers)
+    return tx, mask
+
+
+def make_two_tower_step(model: TwoTowerModel) -> Tuple[Callable, Callable]:
+    """(train_step, eval_step); batch = {"mel": [B,T,n_mels],
+    "input_ids": [B,L], "attention_mask": [B,L]}."""
+
+    def loss_fn(params, enc, batch):
+        return model.loss(params, enc, batch["input_ids"],
+                          batch["attention_mask"])
+
+    @jax.jit
+    def train_step(state: TwoTowerState, batch):
+        enc = model.encode_audio(batch["mel"])
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, enc, batch)
+        grads = _mask_lm_grads(grads, state.layer_mask)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        # mask updates too: AdamW's decoupled weight decay would otherwise
+        # drift zero-grad (frozen) layers
+        updates = _mask_lm_grads(updates, state.layer_mask)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), {"loss": loss}
+
+    @jax.jit
+    def eval_step(state: TwoTowerState, batch):
+        enc = model.encode_audio(batch["mel"])
+        return {"loss": loss_fn(state.params, enc, batch)}
+
+    return train_step, eval_step
+
+
+def trainable_param_counts(model: TwoTowerModel, mask: jnp.ndarray
+                           ) -> Dict[str, int]:
+    """Parameter/memory breakdown (reference report train.py:67-175)."""
+    def count(tree):
+        return sum(int(x.size) for x in jax.tree.leaves(tree))
+
+    lm_layers = model.params["lm"]["layers"]
+    per_layer = count(lm_layers) // model.lm_cfg.layers
+    unfrozen_layers = int(np.asarray(mask).sum())
+    lm_other = count({k: v for k, v in model.params["lm"].items()
+                      if k != "layers"})
+    return {
+        "whisper_frozen": count(model.audio_params),
+        "adapter": count(model.params["adapter"]),
+        "lm_total": count(model.params["lm"]),
+        "lm_trainable": per_layer * unfrozen_layers + lm_other,
+        "trainable_total": count(model.params["adapter"])
+        + per_layer * unfrozen_layers + lm_other,
+    }
+
+
+# ------------------------------------------------------ checkpoints -------
+def save_trainable_checkpoint(path: str, state: TwoTowerState,
+                              model: TwoTowerModel,
+                              extra: Optional[Dict] = None) -> None:
+    """Persist adapter + top-K LM layer slices + embeddings/norm/lm_head +
+    optimizer state (reference scheme, train.py:281-334): frozen content is
+    reconstructable, so it is not serialized."""
+    from audax.train.checkpoints import save_pytree
+
+    k = model.cfg.top_k_unfrozen_layers
+    n = model.lm_cfg.layers
+    lm = state.params["lm"]
+    trainable = {
+        "adapter": state.params["adapter"],
+        "lm_top_layers": jax.tree.map(lambda x: x[n - k:], lm["layers"]),
+        "lm_other": {key: val for key, val in lm.items() if key != "layers"},
+        "step": state.step,
+    }
+    if extra:
+        trainable["extra"] = extra
+    save_pytree(path, trainable)
+
+
+def load_trainable_checkpoint(path: str, model: TwoTowerModel
+                              ) -> TwoTowerModel:
+    """Merge a trainable-only checkpoint over freshly-built params
+    (format-aware loader, reference train.py:336-362 / inference.py:53-89)."""
+    from audax.train.checkpoints import load_pytree
+
+    saved = load_pytree(path)
+    k = model.cfg.top_k_unfrozen_layers
+    n = model.lm_cfg.layers
+    lm = dict(model.params["lm"])
+    lm["layers"] = jax.tree.map(
+        lambda full, top: jnp.concatenate([full[: n - k], jnp.asarray(top)], 0),
+        lm["layers"], saved["lm_top_layers"])
+    lm.update({key: jnp.asarray(val) if not isinstance(val, dict) else
+               jax.tree.map(jnp.asarray, val)
+               for key, val in saved["lm_other"].items()})
+    params = {"adapter": jax.tree.map(jnp.asarray, saved["adapter"]), "lm": lm}
+    return model._replace(params=params)

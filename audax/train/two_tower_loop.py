@@ -1,0 +1,139 @@
+"""Two-tower end-to-end training/validation loop over a MusicDataset.
+
+The reference main() (.charles/music2midi/train.py:387-554): tokenizer load,
+90/10 random split, collate waveform lists, dual-LR optimizer, epoch loop
+with per-N-batch logging, validation, ReduceLROnPlateau, best-model +
+periodic trainable-only checkpoints. Rebuilt over jitted SPMD steps with
+device-batched mel extraction (the reference featurized per-sample on CPU
+inside the loop — SURVEY.md §3.4 calls it the major perf sink).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audax.core.config import TwoTowerConfig
+from audax.core.logging import get_logger
+from audax.data.music_dataset import MusicDataset
+from audax.frontend import LogMelFrontend, pad_or_trim
+from audax.models.two_tower import TwoTowerModel
+from audax.train.metrics_sink import MetricsSink
+from audax.train.two_tower import (TwoTowerState, init_two_tower_optimizer,
+                                   make_two_tower_step,
+                                   save_trainable_checkpoint,
+                                   trainable_param_counts)
+
+log = get_logger("audax.two_tower")
+
+__all__ = ["collate_music", "fit_two_tower"]
+
+
+def collate_music(examples: List, frontend: LogMelFrontend,
+                  chunk_seconds: float) -> Dict[str, jnp.ndarray]:
+    """Waveform list -> padded batch -> device-batched log-mel + token ids.
+    (reference collate_fn train.py:207-228 + per-sample whisper mel, fused
+    and batched here)."""
+    n_samples = int(chunk_seconds * frontend.cfg.sample_rate)
+    wavs = np.zeros((len(examples), n_samples), np.float32)
+    for i, ex in enumerate(examples):
+        w = ex.waveform[:n_samples]
+        wavs[i, : len(w)] = w
+    mel = frontend(jnp.asarray(wavs))
+    return {
+        "mel": mel,
+        "input_ids": jnp.asarray(np.stack([ex.input_ids for ex in examples])),
+        "attention_mask": jnp.asarray(
+            np.stack([ex.attention_mask for ex in examples])),
+    }
+
+
+def _batches(ds: MusicDataset, idx: np.ndarray, batch_size: int,
+             frontend: LogMelFrontend, chunk_seconds: float,
+             *, shuffle_rng: Optional[np.random.Generator] = None
+             ) -> Iterator[Dict[str, jnp.ndarray]]:
+    order = idx.copy()
+    if shuffle_rng is not None:
+        shuffle_rng.shuffle(order)
+    for start in range(0, len(order) - batch_size + 1, batch_size):
+        group = [ds[int(i)] for i in order[start: start + batch_size]]
+        yield collate_music(group, frontend, chunk_seconds)
+
+
+def fit_two_tower(
+    model: TwoTowerModel,
+    dataset: MusicDataset,
+    *,
+    chunk_seconds: float = 30.0,
+    val_fraction: float = 0.1,
+    sink: Optional[MetricsSink] = None,
+    ckpt_dir: Optional[str] = None,
+    log_every: int = 10,
+    frontend: Optional[LogMelFrontend] = None,
+) -> Tuple[TwoTowerState, Dict]:
+    cfg = model.cfg
+    frontend = frontend or LogMelFrontend.whisper(model.audio_cfg.n_mels)
+    tx, mask = init_two_tower_optimizer(model)
+    state = TwoTowerState(step=jnp.int32(0), params=model.params,
+                          opt_state=tx.init(model.params), tx=tx,
+                          layer_mask=mask)
+    train_step, eval_step = make_two_tower_step(model)
+
+    counts = trainable_param_counts(model, mask)
+    log.info("two-tower params: %s", {k: f"{v:,}" for k, v in counts.items()})
+
+    rng = np.random.default_rng(cfg.seed)
+    idx = rng.permutation(len(dataset))
+    n_val = max(1, int(len(dataset) * val_fraction)) if len(dataset) > 1 else 0
+    val_idx, train_idx = idx[:n_val], idx[n_val:]
+    log.info("split: %d train / %d val", len(train_idx), len(val_idx))
+
+    history: Dict[str, list] = {"train_loss": [], "val_loss": []}
+    best_val = float("inf")
+    shuffle_rng = np.random.default_rng(cfg.seed + 1)
+
+    for epoch in range(cfg.epochs):
+        losses = []
+        for i, batch in enumerate(_batches(dataset, train_idx, cfg.batch_size,
+                                           frontend, chunk_seconds,
+                                           shuffle_rng=shuffle_rng)):
+            state, m = train_step(state, batch)
+            losses.append(m["loss"])
+            if sink and (i + 1) % log_every == 0:
+                sink.log({"batch_loss": float(m["loss"]), "epoch": epoch},
+                         step=int(state.step))
+        train_loss = (float(np.asarray(jnp.stack(losses)).mean())
+                      if losses else 0.0)
+        history["train_loss"].append(train_loss)
+
+        val_losses = []
+        for batch in _batches(dataset, val_idx,
+                              min(cfg.batch_size, max(len(val_idx), 1)),
+                              frontend, chunk_seconds):
+            val_losses.append(eval_step(state, batch)["loss"])
+        val_loss = (float(np.asarray(jnp.stack(val_losses)).mean())
+                    if val_losses else train_loss)
+        history["val_loss"].append(val_loss)
+
+        record = {"epoch": epoch, "train_loss": train_loss,
+                  "val_loss": val_loss}
+        if sink:
+            sink.log(record, step=epoch)
+        else:
+            log.info("epoch %d: train %.4f val %.4f", epoch, train_loss,
+                     val_loss)
+
+        if ckpt_dir:
+            save_trainable_checkpoint(
+                os.path.join(ckpt_dir, f"epoch_{epoch:03d}"),
+                state, model, extra={"epoch": epoch, "val_loss": val_loss})
+            if val_loss < best_val:
+                best_val = val_loss
+                save_trainable_checkpoint(
+                    os.path.join(ckpt_dir, "best_model"), state, model,
+                    extra={"epoch": epoch, "val_loss": val_loss})
+    return state, history

@@ -1,0 +1,158 @@
+"""Two-tower model: fusion forward, partial-unfreeze training dynamics,
+KV-cached generation, trainable-only checkpoint roundtrip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audax.core.config import TwoTowerConfig, WhisperConfig
+from audax.models.causal_lm import CausalLMConfig, init_causal_lm
+from audax.models.two_tower import TwoTowerModel, adapter_apply, init_adapter
+from audax.models.whisper import init_whisper_params
+from audax.train.two_tower import (init_two_tower_optimizer,
+                                   layer_unfreeze_mask,
+                                   load_trainable_checkpoint,
+                                   make_two_tower_step,
+                                   save_trainable_checkpoint,
+                                   trainable_param_counts, TwoTowerState)
+
+AUDIO = WhisperConfig(n_mels=8, n_audio_ctx=16, d_model=24, encoder_layers=1,
+                      decoder_layers=1, heads=2, vocab_size=40, n_text_ctx=8)
+LM = CausalLMConfig(vocab_size=64, d_model=32, layers=4, heads=4, kv_heads=2,
+                    ffn_dim=64, tie_embeddings=True, rope_theta=1e4)
+TT = TwoTowerConfig(adapter_heads=4, top_k_unfrozen_layers=2,
+                    max_target_tokens=32, adapter_lr=3e-3, lm_lr=1e-3)
+
+
+@pytest.fixture(scope="module")
+def model():
+    audio_params = init_whisper_params(AUDIO, jax.random.key(0))
+    lm_params = init_causal_lm(LM, jax.random.key(1))
+    adapter = init_adapter(jax.random.key(2), AUDIO.d_model, LM.d_model,
+                           heads=TT.adapter_heads)
+    return TwoTowerModel(audio_params, AUDIO, {"adapter": adapter,
+                                               "lm": lm_params}, LM, TT)
+
+
+def _batch(rng, b=2, t_text=12):
+    mel = rng.standard_normal((b, 2 * AUDIO.n_audio_ctx, AUDIO.n_mels)
+                              ).astype(np.float32)
+    ids = rng.integers(1, LM.vocab_size, (b, t_text)).astype(np.int32)
+    mask = np.ones((b, t_text), np.int32)
+    mask[-1, t_text - 3:] = 0
+    return {"mel": jnp.asarray(mel), "input_ids": jnp.asarray(ids),
+            "attention_mask": jnp.asarray(mask)}
+
+
+def test_forward_shapes_and_loss(model, rng):
+    batch = _batch(rng)
+    enc = model.encode_audio(batch["mel"])
+    assert enc.shape == (2, AUDIO.n_audio_ctx, AUDIO.d_model)
+    logits = model.forward(model.params, enc, batch["input_ids"],
+                           batch["attention_mask"])
+    assert logits.shape == (2, 12, LM.vocab_size)
+    loss = model.loss(model.params, enc, batch["input_ids"],
+                      batch["attention_mask"])
+    assert np.isfinite(float(loss))
+
+
+def test_adapter_is_position_independent(model, rng):
+    """adapter(T tokens) == adapter applied token-by-token — the property
+    the KV-cached generator relies on."""
+    text = jnp.asarray(rng.standard_normal((1, 5, LM.d_model)), jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((1, 7, AUDIO.d_model)), jnp.float32)
+    full = adapter_apply(model.params["adapter"], text, audio, TT.adapter_heads)
+    stepwise = jnp.concatenate(
+        [adapter_apply(model.params["adapter"], text[:, i: i + 1], audio,
+                       TT.adapter_heads) for i in range(5)], axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(stepwise),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_partial_unfreeze_training(model, rng):
+    tx, mask = init_two_tower_optimizer(model)
+    np.testing.assert_array_equal(np.asarray(mask), [0, 0, 1, 1])
+    state = TwoTowerState(step=jnp.int32(0), params=model.params,
+                          opt_state=tx.init(model.params), tx=tx,
+                          layer_mask=mask)
+    train_step, eval_step = make_two_tower_step(model)
+    batch = _batch(rng)
+    losses = []
+    for _ in range(12):
+        state, m = train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+    # frozen bottom layers exactly unchanged; top layers moved
+    old = model.params["lm"]["layers"]["q"]["kernel"]
+    new = state.params["lm"]["layers"]["q"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(new[0]), np.asarray(old[0]))
+    np.testing.assert_array_equal(np.asarray(new[1]), np.asarray(old[1]))
+    assert not np.allclose(np.asarray(new[3]), np.asarray(old[3]))
+    # adapter moved
+    assert not np.allclose(
+        np.asarray(state.params["adapter"]["q"]["kernel"]),
+        np.asarray(model.params["adapter"]["q"]["kernel"]))
+    # eval works
+    em = eval_step(state, batch)
+    assert np.isfinite(float(em["loss"]))
+
+
+def test_param_counts(model):
+    _, mask = init_two_tower_optimizer(model)
+    counts = trainable_param_counts(model, mask)
+    assert counts["whisper_frozen"] > 0
+    assert counts["trainable_total"] < (counts["lm_total"]
+                                        + counts["adapter"])
+    assert counts["lm_trainable"] < counts["lm_total"]
+
+
+def test_generate_kv_cached(model, rng):
+    batch = _batch(rng)
+    enc = model.encode_audio(batch["mel"])
+    gen = jax.jit(lambda p, e: model.generate(
+        p, e, start_id=1, end_id=2, max_len=20, temperature=0.7,
+        rng=jax.random.key(3)))
+    tokens, lengths = gen(model.params, enc)
+    assert tokens.shape == (2, 20)
+    assert (np.asarray(tokens[:, 0]) == 1).all()
+    assert (np.asarray(lengths) <= 20).all()
+    # greedy is deterministic
+    g0 = model.generate(model.params, enc, start_id=1, end_id=2, max_len=16,
+                        temperature=0.0)
+    g1 = model.generate(model.params, enc, start_id=1, end_id=2, max_len=16,
+                        temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(g0[0]), np.asarray(g1[0]))
+
+
+def test_trainable_checkpoint_roundtrip(model, tmp_path, rng):
+    tx, mask = init_two_tower_optimizer(model)
+    state = TwoTowerState(step=jnp.int32(0), params=model.params,
+                          opt_state=tx.init(model.params), tx=tx,
+                          layer_mask=mask)
+    train_step, _ = make_two_tower_step(model)
+    batch = _batch(rng)
+    for _ in range(3):
+        state, _ = train_step(state, batch)
+
+    path = str(tmp_path / "tt_ckpt")
+    save_trainable_checkpoint(path, state, model, extra={"epoch": 1})
+
+    # fresh model + restore == trained params (trainable parts)
+    fresh = TwoTowerModel(model.audio_params, AUDIO,
+                          jax.tree.map(lambda x: x, model.params), LM, TT)
+    restored = load_trainable_checkpoint(path, fresh)
+    enc = restored.encode_audio(batch["mel"])
+    want = model.loss(state.params, enc, batch["input_ids"],
+                      batch["attention_mask"])
+    got = restored.loss(restored.params, enc, batch["input_ids"],
+                        batch["attention_mask"])
+    assert float(want) == pytest.approx(float(got), rel=1e-6)
+
+
+def test_layer_unfreeze_mask_edges():
+    np.testing.assert_array_equal(np.asarray(layer_unfreeze_mask(4, 0)),
+                                  [0, 0, 0, 0])
+    np.testing.assert_array_equal(np.asarray(layer_unfreeze_mask(4, 9)),
+                                  [1, 1, 1, 1])

@@ -1,0 +1,193 @@
+"""Browser demo: record/upload audio, compare original vs fine-tuned Whisper.
+
+Rebuilds the reference's Streamlit app (AB/UI/Asmo.py: recorder, "Evaluate
+Whisper / Finetune" buttons, add-to-dataset, finetune trigger, model swap)
+as a dependency-free stdlib HTTP server — streamlit is not in this image,
+and a framework serving surface shouldn't require it.
+
+Run:  python -m audax.cli.main demo --size tiny [--ckpt ...] [--ft-ckpt ...]
+Then open http://localhost:8501
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from audax.core.logging import get_logger
+
+log = get_logger("audax.demo")
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>audax demo</title><style>
+body { font-family: system-ui, sans-serif; max-width: 760px; margin: 2rem auto;
+       background: #12121a; color: #eee; }
+h1 { background: linear-gradient(90deg,#7dd,#d7a); -webkit-background-clip: text;
+     color: transparent; }
+button { background:#2a2a3a; color:#eee; border:1px solid #557; padding:.6rem 1.2rem;
+         border-radius:8px; margin:.3rem; cursor:pointer; font-size:1rem; }
+button:hover { background:#3a3a52; }
+.card { background:#1a1a26; border-radius:12px; padding:1rem; margin:1rem 0; }
+.result { white-space:pre-wrap; font-family:monospace; color:#9fd; }
+</style></head><body>
+<h1>audax &mdash; whisper demo</h1>
+<div class="card">
+  <button id="rec">&#9679; Record</button>
+  <button id="stop" disabled>&#9632; Stop</button>
+  <input type="file" id="file" accept=".wav">
+  <span id="status"></span>
+</div>
+<div class="card">
+  <button onclick="transcribe('original')">Evaluate Whisper</button>
+  <button onclick="transcribe('finetuned')">Evaluate Finetune</button>
+  <button onclick="addToDataset()">Add to dataset</button>
+  <div id="out" class="result"></div>
+</div>
+<script>
+let audioBlob = null, mediaRecorder = null, chunks = [];
+const status = (m) => document.getElementById('status').textContent = m;
+document.getElementById('rec').onclick = async () => {
+  const stream = await navigator.mediaDevices.getUserMedia({audio: true});
+  mediaRecorder = new MediaRecorder(stream);
+  chunks = [];
+  mediaRecorder.ondataavailable = (e) => chunks.push(e.data);
+  mediaRecorder.onstop = () => { audioBlob = new Blob(chunks); status('recorded'); };
+  mediaRecorder.start();
+  document.getElementById('stop').disabled = false;
+  status('recording...');
+};
+document.getElementById('stop').onclick = () => mediaRecorder && mediaRecorder.stop();
+document.getElementById('file').onchange = (e) => {
+  audioBlob = e.target.files[0]; status('file loaded');
+};
+async function post(path) {
+  if (!audioBlob) { status('no audio'); return null; }
+  const res = await fetch(path, {method: 'POST', body: audioBlob});
+  return await res.json();
+}
+async function transcribe(model) {
+  document.getElementById('out').textContent = '...';
+  const r = await post('/transcribe?model=' + model);
+  if (r) document.getElementById('out').textContent =
+    (model === 'original' ? 'whisper: ' : 'finetune: ') + r.text +
+    '\\n(rtf ' + r.rtf + ')';
+}
+async function addToDataset() {
+  const r = await post('/add');
+  if (r) status('saved as ' + r.file);
+}
+</script></body></html>
+"""
+
+
+class DemoState:
+    def __init__(self, transcriber, ft_transcriber=None,
+                 dataset_dir: str = "artifacts/demo_dataset"):
+        self.transcriber = transcriber
+        self.ft_transcriber = ft_transcriber or transcriber
+        self.dataset_dir = dataset_dir
+        self.counter = 0
+        self.lock = threading.Lock()
+
+
+def _decode_audio(body: bytes) -> Optional[np.ndarray]:
+    """Accept WAV uploads; browser-recorded webm/ogg is converted through
+    ffmpeg when the binary exists (the reference leaned on ffmpeg too,
+    AB/memoToWav.py)."""
+    from audax.data.audio_io import read_wav, resample, to_mono
+    import subprocess
+    import tempfile
+
+    if body[:4] == b"RIFF":
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as fh:
+            fh.write(body)
+            path = fh.name
+        try:
+            x, rate = read_wav(path)
+        finally:
+            os.unlink(path)
+    else:
+        with tempfile.NamedTemporaryFile(suffix=".webm", delete=False) as fh:
+            fh.write(body)
+            src = fh.name
+        dst = src + ".wav"
+        try:
+            subprocess.run(["ffmpeg", "-y", "-i", src, "-ar", "16000",
+                            "-ac", "1", dst], check=True,
+                           capture_output=True)
+            x, rate = read_wav(dst)
+        except (FileNotFoundError, subprocess.CalledProcessError):
+            return None
+        finally:
+            os.unlink(src)
+            if os.path.exists(dst):
+                os.unlink(dst)
+    x = to_mono(x)
+    if rate != 16000:
+        x = resample(x, rate, 16000)
+    return x
+
+
+def make_handler(state: DemoState):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            body = _PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            audio = _decode_audio(body)
+            if audio is None:
+                self._json({"error": "could not decode audio "
+                            "(upload WAV or install ffmpeg)"}, 400)
+                return
+            if self.path.startswith("/transcribe"):
+                model = "finetuned" if "finetuned" in self.path else "original"
+                tr = (state.ft_transcriber if model == "finetuned"
+                      else state.transcriber)
+                with state.lock:
+                    result = tr.transcribe(audio)
+                self._json({"text": result.text, "rtf": round(result.rtf, 3)})
+            elif self.path.startswith("/add"):
+                from audax.data.audio_io import write_wav
+                os.makedirs(state.dataset_dir, exist_ok=True)
+                with state.lock:
+                    name = f"sample_{state.counter:04d}.wav"
+                    state.counter += 1
+                write_wav(os.path.join(state.dataset_dir, name), audio, 16000)
+                self._json({"file": name})
+            else:
+                self._json({"error": "unknown endpoint"}, 404)
+
+        def log_message(self, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def serve(transcriber, ft_transcriber=None, *, port: int = 8501,
+          dataset_dir: str = "artifacts/demo_dataset") -> ThreadingHTTPServer:
+    state = DemoState(transcriber, ft_transcriber, dataset_dir)
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(state))
+    log.success("demo UI at http://localhost:%d", port)
+    return server

@@ -13,6 +13,7 @@ Here each stage is a subcommand on one entry point::
 from __future__ import annotations
 
 import argparse
+import glob
 import os
 import sys
 from dataclasses import replace
@@ -193,6 +194,174 @@ def cmd_train_transformer(argv) -> int:
 @command("test-transformer")
 def cmd_test_transformer(argv) -> int:
     return _classifier_common(argv, "transformer", train=False)
+
+
+def _load_whisper(size: str, ckpt: str, tokenizer_dir: str):
+    """Assemble (params, cfg, tokenizer) from a size preset + optional orbax
+    checkpoint + tokenizer dir (vocab.json/merges.txt; a tiny built-in test
+    vocab is used when absent — no network in this environment)."""
+    import jax
+    from audax.core.config import WhisperConfig
+    from audax.models.whisper import init_whisper_params
+    from audax.symbolic.bpe import BPE, train_bpe
+    from audax.symbolic.tokenizer import WhisperTokenizer
+
+    cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
+           "small": WhisperConfig.small,
+           "large-v3": WhisperConfig.large_v3}[size]()
+    if tokenizer_dir and os.path.exists(os.path.join(tokenizer_dir, "vocab.json")):
+        tok = WhisperTokenizer(BPE.load(tokenizer_dir))
+    else:
+        log.warning("no tokenizer dir; building a small ad-hoc BPE vocab")
+        corpus = ["the quick brown fox jumps over the lazy dog"] * 4
+        tok = WhisperTokenizer(train_bpe(corpus, vocab_size=300))
+    cfg = replace(cfg, vocab_size=tok.vocab_size)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    if ckpt:
+        from audax.train.checkpoints import load_pytree
+        params = load_pytree(ckpt, params)
+    return params, cfg, tok
+
+
+@command("transcribe")
+def cmd_transcribe(argv) -> int:
+    """Batch wav -> text with CSV + sidecars (reference: AB/wavToWhisper.py)."""
+    p = argparse.ArgumentParser(prog="audax transcribe")
+    p.add_argument("wavs", nargs="+")
+    p.add_argument("--size", default="tiny")
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--tokenizer-dir", default="")
+    p.add_argument("--csv", default="transcriptions.csv")
+    p.add_argument("--lang", default="en")
+    args = p.parse_args(argv)
+    from audax.infer.transcribe import Transcriber, batch_transcribe_to_csv
+    params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
+    tr = Transcriber(params, cfg, tok, lang=args.lang)
+    paths = []
+    for w in args.wavs:
+        paths.extend(sorted(glob.glob(os.path.join(w, "*.wav")))
+                     if os.path.isdir(w) else [w])
+    rows = batch_transcribe_to_csv(tr, paths, args.csv)
+    for r in rows:
+        print(f"{r['file']}: {r.get('text', '')[:80]}")
+    print(args.csv)
+    return 0
+
+
+@command("finetune")
+def cmd_finetune(argv) -> int:
+    """Whisper fine-tune on wavs + transcripts with WER tracking
+    (reference: AB/fineTune.py)."""
+    p = argparse.ArgumentParser(prog="audax finetune")
+    p.add_argument("--audio-dir", required=True)
+    p.add_argument("--transcript", default=None,
+                   help="shared target text (the reference's magic-word mode)")
+    p.add_argument("--size", default="tiny")
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--tokenizer-dir", default="")
+    p.add_argument("--out", default="artifacts/whisper_ft")
+    p.add_argument("--steps", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--lora-rank", type=int, default=-1)
+    p.add_argument("--compare-csv", default="",
+                   help="write before/after transcription comparison CSV")
+    args = p.parse_args(argv)
+
+    from audax.core.config import FineTuneConfig, MelConfig
+    from audax.infer.transcribe import Transcriber
+    from audax.train.checkpoints import save_pytree
+    from audax.train.finetune_loop import build_speech_dataset, finetune_whisper
+    from audax.train.metrics_sink import MetricsSink
+
+    ft = FineTuneConfig.from_env()
+    if args.steps:
+        ft = replace(ft, max_steps=args.steps)
+    if args.batch_size:
+        ft = replace(ft, batch_size=args.batch_size)
+    if args.lora_rank >= 0:
+        ft = replace(ft, lora_rank=args.lora_rank)
+
+    params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
+    mel_cfg = MelConfig.whisper(cfg.n_mels)
+    examples = build_speech_dataset(args.audio_dir, tok, mel_cfg,
+                                    transcript=args.transcript)
+    if not examples:
+        print("no training examples", file=sys.stderr)
+        return 1
+
+    before = None
+    if args.compare_csv:
+        tr0 = Transcriber(params, cfg, tok)
+        before = {ex["file"]: tr0.transcribe(ex["audio"]).text
+                  for ex in examples}
+
+    sink = MetricsSink("whisper_ft", config=ft.asdict())
+    state, history = finetune_whisper(params, cfg, tok, examples, ft,
+                                      mel_cfg=mel_cfg, sink=sink,
+                                      eval_examples=examples)
+    sink.close()
+    serving = history["best_params"] or state.model_params()
+    save_pytree(args.out, serving)
+    log.success("saved fine-tuned params -> %s (best WER %.3f)", args.out,
+                history["best_wer"])
+
+    if args.compare_csv:
+        import csv as _csv
+        tr1 = Transcriber(serving, cfg, tok)
+        with open(args.compare_csv, "w", newline="") as fh:
+            w = _csv.DictWriter(fh, fieldnames=["file", "target", "previous",
+                                                "finetuned"])
+            w.writeheader()
+            for ex in examples:
+                w.writerow({"file": ex["file"], "target": ex["text"],
+                            "previous": before.get(ex["file"], ""),
+                            "finetuned": tr1.transcribe(ex["audio"]).text})
+        print(args.compare_csv)
+    print(args.out)
+    return 0
+
+
+@command("data-quality")
+def cmd_data_quality(argv) -> int:
+    """Dataset quality report (reference SQL cookbooks as callable checks)."""
+    p = argparse.ArgumentParser(prog="audax data-quality")
+    p.add_argument("--parquet", required=True)
+    p.add_argument("--kind", default="urbansound",
+                   choices=["urbansound", "music"])
+    args = p.parse_args(argv)
+    from audax.data.quality import (format_report, music_quality_report,
+                                    urbansound_quality_report)
+    fn = (urbansound_quality_report if args.kind == "urbansound"
+          else music_quality_report)
+    print(format_report(fn(args.parquet), f"{args.kind} quality"))
+    return 0
+
+
+@command("demo")
+def cmd_demo(argv) -> int:
+    """Record-and-compare browser demo (reference: AB/UI/Asmo.py)."""
+    p = argparse.ArgumentParser(prog="audax demo")
+    p.add_argument("--size", default="tiny")
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--ft-ckpt", default="")
+    p.add_argument("--tokenizer-dir", default="")
+    p.add_argument("--port", type=int, default=8501)
+    args = p.parse_args(argv)
+    from audax.cli.demo_ui import serve
+    from audax.infer.transcribe import Transcriber
+    params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
+    tr = Transcriber(params, cfg, tok)
+    ft_tr = None
+    if args.ft_ckpt:
+        ft_params, _, _ = _load_whisper(args.size, args.ft_ckpt,
+                                        args.tokenizer_dir)
+        ft_tr = Transcriber(ft_params, cfg, tok)
+    server = serve(tr, ft_tr, port=args.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
 
 
 @command("train-music")

@@ -1,0 +1,132 @@
+"""Whisper fine-tune driver: dataset build, step loop, periodic WER eval,
+best-by-WER tracking, before/after artifacts.
+
+Reference surface (AB/fineTune.py): glob wavs + transcripts into a dataset
+(:66-95), Seq2SeqTrainer with eval every 10 steps computing WER (:145-183),
+best-checkpoint-by-WER (:176-181), and the transcriptions.csv before/after
+comparison artifacts (AB/wavToWhisper.py:85-103, transcriptions2.csv with a
+"Previous" column).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audax.core.config import FineTuneConfig, MelConfig, WhisperConfig
+from audax.core.logging import get_logger
+from audax.data.audio_io import read_wav, resample, to_mono
+from audax.eval.wer import word_error_rate
+from audax.frontend import LogMelFrontend, pad_or_trim
+from audax.infer.transcribe import Transcriber
+from audax.symbolic.tokenizer import WhisperTokenizer
+from audax.train.metrics_sink import MetricsSink
+from audax.train.seq2seq import (FTState, collate_seq2seq, init_finetune,
+                                 make_finetune_step)
+
+log = get_logger("audax.finetune")
+
+__all__ = ["build_speech_dataset", "finetune_whisper", "eval_wer"]
+
+
+def build_speech_dataset(
+    audio_dir: str, tokenizer: WhisperTokenizer, mel_cfg: MelConfig,
+    *, transcript: Optional[str] = None, lang: str = "en",
+    chunk_seconds: float = 30.0,
+) -> List[Dict]:
+    """Wavs (+ .txt sidecars, or one shared transcript string) -> examples
+    with mel features + label ids (reference dataset build AB/fineTune.py:66-95:
+    every memo shares the single target word)."""
+    frontend = LogMelFrontend(mel_cfg, whisper_frames=True)
+    n_samples = int(chunk_seconds * mel_cfg.sample_rate)
+    examples = []
+    for path in sorted(glob.glob(os.path.join(audio_dir, "*.wav"))):
+        try:
+            x, rate = read_wav(path)
+            x = to_mono(x)
+            if rate != mel_cfg.sample_rate:
+                x = resample(x, rate, mel_cfg.sample_rate)
+            x = np.asarray(pad_or_trim(jnp.asarray(x), n_samples))
+            sidecar = os.path.splitext(path)[0] + ".txt"
+            if transcript is not None:
+                text = transcript
+            elif os.path.exists(sidecar):
+                text = open(sidecar).read().strip()
+            else:
+                log.warning("no transcript for %s; skipped", path)
+                continue
+            labels = (tokenizer.sot_sequence(lang=lang)
+                      + tokenizer.encode(text) + [tokenizer.eot])
+            examples.append({"audio": x, "text": text, "labels": labels,
+                             "file": os.path.basename(path)})
+        except Exception as e:
+            log.warning("skip %s: %s", path, e)
+    log.info("built dataset: %d examples", len(examples))
+    return examples
+
+
+def eval_wer(transcriber: Transcriber, examples: Sequence[Dict]) -> float:
+    refs, hyps = [], []
+    for ex in examples:
+        refs.append(ex["text"])
+        hyps.append(transcriber.transcribe(ex["audio"]).text)
+    return word_error_rate(refs, hyps)
+
+
+def finetune_whisper(
+    params, model_cfg: WhisperConfig, tokenizer: WhisperTokenizer,
+    examples: Sequence[Dict], cfg: FineTuneConfig,
+    *, mel_cfg: Optional[MelConfig] = None,
+    sink: Optional[MetricsSink] = None,
+    eval_examples: Optional[Sequence[Dict]] = None,
+    lora_targets: Tuple[str, ...] = ("attn/q", "attn/v"),
+) -> Tuple[FTState, Dict]:
+    """Step-based fine-tune with periodic WER eval; returns (state, history).
+    ``state.model_params()`` yields serving weights (LoRA merged)."""
+    mel_cfg = mel_cfg or MelConfig.whisper(model_cfg.n_mels)
+    frontend = LogMelFrontend(mel_cfg, whisper_frames=True)
+    state = init_finetune(params, cfg, lora_targets=lora_targets)
+    step_fn = make_finetune_step(model_cfg, remat=cfg.gradient_checkpointing)
+
+    audio = np.stack([ex["audio"] for ex in examples])
+    label_rows = [ex["labels"] for ex in examples]
+    rng = np.random.default_rng(cfg.seed)
+    history: Dict[str, list] = {"loss": [], "wer": []}
+    best_wer = float("inf")
+    best_params = None
+
+    n = len(examples)
+    for step in range(cfg.max_steps):
+        idx = rng.choice(n, size=min(cfg.batch_size, n), replace=n < cfg.batch_size)
+        mel = frontend(jnp.asarray(audio[idx]))
+        coll = collate_seq2seq([label_rows[i] for i in idx],
+                               decoder_start_id=tokenizer.sot)
+        batch = {"mel": mel,
+                 "decoder_input_ids": jnp.asarray(coll["decoder_input_ids"]),
+                 "labels": jnp.asarray(coll["labels"])}
+        state, m = step_fn(state, batch)
+        loss = float(m["loss"])
+        history["loss"].append(loss)
+        record = {"step": step, "loss": loss}
+
+        if eval_examples and (step + 1) % cfg.eval_every == 0:
+            serving = state.model_params()
+            tr = Transcriber(serving, model_cfg, tokenizer)
+            wer = eval_wer(tr, eval_examples)
+            history["wer"].append({"step": step, "wer": wer})
+            record["wer"] = 100.0 * wer             # reference logs 100*wer
+            if wer < best_wer:
+                best_wer = wer
+                best_params = jax.tree.map(lambda x: x, serving)
+        if sink:
+            sink.log(record, step=step)
+        elif (step + 1) % 10 == 0:
+            log.info("step %d loss %.4f", step, loss)
+    history["best_wer"] = best_wer
+    history["best_params"] = best_params
+    return state, history

@@ -97,8 +97,22 @@ def fit_classifier(
     rng = jax.random.key(cfg.seed + 1)
     history: Dict[str, list] = {"train_loss": [], "eval": []}
 
+    # mid-run resume: continue from the last persisted epoch (the reference
+    # had save/load but never wired resume — SURVEY.md §5 checkpoint/resume)
+    start_epoch = 0
+    if ckpt_manager is not None and ckpt_manager.latest_step() is not None:
+        restored = ckpt_manager.restore({"params": state.params,
+                                         "batch_stats": state.batch_stats})
+        # orbax restores to one device; re-replicate over the mesh
+        from audax.parallel.mesh import replicated
+        restored = jax.device_put(restored, replicated(mesh))
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+        start_epoch = int(ckpt_manager.latest_step()) + 1
+        log.info("resumed from epoch %d", start_epoch - 1)
+
     n_train = len(train_data["y"])
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         losses, accs = [], []
         for batch in train_batches(train_data, cfg.batch_size, cfg.seed, epoch):

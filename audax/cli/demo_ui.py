@@ -11,13 +11,11 @@ Then open http://localhost:8501
 
 from __future__ import annotations
 
-import io
 import json
 import os
-import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -8,7 +8,7 @@ contribute zero loss and are stripped from predictions.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

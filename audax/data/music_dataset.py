@@ -22,7 +22,7 @@ import json
 import os
 from dataclasses import dataclass
 from multiprocessing import Pool, cpu_count
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

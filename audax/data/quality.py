@@ -10,7 +10,7 @@ image) producing one structured report per dataset.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 

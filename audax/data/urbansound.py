@@ -17,7 +17,7 @@ kernel — the per-file device boundary disappears.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

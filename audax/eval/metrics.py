@@ -8,7 +8,7 @@ row-normalized confusion-matrix plot with per-class counts (matplotlib).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -4,7 +4,7 @@ stack; best checkpoint kept by WER :176-181)."""
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 __all__ = ["word_error_rate", "edit_distance"]
 

@@ -10,7 +10,7 @@ shapes, early exit when every sequence has emitted EOS.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from audax.core.config import MelConfig, WhisperConfig
+from audax.core.config import WhisperConfig
 from audax.core.logging import get_logger
 from audax.frontend import LogMelFrontend, pad_or_trim
 from audax.infer.decode import generate

@@ -297,7 +297,6 @@ def resize_embeddings(params: Params, cfg: CausalLMConfig, new_vocab: int,
 # ------------------------------------------------------------------ port --
 def port_causal_lm_from_hf(hf_model) -> Tuple[Params, CausalLMConfig]:
     """Port a HF Qwen2/Qwen3/LLaMA-style ForCausalLM (in-memory, no network)."""
-    import numpy as np
     hc = hf_model.config
     sd = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
     # note: a tied lm_head still appears in state_dict — trust the config flag

@@ -19,7 +19,6 @@ Capability-parity rebuilds of the reference classifiers, laid out TPU-first
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

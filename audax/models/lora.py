@@ -18,7 +18,7 @@ adapters in permanently for serving (adapter merge per BASELINE.json).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

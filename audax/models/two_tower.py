@@ -31,7 +31,7 @@ from jax import lax
 from audax.core.config import TwoTowerConfig, WhisperConfig
 from audax.models.causal_lm import (CausalLMConfig, LMKVCache, embed_tokens,
                                     forward_with_embeds, init_lm_cache,
-                                    lm_decode_step, lm_forward, lm_logits)
+                                    lm_decode_step, lm_logits)
 from audax.models.whisper import encode as whisper_encode
 
 Params = Dict[str, Any]

@@ -10,8 +10,6 @@ Both take the framework's MidiFile note model and return float32 numpy audio.
 from __future__ import annotations
 
 import ctypes
-import os
-from typing import Optional, Sequence
 
 import numpy as np
 

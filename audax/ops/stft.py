@@ -16,7 +16,6 @@ Reference semantics reproduced (SURVEY.md hard part #1):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,9 +15,9 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 from fractions import Fraction
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
-from audax.symbolic.midi import KeySignature, MidiFile, Note
+from audax.symbolic.midi import KeySignature, MidiFile
 
 __all__ = ["midi_to_abc", "extract_abc_metadata", "extract_tokens",
            "AbcMetadata"]

@@ -16,7 +16,7 @@ from __future__ import annotations
 import bisect
 import struct
 from dataclasses import dataclass, field, replace
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 __all__ = ["Note", "Tempo", "TimeSignature", "KeySignature", "MidiFile",
            "NOTE_NAMES", "note_number_to_name", "note_name_to_number"]

@@ -10,7 +10,6 @@ LoRA (models/lora.py) or full fine-tune selected by config.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -23,7 +22,7 @@ from audax.core.config import FineTuneConfig, WhisperConfig
 from audax.core.logging import get_logger
 from audax.models.lora import apply_lora, init_lora
 from audax.models.whisper import whisper_forward
-from audax.train.optim import adamw, seq2seq_schedule
+from audax.train.optim import seq2seq_schedule
 
 log = get_logger("audax.seq2seq")
 

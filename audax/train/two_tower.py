@@ -14,7 +14,6 @@ multiplied in before the optimizer — exact zero updates for frozen layers.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -23,7 +22,6 @@ import numpy as np
 import optax
 from flax import struct
 
-from audax.core.config import TwoTowerConfig
 from audax.core.logging import get_logger
 from audax.models.two_tower import TwoTowerModel
 

@@ -13,14 +13,12 @@ from __future__ import annotations
 import os
 from typing import Dict, Iterator, List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audax.core.config import TwoTowerConfig
 from audax.core.logging import get_logger
 from audax.data.music_dataset import MusicDataset
-from audax.frontend import LogMelFrontend, pad_or_trim
+from audax.frontend import LogMelFrontend
 from audax.models.two_tower import TwoTowerModel
 from audax.train.metrics_sink import MetricsSink
 from audax.train.two_tower import (TwoTowerState, init_two_tower_optimizer,

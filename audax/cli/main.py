@@ -223,6 +223,39 @@ def _load_whisper(size: str, ckpt: str, tokenizer_dir: str):
     return params, cfg, tok
 
 
+@command("convert-hf")
+def cmd_convert_hf(argv) -> int:
+    """Convert a local HF checkpoint directory (Whisper or Qwen/LLaMA-family)
+    to an audax orbax checkpoint. No network access: the directory must exist
+    locally (e.g. rsynced from a model cache)."""
+    p = argparse.ArgumentParser(prog="audax convert-hf")
+    p.add_argument("--hf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--kind", default="whisper", choices=["whisper", "causal-lm"])
+    args = p.parse_args(argv)
+    from audax.train.checkpoints import save_pytree
+    if args.kind == "whisper":
+        from transformers import WhisperForConditionalGeneration
+        from audax.models.port import (port_whisper_from_hf,
+                                       whisper_config_from_hf)
+        hf = WhisperForConditionalGeneration.from_pretrained(args.hf_dir)
+        params = port_whisper_from_hf(hf)
+        cfg = whisper_config_from_hf(hf.config)
+    else:
+        from transformers import AutoModelForCausalLM
+        from audax.models.causal_lm import port_causal_lm_from_hf
+        hf = AutoModelForCausalLM.from_pretrained(args.hf_dir)
+        params, cfg = port_causal_lm_from_hf(hf)
+    save_pytree(args.out, params)
+    import json
+    with open(args.out + ".config.json", "w") as fh:
+        json.dump(cfg.asdict() if hasattr(cfg, "asdict") else cfg.__dict__,
+                  fh, indent=2)
+    log.success("ported %s (%s) -> %s", args.hf_dir, args.kind, args.out)
+    print(args.out)
+    return 0
+
+
 @command("transcribe")
 def cmd_transcribe(argv) -> int:
     """Batch wav -> text with CSV + sidecars (reference: AB/wavToWhisper.py)."""

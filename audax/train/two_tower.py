@@ -62,7 +62,9 @@ def _mask_lm_grads(grads: Dict, mask: jnp.ndarray) -> Dict:
 
 def init_two_tower_optimizer(model: TwoTowerModel) -> Tuple[
         optax.GradientTransformation, jnp.ndarray]:
-    """Dual-LR AdamW (adapter vs LM) with global-norm clipping."""
+    """Dual-LR AdamW (adapter vs LM) with global-norm clipping. Learning
+    rates are injected hyperparams so the plateau scheduler can scale them
+    in-place without rebuilding optimizer state."""
     cfg = model.cfg
 
     def label_fn(params):
@@ -72,12 +74,36 @@ def init_two_tower_optimizer(model: TwoTowerModel) -> Tuple[
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.multi_transform(
-            {"adapter": optax.adamw(cfg.adapter_lr),
-             "lm": optax.adamw(cfg.lm_lr)},
+            {"adapter": optax.inject_hyperparams(optax.adamw)(
+                learning_rate=cfg.adapter_lr),
+             "lm": optax.inject_hyperparams(optax.adamw)(
+                learning_rate=cfg.lm_lr)},
             label_fn),
     )
     mask = layer_unfreeze_mask(model.lm_cfg.layers, cfg.top_k_unfrozen_layers)
     return tx, mask
+
+
+def scale_learning_rates(opt_state, factor: float):
+    """ReduceLROnPlateau primitive (reference: train.py:467,524): multiply
+    every injected ``learning_rate`` hyperparam in the optimizer state by
+    ``factor``, preserving all accumulator state."""
+    def walk(node):
+        if isinstance(node, optax.InjectStatefulHyperparamsState) or (
+                node.__class__.__name__ == "InjectHyperparamsState"):
+            hp = dict(node.hyperparams)
+            hp["learning_rate"] = hp["learning_rate"] * factor
+            return node._replace(hyperparams=hp)
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # namedtuple
+            return node._replace(**{f: walk(getattr(node, f))
+                                    for f in node._fields})
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(x) for x in node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(opt_state)
 
 
 def make_two_tower_step(model: TwoTowerModel) -> Tuple[Callable, Callable]:

@@ -24,6 +24,7 @@ from audax.train.metrics_sink import MetricsSink
 from audax.train.two_tower import (TwoTowerState, init_two_tower_optimizer,
                                    make_two_tower_step,
                                    save_trainable_checkpoint,
+                                   scale_learning_rates,
                                    trainable_param_counts)
 
 log = get_logger("audax.two_tower")
@@ -72,6 +73,8 @@ def fit_two_tower(
     ckpt_dir: Optional[str] = None,
     log_every: int = 10,
     frontend: Optional[LogMelFrontend] = None,
+    plateau_patience: int = 2,
+    plateau_factor: float = 0.5,
 ) -> Tuple[TwoTowerState, Dict]:
     cfg = model.cfg
     frontend = frontend or LogMelFrontend.whisper(model.audio_cfg.n_mels)
@@ -92,6 +95,7 @@ def fit_two_tower(
 
     history: Dict[str, list] = {"train_loss": [], "val_loss": []}
     best_val = float("inf")
+    epochs_since_improvement = 0
     shuffle_rng = np.random.default_rng(cfg.seed + 1)
 
     for epoch in range(cfg.epochs):
@@ -129,9 +133,20 @@ def fit_two_tower(
             save_trainable_checkpoint(
                 os.path.join(ckpt_dir, f"epoch_{epoch:03d}"),
                 state, model, extra={"epoch": epoch, "val_loss": val_loss})
-            if val_loss < best_val:
-                best_val = val_loss
+        # best-model tracking + ReduceLROnPlateau (train.py:467,524,538-544)
+        if val_loss < best_val - 1e-6:
+            best_val = val_loss
+            epochs_since_improvement = 0
+            if ckpt_dir:
                 save_trainable_checkpoint(
                     os.path.join(ckpt_dir, "best_model"), state, model,
                     extra={"epoch": epoch, "val_loss": val_loss})
+        else:
+            epochs_since_improvement += 1
+            if epochs_since_improvement >= plateau_patience:
+                state = state.replace(opt_state=scale_learning_rates(
+                    state.opt_state, plateau_factor))
+                epochs_since_improvement = 0
+                log.info("plateau: scaled learning rates by %.2f",
+                         plateau_factor)
     return state, history

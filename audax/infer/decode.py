@@ -1,10 +1,21 @@
-"""Autoregressive decoding: jitted greedy / temperature sampling loops.
+"""Autoregressive decoding: jitted greedy / sampling loops with Whisper's
+timestamp rules.
 
 The reference decodes by recomputing the full prefix per token with no KV
-cache (reference: .charles/music2midi/model.py:293-344) or defers to HF
+cache (reference: .charles/music2midi/model.py:293-344) or defers to
+openai-whisper's ``model.transcribe`` (AB/wavToWhisper.py:10-13) / HF
 ``generate`` (AB/fineTuneMidiTester.py:26-49). Here decoding is ONE compiled
 ``lax.while_loop`` over models/whisper.py:decode_step: O(n) work, fixed
-shapes, early exit when every sequence has emitted EOS.
+shapes, early exit when every sequence has emitted EOS. Mean log-probability
+is accumulated in-loop so the transcription layer can run whisper's
+temperature-fallback ladder without a second pass.
+
+Timestamp rules (the structural subset of openai-whisper's
+ApplyTimestampRules, active when ``timestamps`` info is passed):
+  * the first generated token must be a timestamp;
+  * timestamps come in pairs: after a lone timestamp the next token must be
+    a timestamp (or EOT); after a timestamp pair the next must be text;
+  * timestamps are monotonically non-decreasing.
 """
 
 from __future__ import annotations
@@ -17,20 +28,32 @@ import jax.numpy as jnp
 from jax import lax
 
 from audax.core.config import WhisperConfig
-from audax.models.whisper import (KVCache, decode_step, init_kv_cache,
-                                  precompute_cross_kv)
+from audax.models.whisper import KVCache, decode_step, init_kv_cache, precompute_cross_kv
 
-__all__ = ["generate", "GenerateResult"]
+__all__ = ["generate", "GenerateResult", "TimestampRules"]
+
+
+class TimestampRules(NamedTuple):
+    """Static tokenizer facts needed to enforce whisper timestamp structure."""
+    timestamp_begin: int
+    eot_id: int
 
 
 class GenerateResult(NamedTuple):
     tokens: jnp.ndarray      # [B, max_len] int32 (prompt + generated + pad)
     lengths: jnp.ndarray     # [B] int32 total valid length (incl. prompt)
+    sum_logprob: jnp.ndarray  # [B] float32 sum of chosen-token logprobs
+    gen_count: jnp.ndarray    # [B] int32 number of generated (scored) tokens
+
+    @property
+    def avg_logprob(self) -> jnp.ndarray:
+        return self.sum_logprob / jnp.maximum(self.gen_count, 1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_len", "eos_id", "temperature", "dtype"))
+    static_argnames=("cfg", "max_len", "eos_id", "temperature", "dtype",
+                     "timestamps"))
 def generate(
     params,
     cfg: WhisperConfig,
@@ -42,28 +65,44 @@ def generate(
     temperature: float = 0.0,      # 0 => greedy
     rng: Optional[jax.Array] = None,
     suppress: Optional[jnp.ndarray] = None,   # [K] token ids never emitted
+    timestamps: Optional[TimestampRules] = None,
     dtype=jnp.float32,
 ) -> GenerateResult:
     """Decode until EOS or ``max_len``. The prompt is teacher-forced through
     the same cached step (cheap: P is tiny), then generation proceeds
-    greedily or by temperature sampling (model.py:331-332 semantics)."""
+    greedily or by temperature sampling."""
     b, p_len = prompt.shape
     cross_kv = precompute_cross_kv(params, cfg, enc)
     cache = init_kv_cache(cfg, b, max_len, dtype)
     tokens = jnp.zeros((b, max_len), jnp.int32)
     tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
     rng = rng if rng is not None else jax.random.key(0)
+    neg_inf = jnp.finfo(jnp.float32).min
 
-    def mask_logits(logits):
+    def constrain(logits, carry):
         if suppress is not None and suppress.size:
-            logits = logits.at[:, suppress].set(jnp.finfo(logits.dtype).min)
+            logits = logits.at[:, suppress].set(neg_inf)
+        if timestamps is not None:
+            ts0 = timestamps.timestamp_begin
+            vocab_ids = jnp.arange(logits.shape[-1])
+            is_ts_col = (vocab_ids >= ts0)[None, :]
+            is_eot_col = (vocab_ids == timestamps.eot_id)[None, :]
+            first = carry.pos + 1 == p_len                       # scalar
+            # pair structure ([B] masks)
+            must_ts = jnp.logical_or(
+                first, jnp.logical_and(carry.prev_ts, ~carry.prevprev_ts))
+            after_pair = jnp.logical_and(carry.prev_ts, carry.prevprev_ts)
+            ban = jnp.where(
+                must_ts[:, None],
+                jnp.logical_and(~is_ts_col, ~is_eot_col),   # text banned
+                jnp.where(after_pair[:, None],
+                          is_ts_col,                        # timestamps banned
+                          jnp.zeros_like(is_ts_col)))
+            # monotonicity: timestamps below the last one are banned
+            below = vocab_ids[None, :] < carry.last_ts[:, None]
+            ban = jnp.logical_or(ban, jnp.logical_and(is_ts_col, below))
+            logits = jnp.where(ban, neg_inf, logits)
         return logits
-
-    def pick(logits, key):
-        logits = mask_logits(logits)
-        if temperature == 0.0:
-            return jnp.argmax(logits, -1).astype(jnp.int32)
-        return jax.random.categorical(key, logits / temperature, -1).astype(jnp.int32)
 
     class Carry(NamedTuple):
         pos: jnp.ndarray
@@ -72,6 +111,11 @@ def generate(
         done: jnp.ndarray
         lengths: jnp.ndarray
         rng: jax.Array
+        sum_logprob: jnp.ndarray
+        gen_count: jnp.ndarray
+        prev_ts: jnp.ndarray       # [B] last generated token was a timestamp
+        prevprev_ts: jnp.ndarray
+        last_ts: jnp.ndarray       # [B] highest timestamp id emitted
 
     def cond(c: Carry):
         return jnp.logical_and(c.pos < max_len - 1, ~jnp.all(c.done))
@@ -79,19 +123,48 @@ def generate(
     def body(c: Carry):
         logits, cache = decode_step(params, cfg, c.tokens[:, c.pos], c.pos,
                                     c.cache, cross_kv, dtype)
-        key = jax.random.fold_in(c.rng, c.pos)
-        nxt = pick(logits, key)
+        logits = logits.astype(jnp.float32)
         in_prompt = c.pos + 1 < p_len
+        constrained = constrain(logits, c)
+        key = jax.random.fold_in(c.rng, c.pos)
+        if temperature == 0.0:
+            nxt = jnp.argmax(constrained, -1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(key, constrained / temperature,
+                                         -1).astype(jnp.int32)
         nxt = jnp.where(in_prompt, c.tokens[:, c.pos + 1], nxt)
         nxt = jnp.where(c.done, eos_id, nxt)
         tokens = lax.dynamic_update_slice(c.tokens, nxt[:, None], (0, c.pos + 1))
+
+        # score the chosen token (skip prompt positions and finished rows)
+        logprobs = jax.nn.log_softmax(constrained, -1)
+        chosen = jnp.take_along_axis(logprobs, nxt[:, None], -1)[:, 0]
+        score = jnp.logical_and(~in_prompt, ~c.done)
+        sum_logprob = c.sum_logprob + jnp.where(score, chosen, 0.0)
+        gen_count = c.gen_count + score.astype(jnp.int32)
+
+        if timestamps is not None:
+            is_ts = nxt >= timestamps.timestamp_begin
+            prevprev_ts = jnp.where(in_prompt, c.prevprev_ts, c.prev_ts)
+            prev_ts = jnp.where(in_prompt, c.prev_ts, is_ts)
+            last_ts = jnp.where(jnp.logical_and(is_ts, ~in_prompt),
+                                jnp.maximum(c.last_ts, nxt), c.last_ts)
+        else:
+            prev_ts, prevprev_ts, last_ts = c.prev_ts, c.prevprev_ts, c.last_ts
+
         newly_done = jnp.logical_and(~in_prompt, nxt == eos_id)
         done = jnp.logical_or(c.done, newly_done)
         lengths = jnp.where(jnp.logical_and(newly_done, ~c.done),
                             c.pos + 2, c.lengths)
-        return Carry(c.pos + 1, tokens, cache, done, lengths, c.rng)
+        return Carry(c.pos + 1, tokens, cache, done, lengths, c.rng,
+                     sum_logprob, gen_count, prev_ts, prevprev_ts, last_ts)
 
+    ts0 = timestamps.timestamp_begin if timestamps is not None else 0
     init = Carry(jnp.int32(0), tokens, cache,
-                 jnp.zeros((b,), bool), jnp.full((b,), max_len, jnp.int32), rng)
+                 jnp.zeros((b,), bool), jnp.full((b,), max_len, jnp.int32),
+                 rng, jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.int32),
+                 jnp.zeros((b,), bool), jnp.zeros((b,), bool),
+                 jnp.full((b,), ts0, jnp.int32))
     final = lax.while_loop(cond, body, init)
-    return GenerateResult(final.tokens, final.lengths)
+    return GenerateResult(final.tokens, final.lengths, final.sum_logprob,
+                          final.gen_count)

@@ -1,9 +1,13 @@
-"""Transcription API: wav -> text with 30 s chunking and KV-cached decode.
+"""Transcription API: wav -> text with 30 s chunking, KV-cached decode,
+whisper-style temperature fallback, and optional timestamp segments.
 
 Public replacement for the reference's openai-whisper usage
-(AB/wavToWhisper.py:7-18 ``transcribe_audio`` and the fine-tuned-model batch
-loop :44-70): one jit-compiled encode+generate per 30 s window, host-side
-chunk stitching, CSV batch driver.
+(AB/wavToWhisper.py:7-18 ``transcribe_audio`` and the fine-tuned batch loop
+:44-70). ``model.transcribe``'s quality heuristics are reproduced: decoding
+starts greedy and falls back through rising temperatures when the mean
+log-probability or gzip compression ratio of a chunk looks degenerate
+(mode-collapse loops like the reference's "A5 A5 A5 A5",
+AB/midiDatasetResults.csv:2-5, trip the compression check).
 """
 
 from __future__ import annotations
@@ -11,8 +15,9 @@ from __future__ import annotations
 import csv
 import os
 import time
+import zlib
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -20,21 +25,41 @@ import numpy as np
 from audax.core.config import WhisperConfig
 from audax.core.logging import get_logger
 from audax.frontend import LogMelFrontend, pad_or_trim
-from audax.infer.decode import generate
+from audax.infer.decode import TimestampRules, generate
 from audax.models.whisper import encode
 from audax.symbolic.tokenizer import WhisperTokenizer
 
-__all__ = ["Transcriber", "TranscriptionResult", "batch_transcribe_to_csv"]
+__all__ = ["Transcriber", "TranscriptionResult", "Segment",
+           "batch_transcribe_to_csv"]
 
 log = get_logger("audax.infer")
 
 CHUNK_SECONDS = 30.0
+FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+LOGPROB_THRESHOLD = -1.0
+COMPRESSION_THRESHOLD = 2.4
+
+
+def compression_ratio(text: str) -> float:
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+@dataclass
+class Segment:
+    text: str
+    start: float                 # seconds (chunk offset included)
+    end: float
+    avg_logprob: float
+    temperature: float
 
 
 @dataclass
 class TranscriptionResult:
     text: str
-    segments: List[str]
+    segments: List[Segment]
     audio_seconds: float
     wall_seconds: float
 
@@ -50,41 +75,77 @@ class Transcriber:
     def __init__(self, params, cfg: WhisperConfig,
                  tokenizer: WhisperTokenizer, *,
                  lang: str = "en", max_new_tokens: int = 224,
+                 timestamps: bool = False,
+                 temperature_fallback: bool = True,
                  dtype=jnp.float32, backend: Optional[str] = None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.lang = lang
         self.max_new_tokens = max_new_tokens
+        self.timestamps = timestamps
+        self.temperature_fallback = temperature_fallback
         self.dtype = dtype
         self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
         self.chunk_samples = int(CHUNK_SECONDS * self.frontend.cfg.sample_rate)
 
-    def _decode_chunk_batch(self, audio_chunks: np.ndarray) -> List[List[int]]:
-        """[N, chunk_samples] -> token id lists (specials stripped later)."""
+    def _prompt(self, n: int) -> np.ndarray:
+        seq = self.tokenizer.sot_sequence(lang=self.lang,
+                                          timestamps=self.timestamps)
+        return np.asarray([seq] * n, np.int32)
+
+    def _decode_once(self, enc, prompt, temperature: float):
+        tk = self.tokenizer
+        rules = (TimestampRules(tk.timestamp_begin, tk.eot)
+                 if self.timestamps else None)
+        max_len = min(prompt.shape[1] + self.max_new_tokens, self.cfg.n_text_ctx)
+        return generate(self.params, self.cfg, enc, jnp.asarray(prompt),
+                        max_len=max_len, eos_id=tk.eot,
+                        temperature=temperature, timestamps=rules,
+                        dtype=self.dtype)
+
+    def _decode_chunk_batch(self, audio_chunks: np.ndarray
+                            ) -> List[Tuple[List[int], float, float]]:
+        """[N, chunk_samples] -> per chunk (token ids, avg_logprob, temp) with
+        whisper's temperature-fallback ladder."""
         mel = self.frontend(jnp.asarray(audio_chunks))
         enc = encode(self.params, self.cfg, mel, self.dtype)
+        n = len(audio_chunks)
+        prompt = self._prompt(n)
+        p = prompt.shape[1]
         tk = self.tokenizer
-        prompt = np.asarray([tk.sot_sequence(lang=self.lang)] * len(audio_chunks),
-                            np.int32)
-        max_len = prompt.shape[1] + self.max_new_tokens
-        result = generate(
-            self.params, self.cfg, enc, jnp.asarray(prompt),
-            max_len=min(max_len, self.cfg.n_text_ctx),
-            eos_id=tk.eot, dtype=self.dtype)
-        tokens = np.asarray(result.tokens)
-        lengths = np.asarray(result.lengths)
-        out = []
-        for row, n in zip(tokens, lengths):
-            out.append([int(t) for t in row[prompt.shape[1]: n]
-                        if t != tk.eot])
-        return out
+
+        results: List[Optional[Tuple[List[int], float, float]]] = [None] * n
+        pending = list(range(n))
+        ladder = (FALLBACK_TEMPERATURES if self.temperature_fallback else (0.0,))
+        for ti, temp in enumerate(ladder):
+            if not pending:
+                break
+            sub_enc = enc[np.asarray(pending)]
+            out = self._decode_once(sub_enc, prompt[: len(pending)], temp)
+            tokens = np.asarray(out.tokens)
+            lengths = np.asarray(out.lengths)
+            avg_lp = np.asarray(out.avg_logprob)
+            still = []
+            for row_i, chunk_i in enumerate(pending):
+                ids = [int(t) for t in tokens[row_i, p: lengths[row_i]]
+                       if t != tk.eot]
+                text = tk.decode(ids)
+                ok = (avg_lp[row_i] >= LOGPROB_THRESHOLD
+                      and compression_ratio(text) <= COMPRESSION_THRESHOLD)
+                last = ti == len(ladder) - 1
+                if ok or last:
+                    results[chunk_i] = (ids, float(avg_lp[row_i]), temp)
+                else:
+                    still.append(chunk_i)
+            pending = still
+        return results  # type: ignore[return-value]
 
     def transcribe(self, audio: np.ndarray, *, batch_chunks: int = 4
                    ) -> TranscriptionResult:
         """audio: 1-D float waveform at 16 kHz. Long audio is split into 30 s
         windows (whisper's native context; the reference chunked at data-prep
-        time instead, SURVEY.md §5 long-context)."""
+        time instead, SURVEY.md §5)."""
         audio = np.asarray(audio, np.float32).reshape(-1)
         t0 = time.perf_counter()
         n = len(audio)
@@ -93,15 +154,52 @@ class Transcriber:
             chunk = audio[start: start + self.chunk_samples]
             chunks.append(np.asarray(
                 pad_or_trim(jnp.asarray(chunk), self.chunk_samples)))
-        segments: List[str] = []
+        tk = self.tokenizer
+        segments: List[Segment] = []
         for i in range(0, len(chunks), batch_chunks):
             group = np.stack(chunks[i: i + batch_chunks])
-            for ids in self._decode_chunk_batch(group):
-                segments.append(self.tokenizer.decode(ids))
+            for j, (ids, avg_lp, temp) in enumerate(
+                    self._decode_chunk_batch(group)):
+                offset = (i + j) * CHUNK_SECONDS
+                if self.timestamps:
+                    segments.extend(self._split_segments(ids, offset, avg_lp,
+                                                         temp))
+                else:
+                    segments.append(Segment(tk.decode(ids), offset,
+                                            offset + CHUNK_SECONDS, avg_lp,
+                                            temp))
         wall = time.perf_counter() - t0
         return TranscriptionResult(
-            text="".join(segments).strip(), segments=segments,
-            audio_seconds=n / self.frontend.cfg.sample_rate, wall_seconds=wall)
+            text="".join(s.text for s in segments).strip(),
+            segments=segments,
+            audio_seconds=n / self.frontend.cfg.sample_rate,
+            wall_seconds=wall)
+
+    def _split_segments(self, ids: List[int], offset: float, avg_lp: float,
+                        temp: float) -> List[Segment]:
+        """Cut a chunk's tokens at timestamp pairs into timed segments."""
+        tk = self.tokenizer
+        segments: List[Segment] = []
+        start_t: Optional[float] = None
+        text_ids: List[int] = []
+        for t in ids:
+            if tk.is_timestamp(t):
+                ts = tk.timestamp_seconds(t)
+                if start_t is None:
+                    start_t = ts
+                else:
+                    segments.append(Segment(tk.decode(text_ids),
+                                            offset + start_t, offset + ts,
+                                            avg_lp, temp))
+                    start_t = None
+                    text_ids = []
+            else:
+                text_ids.append(t)
+        if text_ids:
+            segments.append(Segment(tk.decode(text_ids),
+                                    offset + (start_t or 0.0),
+                                    offset + CHUNK_SECONDS, avg_lp, temp))
+        return segments
 
 
 def batch_transcribe_to_csv(

@@ -1,0 +1,133 @@
+"""Beam-search decoding (fixed-width, fully jitted).
+
+openai-whisper's ``transcribe(beam_size=K)`` path, rebuilt as one
+``lax.while_loop``: beams live in the batch dimension ([B*W] rows through
+the same KV-cached decode_step), finished hypotheses are frozen in place
+(forced EOS, zero score delta), and the loop exits early when every beam of
+every item has finished. Length handling follows whisper: hypotheses are
+ranked by sum-logprob / length.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from audax.core.config import WhisperConfig
+from audax.models.whisper import (KVCache, decode_step, init_kv_cache,
+                                  precompute_cross_kv)
+
+__all__ = ["beam_search", "BeamResult"]
+
+
+class BeamResult(NamedTuple):
+    tokens: jnp.ndarray       # [B, W, max_len] best-first
+    lengths: jnp.ndarray      # [B, W]
+    scores: jnp.ndarray       # [B, W] length-normalized logprob
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_len", "eos_id", "beam_width", "dtype"))
+def beam_search(
+    params,
+    cfg: WhisperConfig,
+    enc: jnp.ndarray,             # [B, S, d]
+    prompt: jnp.ndarray,          # [B, P] forced prefix
+    *,
+    max_len: int,
+    eos_id: int,
+    beam_width: int = 5,
+    suppress: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> BeamResult:
+    b, p_len = prompt.shape
+    w = beam_width
+    bw = b * w
+    neg_inf = jnp.finfo(jnp.float32).min
+
+    # replicate encoder state / prompt across beams -> [B*W, ...]
+    enc_rep = jnp.repeat(enc, w, axis=0)
+    cross_kv = precompute_cross_kv(params, cfg, enc_rep)
+    cache = init_kv_cache(cfg, bw, max_len, dtype)
+    tokens = jnp.zeros((bw, max_len), jnp.int32)
+    tokens = lax.dynamic_update_slice(tokens, jnp.repeat(prompt, w, 0), (0, 0))
+
+    # beam 0 starts live; others at -inf so the first expansion fans out
+    init_scores = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((w - 1,), neg_inf)]), b)
+
+    class Carry(NamedTuple):
+        pos: jnp.ndarray
+        tokens: jnp.ndarray      # [B*W, max_len]
+        cache: KVCache
+        scores: jnp.ndarray      # [B*W] sum logprob
+        done: jnp.ndarray        # [B*W]
+        lengths: jnp.ndarray     # [B*W]
+
+    def cond(c: Carry):
+        return jnp.logical_and(c.pos < max_len - 1, ~jnp.all(c.done))
+
+    def body(c: Carry):
+        logits, cache = decode_step(params, cfg, c.tokens[:, c.pos], c.pos,
+                                    c.cache, cross_kv, dtype)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        if suppress is not None and suppress.size:
+            logp = logp.at[:, suppress].set(neg_inf)
+        v = logp.shape[-1]
+        in_prompt = c.pos + 1 < p_len
+
+        # finished beams contribute exactly one continuation: EOS at score 0
+        eos_only = jnp.full((bw, v), neg_inf).at[:, eos_id].set(0.0)
+        step_logp = jnp.where(c.done[:, None], eos_only, logp)
+        cand = c.scores[:, None] + step_logp                 # [B*W, V]
+        cand = cand.reshape(b, w * v)
+        top_scores, top_idx = lax.top_k(cand, w)             # [B, W]
+        src_beam = top_idx // v                              # within-item beam
+        new_tok = (top_idx % v).astype(jnp.int32)
+
+        # gather rows ([B, W] -> flat [B*W] source indices)
+        base = (jnp.arange(b) * w)[:, None]
+        src = (base + src_beam).reshape(-1)
+
+        def pick(x):
+            return x[src]
+
+        tokens = pick(c.tokens)
+        scores = top_scores.reshape(-1)
+        done = pick(c.done)
+        lengths = pick(c.lengths)
+        # reorder the POST-step cache (contains this step's new K/V)
+        cache = KVCache(cache.k[:, src], cache.v[:, src])
+
+        nxt = new_tok.reshape(-1)
+        # during the prompt, force the prompt token and keep scores at init
+        nxt = jnp.where(in_prompt, tokens[:, c.pos + 1], nxt)
+        scores = jnp.where(in_prompt, pick(c.scores), scores)
+        nxt = jnp.where(done, eos_id, nxt)
+        tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, c.pos + 1))
+
+        newly_done = jnp.logical_and(~in_prompt,
+                                     jnp.logical_and(~done, nxt == eos_id))
+        lengths = jnp.where(newly_done, c.pos + 2, lengths)
+        done = jnp.logical_or(done, newly_done)
+        return Carry(c.pos + 1, tokens, cache, scores, done, lengths)
+
+    final = lax.while_loop(
+        cond, body,
+        Carry(jnp.int32(0), tokens, cache, init_scores,
+              jnp.zeros((bw,), bool), jnp.full((bw,), max_len, jnp.int32)))
+
+    tokens = final.tokens.reshape(b, w, max_len)
+    lengths = final.lengths.reshape(b, w)
+    gen_len = jnp.maximum(lengths - p_len, 1)
+    norm_scores = final.scores.reshape(b, w) / gen_len      # length-normalized
+    order = jnp.argsort(-norm_scores, axis=1)
+    tokens = jnp.take_along_axis(tokens, order[:, :, None], 1)
+    lengths = jnp.take_along_axis(lengths, order, 1)
+    norm_scores = jnp.take_along_axis(norm_scores, order, 1)
+    return BeamResult(tokens, lengths, norm_scores)

@@ -1,0 +1,78 @@
+"""Beam search: width-1 equals greedy; scores ordered; EOS freezing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audax.core.config import WhisperConfig
+from audax.infer.beam import beam_search
+from audax.infer.decode import generate
+from audax.models.whisper import encode, init_whisper_params
+
+CFG = WhisperConfig(n_mels=16, n_audio_ctx=32, d_model=32, encoder_layers=1,
+                    decoder_layers=2, heads=2, vocab_size=90, n_text_ctx=32)
+
+
+@pytest.fixture(scope="module")
+def model(rng_factory=None):
+    params = init_whisper_params(CFG, jax.random.key(0))
+    return params
+
+
+def _enc(params, rng, b=2):
+    mel = jnp.asarray(rng.standard_normal((b, 64, 16)).astype(np.float32))
+    return encode(params, CFG, mel)
+
+
+def test_beam1_equals_greedy(model, rng):
+    enc = _enc(model, rng)
+    prompt = jnp.asarray([[1, 3], [1, 3]], jnp.int32)
+    greedy = generate(model, CFG, enc, prompt, max_len=20, eos_id=2)
+    beam = beam_search(model, CFG, enc, prompt, max_len=20, eos_id=2,
+                       beam_width=1)
+    np.testing.assert_array_equal(np.asarray(beam.tokens[:, 0]),
+                                  np.asarray(greedy.tokens))
+    np.testing.assert_array_equal(np.asarray(beam.lengths[:, 0]),
+                                  np.asarray(greedy.lengths))
+
+
+def test_beam_width_scores_sorted_and_distinct(model, rng):
+    enc = _enc(model, rng, b=1)
+    prompt = jnp.asarray([[1]], jnp.int32)
+    beam = beam_search(model, CFG, enc, prompt, max_len=16, eos_id=2,
+                       beam_width=4)
+    scores = np.asarray(beam.scores[0])
+    assert (np.diff(scores) <= 1e-6).all()          # best first
+    toks = np.asarray(beam.tokens[0])
+    # at least two distinct hypotheses among the 4 beams
+    assert len({tuple(row) for row in toks}) >= 2
+    # the best beam's score beats or equals the others by construction
+    assert scores[0] >= scores[-1]
+
+
+def test_beam_best_at_least_greedy(model, rng):
+    """Length-normalized best-beam score >= the greedy path's avg logprob
+    (beam explores a superset)."""
+    enc = _enc(model, rng, b=1)
+    prompt = jnp.asarray([[1]], jnp.int32)
+    greedy = generate(model, CFG, enc, prompt, max_len=16, eos_id=2)
+    beam = beam_search(model, CFG, enc, prompt, max_len=16, eos_id=2,
+                       beam_width=4)
+    greedy_avg = float(np.asarray(greedy.avg_logprob)[0])
+    assert float(np.asarray(beam.scores)[0, 0]) >= greedy_avg - 1e-4
+
+
+def test_beam_suppress(model, rng):
+    enc = _enc(model, rng, b=1)
+    prompt = jnp.asarray([[1]], jnp.int32)
+    free = beam_search(model, CFG, enc, prompt, max_len=16, eos_id=2,
+                       beam_width=2)
+    emitted = set(np.asarray(free.tokens[0, 0, 1:]).tolist()) - {0, 2}
+    if not emitted:
+        pytest.skip("nothing emitted to suppress")
+    banned = jnp.asarray(sorted(emitted), jnp.int32)
+    out = beam_search(model, CFG, enc, prompt, max_len=16, eos_id=2,
+                      beam_width=2, suppress=banned)
+    gen = np.asarray(out.tokens[0, :, 1:])
+    assert not set(gen.ravel().tolist()) & set(np.asarray(banned).tolist())

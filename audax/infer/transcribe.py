@@ -69,6 +69,32 @@ class TranscriptionResult:
         return self.wall_seconds / max(self.audio_seconds, 1e-9)
 
 
+def detect_language(params, cfg: WhisperConfig, tokenizer: WhisperTokenizer,
+                    enc, dtype=jnp.float32):
+    """Language id from one decode step after SOT (whisper's
+    detect_language): softmax restricted to the language tokens.
+
+    Returns (lang_code [B] list, probs [B, n_languages])."""
+    import jax
+    from audax.models.whisper import (decode_step, init_kv_cache,
+                                      precompute_cross_kv)
+    from audax.symbolic.tokenizer import WHISPER_LANGUAGES
+
+    b = enc.shape[0]
+    cross_kv = precompute_cross_kv(params, cfg, enc)
+    cache = init_kv_cache(cfg, b, 2, dtype)
+    sot = jnp.full((b,), tokenizer.sot, jnp.int32)
+    logits, _ = decode_step(params, cfg, sot, jnp.int32(0), cache, cross_kv,
+                            dtype)
+    lang_ids = jnp.arange(tokenizer.num_languages) + tokenizer.lang_token(
+        WHISPER_LANGUAGES[0])
+    lang_logits = logits[:, lang_ids]
+    probs = jax.nn.softmax(lang_logits.astype(jnp.float32), -1)
+    import numpy as np
+    best = np.asarray(jnp.argmax(probs, -1))
+    return [WHISPER_LANGUAGES[i] for i in best], probs
+
+
 class Transcriber:
     """Bundled frontend + Whisper params + tokenizer."""
 

@@ -144,6 +144,10 @@ class MelConfig(EnvConfig):
     norm_slaney: bool = False    # Slaney area-normalization of filters
     log_mode: str = "log1e6"     # "log1e6" | "whisper" | "log10"
     center: bool = True          # reflect-pad so frame t is centered at t*hop
+    #: MXU precision for the DFT/mel matmuls. "highest" = exact f32 (parity
+    #: grade); "high" = 3-pass bf16 (~1.4e-5 rel err, faster) for training
+    #: pipelines where the last decimal digits of the log-mel don't matter.
+    matmul_precision: str = "highest"
 
     @property
     def win(self) -> int:

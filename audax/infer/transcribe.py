@@ -98,11 +98,16 @@ def detect_language(params, cfg: WhisperConfig, tokenizer: WhisperTokenizer,
 class Transcriber:
     """Bundled frontend + Whisper params + tokenizer."""
 
+    #: previous-context buckets: lengths are truncated DOWN to one of these,
+    #: so conditioning costs at most len(buckets) compiled programs.
+    CONTEXT_BUCKETS = (16, 32, 64)
+
     def __init__(self, params, cfg: WhisperConfig,
                  tokenizer: WhisperTokenizer, *,
                  lang: str = "en", max_new_tokens: int = 224,
                  timestamps: bool = False,
                  temperature_fallback: bool = True,
+                 condition_on_previous: bool = False,
                  dtype=jnp.float32, backend: Optional[str] = None):
         self.params = params
         self.cfg = cfg
@@ -111,13 +116,21 @@ class Transcriber:
         self.max_new_tokens = max_new_tokens
         self.timestamps = timestamps
         self.temperature_fallback = temperature_fallback
+        self.condition_on_previous = condition_on_previous
         self.dtype = dtype
         self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
         self.chunk_samples = int(CHUNK_SECONDS * self.frontend.cfg.sample_rate)
 
-    def _prompt(self, n: int) -> np.ndarray:
-        seq = self.tokenizer.sot_sequence(lang=self.lang,
-                                          timestamps=self.timestamps)
+    def _prompt(self, n: int, prev: Optional[List[int]] = None) -> np.ndarray:
+        """SOT sequence, optionally preceded by <|startofprev|> + bucketed
+        previous-text tokens (whisper condition_on_previous_text)."""
+        tk = self.tokenizer
+        seq = tk.sot_sequence(lang=self.lang, timestamps=self.timestamps)
+        if prev:
+            bucket = max((b for b in self.CONTEXT_BUCKETS if b <= len(prev)),
+                         default=0)
+            if bucket:
+                seq = [tk.sot_prev] + prev[-bucket:] + seq
         return np.asarray([seq] * n, np.int32)
 
     def _decode_once(self, enc, prompt, temperature: float):
@@ -130,14 +143,15 @@ class Transcriber:
                         temperature=temperature, timestamps=rules,
                         dtype=self.dtype)
 
-    def _decode_chunk_batch(self, audio_chunks: np.ndarray
+    def _decode_chunk_batch(self, audio_chunks: np.ndarray,
+                            prev: Optional[List[int]] = None,
                             ) -> List[Tuple[List[int], float, float]]:
         """[N, chunk_samples] -> per chunk (token ids, avg_logprob, temp) with
         whisper's temperature-fallback ladder."""
         mel = self.frontend(jnp.asarray(audio_chunks))
         enc = encode(self.params, self.cfg, mel, self.dtype)
         n = len(audio_chunks)
-        prompt = self._prompt(n)
+        prompt = self._prompt(n, prev)
         p = prompt.shape[1]
         tk = self.tokenizer
 
@@ -182,11 +196,16 @@ class Transcriber:
                 pad_or_trim(jnp.asarray(chunk), self.chunk_samples)))
         tk = self.tokenizer
         segments: List[Segment] = []
-        for i in range(0, len(chunks), batch_chunks):
-            group = np.stack(chunks[i: i + batch_chunks])
-            for j, (ids, avg_lp, temp) in enumerate(
-                    self._decode_chunk_batch(group)):
-                offset = (i + j) * CHUNK_SECONDS
+        if self.condition_on_previous:
+            # sequential: each chunk's prompt carries the previous text
+            # (reset after a high-temperature fallback, whisper convention)
+            prev: List[int] = []
+            for i, chunk in enumerate(chunks):
+                ids, avg_lp, temp = self._decode_chunk_batch(
+                    chunk[None], prev=prev)[0]
+                prev = [] if temp > 0.5 else prev + [
+                    t for t in ids if not tk.is_timestamp(t)]
+                offset = i * CHUNK_SECONDS
                 if self.timestamps:
                     segments.extend(self._split_segments(ids, offset, avg_lp,
                                                          temp))
@@ -194,6 +213,19 @@ class Transcriber:
                     segments.append(Segment(tk.decode(ids), offset,
                                             offset + CHUNK_SECONDS, avg_lp,
                                             temp))
+        else:
+            for i in range(0, len(chunks), batch_chunks):
+                group = np.stack(chunks[i: i + batch_chunks])
+                for j, (ids, avg_lp, temp) in enumerate(
+                        self._decode_chunk_batch(group)):
+                    offset = (i + j) * CHUNK_SECONDS
+                    if self.timestamps:
+                        segments.extend(self._split_segments(ids, offset,
+                                                             avg_lp, temp))
+                    else:
+                        segments.append(Segment(tk.decode(ids), offset,
+                                                offset + CHUNK_SECONDS,
+                                                avg_lp, temp))
         wall = time.perf_counter() - t0
         return TranscriptionResult(
             text="".join(s.text for s in segments).strip(),

@@ -45,8 +45,9 @@ def _pad_to(n: int, m: int) -> int:
 
 
 # --------------------------------------------------------------- packed ----
-def _kernel_packed(frames_ref, dft_ref, fb2_ref, out_ref, *, log_mode: str):
-    hi = jax.lax.Precision.HIGHEST
+def _kernel_packed(frames_ref, dft_ref, fb2_ref, out_ref, *, log_mode: str,
+                   precision: str = "highest"):
+    hi = getattr(jax.lax.Precision, precision.upper())
     ri = jnp.dot(frames_ref[:], dft_ref[:],
                  preferred_element_type=jnp.float32, precision=hi)
     mel = jnp.dot(ri * ri, fb2_ref[:],
@@ -57,7 +58,8 @@ def _kernel_packed(frames_ref, dft_ref, fb2_ref, out_ref, *, log_mode: str):
         out_ref[:] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 
-@functools.partial(jax.jit, static_argnames=("log_mode", "tile_t", "interpret"))
+@functools.partial(jax.jit, static_argnames=("log_mode", "tile_t", "interpret",
+                                              "precision"))
 def fused_logmel_packed(
     frames: jax.Array,     # [N, n_fft]
     dft: jax.Array,        # [n_fft, 2F'] packed basis
@@ -66,6 +68,7 @@ def fused_logmel_packed(
     log_mode: str = "log1e6",
     tile_t: int = 256,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jax.Array:
     n, n_fft = frames.shape
     two_f = dft.shape[1]
@@ -80,7 +83,8 @@ def fused_logmel_packed(
     fb2 = jnp.pad(fb2, ((0, f_pad - two_f), (0, m_pad - m)))
 
     out = pl.pallas_call(
-        functools.partial(_kernel_packed, log_mode=log_mode),
+        functools.partial(_kernel_packed, log_mode=log_mode,
+                          precision=precision),
         grid=(n_pad // tile_t,),
         in_specs=[
             pl.BlockSpec((tile_t, fft_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -184,7 +188,8 @@ def log_mel_pallas(
     if cfg.power == 2.0:
         dft, fb2 = packed_frontend_constants(cfg)
         out = fused_logmel_packed(flat, jnp.asarray(dft), jnp.asarray(fb2),
-                                  log_mode=kernel_mode, interpret=interpret)
+                                  log_mode=kernel_mode, interpret=interpret,
+                                  precision=cfg.matmul_precision)
     else:
         cos_w, sin_w, fb = frontend_constants(cfg)
         out = fused_logmel_frames(flat, jnp.asarray(cos_w), jnp.asarray(sin_w),

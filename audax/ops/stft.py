@@ -74,9 +74,10 @@ def log_mel_xla(x: jax.Array, cfg: MelConfig, out_dtype=jnp.float32) -> jax.Arra
     cos_w, sin_w, fb = frontend_constants(cfg)
     cos_w, sin_w, fb = jnp.asarray(cos_w), jnp.asarray(sin_w), jnp.asarray(fb)
     frames = frame_signal(x.astype(jnp.float32), cfg)         # [..., T, n_fft]
-    # HIGHEST precision: on TPU, default f32 matmuls run as bf16 passes, which
-    # costs ~3 decimal digits — too coarse for log-domain parity (hard part #1).
-    hi = jax.lax.Precision.HIGHEST
+    # HIGHEST (default) = exact f32: on TPU, default-precision f32 matmuls
+    # run as bf16 passes, too coarse for log-domain parity (hard part #1).
+    # cfg.matmul_precision="high" opts into 3-pass bf16 for training speed.
+    hi = getattr(jax.lax.Precision, cfg.matmul_precision.upper())
     real = jnp.matmul(frames, cos_w, precision=hi)            # MXU
     imag = jnp.matmul(frames, sin_w, precision=hi)            # MXU
     power = real * real + imag * imag

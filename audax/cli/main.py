@@ -286,9 +286,11 @@ def cmd_finetune(argv) -> int:
     """Whisper fine-tune on wavs + transcripts with WER tracking
     (reference: AB/fineTune.py)."""
     p = argparse.ArgumentParser(prog="audax finetune")
-    p.add_argument("--audio-dir", required=True)
+    p.add_argument("--audio-dir", default="")
     p.add_argument("--transcript", default=None,
                    help="shared target text (the reference's magic-word mode)")
+    p.add_argument("--labels-csv", default=None,
+                   help="filename,labels CSV (the mididataset.csv contract)")
     p.add_argument("--size", default="tiny")
     p.add_argument("--ckpt", default="")
     p.add_argument("--tokenizer-dir", default="")
@@ -317,7 +319,8 @@ def cmd_finetune(argv) -> int:
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
     mel_cfg = MelConfig.whisper(cfg.n_mels)
     examples = build_speech_dataset(args.audio_dir, tok, mel_cfg,
-                                    transcript=args.transcript)
+                                    transcript=args.transcript,
+                                    labels_csv=args.labels_csv)
     if not examples:
         print("no training examples", file=sys.stderr)
         return 1

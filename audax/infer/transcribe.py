@@ -195,6 +195,13 @@ class Transcriber:
             chunks.append(np.asarray(
                 pad_or_trim(jnp.asarray(chunk), self.chunk_samples)))
         tk = self.tokenizer
+        if self.lang == "auto":
+            mel0 = self.frontend(jnp.asarray(chunks[0])[None])
+            enc0 = encode(self.params, self.cfg, mel0, self.dtype)
+            detected, _ = detect_language(self.params, self.cfg, tk, enc0,
+                                          self.dtype)
+            self.lang = detected[0]
+            log.info("detected language: %s", self.lang)
         segments: List[Segment] = []
         if self.condition_on_previous:
             # sequential: each chunk's prompt carries the previous text

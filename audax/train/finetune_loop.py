@@ -37,15 +37,33 @@ __all__ = ["build_speech_dataset", "finetune_whisper", "eval_wer"]
 def build_speech_dataset(
     audio_dir: str, tokenizer: WhisperTokenizer, mel_cfg: MelConfig,
     *, transcript: Optional[str] = None, lang: str = "en",
-    chunk_seconds: float = 30.0,
+    chunk_seconds: float = 30.0, labels_csv: Optional[str] = None,
 ) -> List[Dict]:
-    """Wavs (+ .txt sidecars, or one shared transcript string) -> examples
-    with mel features + label ids (reference dataset build AB/fineTune.py:66-95:
-    every memo shares the single target word)."""
+    """Wavs + transcripts -> examples with padded audio + label ids.
+
+    Transcript sources, in priority order (reference dataset builds):
+      * ``labels_csv`` — filename,labels CSV rows (the mididataset.csv
+        contract of AB/fineTuneMidi.py / synthDataset.py);
+      * ``transcript`` — one shared target string (AB/fineTune.py:66-95,
+        every memo shares the invented word);
+      * per-file ``.txt`` sidecars.
+    """
+    csv_labels: Dict[str, str] = {}
+    if labels_csv:
+        import csv as _csv
+        with open(labels_csv, newline="") as fh:
+            for row in _csv.DictReader(fh):
+                csv_labels[os.path.basename(row["filename"])] = row["labels"]
     frontend = LogMelFrontend(mel_cfg, whisper_frames=True)
     n_samples = int(chunk_seconds * mel_cfg.sample_rate)
     examples = []
-    for path in sorted(glob.glob(os.path.join(audio_dir, "*.wav"))):
+    paths = sorted(glob.glob(os.path.join(audio_dir, "*.wav"))) if audio_dir \
+        else []
+    if labels_csv and not paths:
+        import csv as _csv
+        with open(labels_csv, newline="") as fh:
+            paths = [row["filename"] for row in _csv.DictReader(fh)]
+    for path in paths:
         try:
             x, rate = read_wav(path)
             x = to_mono(x)
@@ -53,7 +71,10 @@ def build_speech_dataset(
                 x = resample(x, rate, mel_cfg.sample_rate)
             x = np.asarray(pad_or_trim(jnp.asarray(x), n_samples))
             sidecar = os.path.splitext(path)[0] + ".txt"
-            if transcript is not None:
+            base = os.path.basename(path)
+            if base in csv_labels:
+                text = csv_labels[base]
+            elif transcript is not None:
                 text = transcript
             elif os.path.exists(sidecar):
                 text = open(sidecar).read().strip()

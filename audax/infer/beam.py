@@ -75,9 +75,13 @@ def beam_search(
     def body(c: Carry):
         logits, cache = decode_step(params, cfg, c.tokens[:, c.pos], c.pos,
                                     c.cache, cross_kv, dtype)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        # suppress BEFORE log_softmax so remaining logprobs renormalize over
+        # the allowed vocabulary (matches decode.py's constrain ordering and
+        # whisper's SuppressTokens logit filter)
+        logits = logits.astype(jnp.float32)
         if suppress is not None and suppress.size:
-            logp = logp.at[:, suppress].set(neg_inf)
+            logits = logits.at[:, suppress].set(neg_inf)
+        logp = jax.nn.log_softmax(logits, -1)
         v = logp.shape[-1]
         in_prompt = c.pos + 1 < p_len
 

@@ -15,6 +15,8 @@ ApplyTimestampRules, active when ``timestamps`` info is passed):
   * the first generated token must be a timestamp;
   * timestamps come in pairs: after a lone timestamp the next token must be
     a timestamp (or EOT); after a timestamp pair the next must be text;
+  * the opening timestamp counts as a completed pair (openai-whisper treats
+    ``len(seq) < 2`` as penultimate-was-timestamp), so text follows it;
   * timestamps are monotonically non-decreasing.
 """
 
@@ -163,7 +165,10 @@ def generate(
     init = Carry(jnp.int32(0), tokens, cache,
                  jnp.zeros((b,), bool), jnp.full((b,), max_len, jnp.int32),
                  rng, jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.int32),
-                 jnp.zeros((b,), bool), jnp.zeros((b,), bool),
+                 # prevprev_ts starts True: openai-whisper's ApplyTimestampRules
+                 # treats len(seq) < 2 as penultimate-was-timestamp, so the
+                 # opening timestamp completes a "pair" and text must follow
+                 jnp.zeros((b,), bool), jnp.ones((b,), bool),
                  jnp.full((b,), ts0, jnp.int32))
     final = lax.while_loop(cond, body, init)
     return GenerateResult(final.tokens, final.lengths, final.sum_logprob,

@@ -121,11 +121,13 @@ class Transcriber:
         self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
         self.chunk_samples = int(CHUNK_SECONDS * self.frontend.cfg.sample_rate)
 
-    def _prompt(self, n: int, prev: Optional[List[int]] = None) -> np.ndarray:
+    def _prompt(self, n: int, prev: Optional[List[int]] = None,
+                lang: Optional[str] = None) -> np.ndarray:
         """SOT sequence, optionally preceded by <|startofprev|> + bucketed
         previous-text tokens (whisper condition_on_previous_text)."""
         tk = self.tokenizer
-        seq = tk.sot_sequence(lang=self.lang, timestamps=self.timestamps)
+        seq = tk.sot_sequence(lang=lang or self.lang,
+                              timestamps=self.timestamps)
         if prev:
             bucket = max((b for b in self.CONTEXT_BUCKETS if b <= len(prev)),
                          default=0)
@@ -145,13 +147,14 @@ class Transcriber:
 
     def _decode_chunk_batch(self, audio_chunks: np.ndarray,
                             prev: Optional[List[int]] = None,
+                            lang: Optional[str] = None,
                             ) -> List[Tuple[List[int], float, float]]:
         """[N, chunk_samples] -> per chunk (token ids, avg_logprob, temp) with
         whisper's temperature-fallback ladder."""
         mel = self.frontend(jnp.asarray(audio_chunks))
         enc = encode(self.params, self.cfg, mel, self.dtype)
         n = len(audio_chunks)
-        prompt = self._prompt(n, prev)
+        prompt = self._prompt(n, prev, lang)
         p = prompt.shape[1]
         tk = self.tokenizer
 
@@ -161,8 +164,13 @@ class Transcriber:
         for ti, temp in enumerate(ladder):
             if not pending:
                 break
-            sub_enc = enc[np.asarray(pending)]
-            out = self._decode_once(sub_enc, prompt[: len(pending)], temp)
+            # fixed batch slots: always decode n rows (unfinished chunks first,
+            # the rest duplicate padding) so len(pending) never leaks into XLA
+            # shapes — the whole ladder compiles at most len(ladder) programs
+            # per chunk-batch size instead of one per distinct pending count
+            idx = pending + [pending[0]] * (n - len(pending))
+            sub_enc = enc[np.asarray(idx)]
+            out = self._decode_once(sub_enc, prompt, temp)
             tokens = np.asarray(out.tokens)
             lengths = np.asarray(out.lengths)
             avg_lp = np.asarray(out.avg_logprob)
@@ -195,13 +203,16 @@ class Transcriber:
             chunks.append(np.asarray(
                 pad_or_trim(jnp.asarray(chunk), self.chunk_samples)))
         tk = self.tokenizer
-        if self.lang == "auto":
+        lang = self.lang
+        if lang == "auto":
+            # detection stays local to this call: a reused Transcriber (e.g.
+            # batch_transcribe_to_csv) must re-detect per file
             mel0 = self.frontend(jnp.asarray(chunks[0])[None])
             enc0 = encode(self.params, self.cfg, mel0, self.dtype)
             detected, _ = detect_language(self.params, self.cfg, tk, enc0,
                                           self.dtype)
-            self.lang = detected[0]
-            log.info("detected language: %s", self.lang)
+            lang = detected[0]
+            log.info("detected language: %s", lang)
         segments: List[Segment] = []
         if self.condition_on_previous:
             # sequential: each chunk's prompt carries the previous text
@@ -209,7 +220,7 @@ class Transcriber:
             prev: List[int] = []
             for i, chunk in enumerate(chunks):
                 ids, avg_lp, temp = self._decode_chunk_batch(
-                    chunk[None], prev=prev)[0]
+                    chunk[None], prev=prev, lang=lang)[0]
                 prev = [] if temp > 0.5 else prev + [
                     t for t in ids if not tk.is_timestamp(t)]
                 offset = i * CHUNK_SECONDS
@@ -221,10 +232,15 @@ class Transcriber:
                                             offset + CHUNK_SECONDS, avg_lp,
                                             temp))
         else:
-            for i in range(0, len(chunks), batch_chunks):
-                group = np.stack(chunks[i: i + batch_chunks])
+            # fixed group shape: a short last group is padded with duplicate
+            # chunks so every group compiles with one batch size
+            group_size = min(batch_chunks, len(chunks))
+            for i in range(0, len(chunks), group_size):
+                group = chunks[i: i + group_size]
+                n_valid = len(group)
+                group = np.stack(group + [group[-1]] * (group_size - n_valid))
                 for j, (ids, avg_lp, temp) in enumerate(
-                        self._decode_chunk_batch(group)):
+                        self._decode_chunk_batch(group, lang=lang)[:n_valid]):
                     offset = (i + j) * CHUNK_SECONDS
                     if self.timestamps:
                         segments.extend(self._split_segments(ids, offset,

@@ -42,6 +42,58 @@ def test_bf16_forward_and_decode(setup, rng):
     assert out.tokens.shape == (1, 10)
 
 
+def test_auto_lang_detects_per_call(setup, rng, monkeypatch):
+    """lang='auto' must re-detect for every transcribe() call — a reused
+    Transcriber (batch_transcribe_to_csv) must not inherit file 1's language."""
+    import audax.infer.transcribe as tr_mod
+    tok80 = WhisperTokenizer(train_bpe(["hola mundo"] * 3, vocab_size=280),
+                             timestamp_count=1501)
+    cfg80 = WhisperConfig(n_mels=80, n_audio_ctx=1500, d_model=32,
+                          encoder_layers=1, decoder_layers=1, heads=2,
+                          vocab_size=tok80.vocab_size, n_text_ctx=48)
+    params80 = init_whisper_params(cfg80, jax.random.key(1))
+    tr = tr_mod.Transcriber(params80, cfg80, tok80, lang="auto",
+                            max_new_tokens=8, temperature_fallback=False,
+                            backend="xla")
+    calls = []
+    real = tr_mod.detect_language
+
+    def counting(*a, **k):
+        out = real(*a, **k)
+        calls.append(out[0][0])
+        return out
+
+    monkeypatch.setattr(tr_mod, "detect_language", counting)
+    for seed in (0, 1):
+        audio = (0.05 * np.random.default_rng(seed)
+                 .standard_normal(16000 * 2)).astype(np.float32)
+        tr.transcribe(audio)
+    assert len(calls) == 2, "detection must run once per transcribe() call"
+    assert tr.lang == "auto", "transcribe() must not mutate Transcriber.lang"
+
+
+def test_fallback_ladder_compiles_bounded(setup, rng):
+    """The temperature-fallback ladder pads to fixed batch slots, so decoding
+    compiles at most len(ladder) generate() programs per chunk-batch size —
+    never one per distinct pending-count."""
+    from audax.infer.transcribe import FALLBACK_TEMPERATURES, Transcriber
+
+    tok80 = WhisperTokenizer(train_bpe(["hello world"] * 3, vocab_size=280),
+                             timestamp_count=1501)
+    cfg80 = WhisperConfig(n_mels=80, n_audio_ctx=1500, d_model=32,
+                          encoder_layers=1, decoder_layers=1, heads=2,
+                          vocab_size=tok80.vocab_size, n_text_ctx=48)
+    params80 = init_whisper_params(cfg80, jax.random.key(2))
+    tr = Transcriber(params80, cfg80, tok80, max_new_tokens=8, backend="xla")
+    # 3 chunks of 30 s: one group of 3; a random model trips the fallback on
+    # different subsets per temperature, exercising the padded-slot path
+    audio = (0.05 * rng.standard_normal(16000 * 75)).astype(np.float32)
+    before = generate._cache_size()
+    tr.transcribe(audio)
+    grown = generate._cache_size() - before
+    assert grown <= len(FALLBACK_TEMPERATURES), grown
+
+
 def test_detect_language(setup, rng):
     params, cfg, tok = setup
     mel = jnp.asarray(rng.standard_normal((3, 64, 16)).astype(np.float32))

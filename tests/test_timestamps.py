@@ -46,9 +46,11 @@ def test_timestamp_structure(setup, rng, temperature, seed):
     # first generated token is a timestamp
     assert tok.is_timestamp(ids[0])
     # pairs: a lone timestamp is followed by a timestamp (except stream end)
-    # and timestamps never decrease
+    # and timestamps never decrease. prevprev starts True: the opening
+    # timestamp counts as a completed pair (upstream len(seq)<2 rule), so
+    # TEXT must follow it — a doubled timestamp at segment start is a bug.
     last_ts = -1
-    prev_is_ts, prevprev_is_ts = False, False
+    prev_is_ts, prevprev_is_ts = False, True
     for t in ids:
         if tok.is_timestamp(t):
             assert t >= last_ts
@@ -56,7 +58,8 @@ def test_timestamp_structure(setup, rng, temperature, seed):
             assert not (prev_is_ts and prevprev_is_ts), \
                 "timestamp after a completed pair"
         else:
-            assert not (prev_is_ts and not prevprev_is_ts) or True
+            assert not (prev_is_ts and not prevprev_is_ts), \
+                "text after a lone (non-opening) timestamp"
         prevprev_is_ts, prev_is_ts = prev_is_ts, tok.is_timestamp(t)
 
 

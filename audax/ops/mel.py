@@ -25,6 +25,7 @@ from audax.core.config import MelConfig
 __all__ = [
     "hz_to_mel", "mel_to_hz", "mel_filterbank", "hann_window",
     "dft_matrices", "frontend_constants", "packed_frontend_constants",
+    "overlap_frontend_constants",
 ]
 
 
@@ -160,6 +161,58 @@ def packed_frontend_constants(cfg: MelConfig, dtype=np.float32):
     fb2[half] = fb[half]                  # Nyquist power
     fb2[half + 1:] = fb[1:half]           # imag^2 of k=1..F-2
     return dft.astype(dtype), fb2.astype(dtype)
+
+
+def overlap_frontend_constants(cfg: MelConfig, lane: int = 128,
+                               dtype=np.float32):
+    """Constants for the overlap-reuse kernel: ``(dftc, dfts, tw, fb)``.
+
+    The overlap-reuse STFT exploits ``hop | n_fft``: each hop-sized signal
+    block is zoom-DFT'd ONCE (``Z_b[k] = sum_n x[bg+n] e^{-2pi i kn/N}``),
+    and frame ``t``'s unwindowed spectrum is recombined from its ``NB =
+    n_fft/hop`` blocks with twiddles that depend only on ``jk mod NB``::
+
+        X_t[k] = sum_{j<NB} e^{-2pi i jk/NB} Z_{t+j}[k]
+
+    The periodic Hann window then becomes an EXACT 3-tap spectral
+    convolution (its DFT has support {-1, 0, 1}):
+    ``W_t[k] = 0.5 X_t[k] - 0.25 (X_t[k-1] + X_t[k+1])`` with conjugate-
+    symmetric edges. Net effect: per frame, the DFT matmul work drops from
+    ``2*n_fft*(n_fft+2)`` to ``2*hop*(n_fft+2)`` FLOPs (NB-fold), and the
+    raw signal is read once instead of NB times (the old framing gather
+    duplicated every sample NB-fold in HBM).
+
+    Returns lane-padded arrays: dftc/dfts ``[hop, FP]`` (zoom-DFT bases),
+    tw ``[2*NB, FP]`` (cos rows then -sin rows), fb ``[FP, MP]`` (mel
+    filterbank on the padded bins), with ``FP = pad(n_freqs, lane)`` and
+    ``MP = pad(n_mels, lane)``.
+    """
+    assert cfg.n_fft % cfg.hop_length == 0 and cfg.win == cfg.n_fft
+    g, f = cfg.hop_length, cfg.n_freqs
+    nb = cfg.n_fft // g
+    fp = ((f + lane - 1) // lane) * lane
+    mp = ((cfg.n_mels + lane - 1) // lane) * lane
+
+    n = np.arange(g, dtype=np.float64)[:, None]
+    k = np.arange(f, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / cfg.n_fft
+    dftc = np.zeros((g, fp), dtype=np.float64)
+    dfts = np.zeros((g, fp), dtype=np.float64)
+    dftc[:, :f] = np.cos(ang)
+    dfts[:, :f] = -np.sin(ang)
+
+    j = np.arange(nb, dtype=np.float64)[:, None]
+    angj = 2.0 * np.pi * j * k / nb
+    tw = np.zeros((2 * nb, fp), dtype=np.float64)
+    tw[:nb, :f] = np.cos(angj)
+    tw[nb:, :f] = -np.sin(angj)
+
+    fb = np.zeros((fp, mp), dtype=np.float64)
+    fb[:f, : cfg.n_mels] = mel_filterbank(
+        f, cfg.n_mels, cfg.sample_rate, cfg.fmin, cfg.fmax,
+        htk=cfg.htk, norm_slaney=cfg.norm_slaney, dtype=np.float64)
+    return (dftc.astype(dtype), dfts.astype(dtype), tw.astype(dtype),
+            fb.astype(dtype))
 
 
 def frontend_constants(cfg: MelConfig, dtype=np.float32):

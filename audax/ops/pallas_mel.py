@@ -19,6 +19,14 @@ matmul is [1024, 1024] lane-exact, ~20% fewer MXU passes than the naive
 because fb2 routes real^2 and imag^2 columns of the same bin to the same
 mel rows.
 
+When hop divides n_fft (hop << n_fft is exactly when framing is wasteful),
+the OVERLAP-REUSE kernel goes NB = n_fft/hop times further: each hop-block
+of raw signal is zoom-DFT'd once, frames are recombined with NB-periodic
+twiddles, and the periodic-Hann window is applied as an exact 3-tap
+spectral convolution (math in ops/mel.py:overlap_frontend_constants). Per
+frame the DFT matmul shrinks NB-fold and the signal is read once instead
+of NB times. All at f32 HIGHEST — bit-comparable to the direct oracle.
+
 The generic (power != 2) path keeps the explicit real/imag kernel.
 """
 
@@ -32,16 +40,148 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from audax.core.config import MelConfig
-from audax.ops.mel import frontend_constants, packed_frontend_constants
+from audax.ops.mel import (frontend_constants, overlap_frontend_constants,
+                           packed_frontend_constants)
 from audax.ops.stft import frame_signal
 
-__all__ = ["log_mel_pallas", "fused_logmel_frames", "fused_logmel_packed"]
+__all__ = ["log_mel_pallas", "fused_logmel_frames", "fused_logmel_packed",
+           "log_mel_overlap", "overlap_applicable"]
 
 _LANE = 128
 
 
 def _pad_to(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+# -------------------------------------------------------------- overlap ----
+def overlap_applicable(cfg: MelConfig) -> bool:
+    """The overlap-reuse kernel needs: power spectrogram, full-width periodic
+    Hann window, hop dividing n_fft (block decomposition), and lane-aligned
+    hop (so signal blocks are a pure reshape)."""
+    return (cfg.power == 2.0 and cfg.win == cfg.n_fft
+            and cfg.n_fft % cfg.hop_length == 0
+            and cfg.hop_length % _LANE == 0)
+
+
+def _kernel_overlap(sig_ref, dftc_ref, dfts_ref, tw_ref, fb_ref, out_ref, *,
+                    nb: int, n_freqs: int, log_mode: str):
+    """One (clip, frame-tile) program: zoom-DFT the tile's hop-blocks (MXU),
+    recombine frames via NB twiddle-shifted accumulations (VPU), apply the
+    periodic-Hann 3-tap spectral conv, square, mel-project (MXU), log."""
+    hi = jax.lax.Precision.HIGHEST
+    sig = sig_ref[0]                                     # [rows+halo, G]
+    zr = jnp.dot(sig, dftc_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)                           # [rows+halo, FP]
+    zi = jnp.dot(sig, dfts_ref[:], preferred_element_type=jnp.float32,
+                 precision=hi)
+    rows, fp = out_ref.shape[1], zr.shape[1]
+    xr = jnp.zeros((rows, fp), jnp.float32)
+    xi = jnp.zeros((rows, fp), jnp.float32)
+    for j in range(nb):
+        c = tw_ref[j, :][None, :]
+        s = tw_ref[nb + j, :][None, :]
+        zrj = zr[j:j + rows]
+        zij = zi[j:j + rows]
+        xr = xr + c * zrj - s * zij
+        xi = xi + c * zij + s * zrj
+    # periodic hann == exact spectral 3-tap: 0.5 X_k - 0.25 (X_{k-1}+X_{k+1})
+    # with conjugate-symmetric edges X_{-1} = conj(X_1), X_F = conj(X_{F-2})
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, fp), 1)
+    rp_r = pltpu.roll(xr, 1, 1)
+    rm_r = pltpu.roll(xr, fp - 1, 1)
+    rp_i = pltpu.roll(xi, 1, 1)
+    rm_i = pltpu.roll(xi, fp - 1, 1)
+    left_r = jnp.where(lane == 0, rm_r, rp_r)
+    left_i = jnp.where(lane == 0, -rm_i, rp_i)
+    right_r = jnp.where(lane == n_freqs - 1, rp_r, rm_r)
+    right_i = jnp.where(lane == n_freqs - 1, -rp_i, rm_i)
+    wr = 0.5 * xr - 0.25 * (left_r + right_r)
+    wi = 0.5 * xi - 0.25 * (left_i + right_i)
+    p = wr * wr + wi * wi
+    p = jnp.where(lane < n_freqs, p, 0.0)
+    mel = jnp.dot(p, fb_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
+    if log_mode == "log1e6":
+        out_ref[0] = jnp.log(mel + 1e-6)
+    else:
+        out_ref[0] = jnp.log10(jnp.maximum(mel, 1e-10))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile_t", "interpret"))
+def log_mel_overlap(
+    x: jax.Array,            # [..., n_samples]
+    cfg: MelConfig,
+    *,
+    tile_t: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Overlap-reuse fused log-mel: [..., n_samples] -> [..., T, n_mels].
+
+    Numerically EXACT vs the direct windowed-DFT oracle (f32 HIGHEST
+    throughout); ~NB-fold less MXU work and no NB-fold HBM framing
+    duplication (docstring math in ops/mel.py:overlap_frontend_constants).
+    Replaces the reference's per-clip torchaudio MelSpectrogram hot loop
+    (reference: .charles/spectrogram.py:136-175).
+    """
+    g, nb = cfg.hop_length, cfg.n_fft // cfg.hop_length
+    halo = _pad_to(nb - 1, 8)
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    b = 1
+    for d in lead:
+        b *= d
+    x = x.reshape(b, n).astype(jnp.float32)
+
+    dftc, dfts, tw, fb = [jnp.asarray(a)
+                          for a in overlap_frontend_constants(cfg, _LANE)]
+    fp, mp = fb.shape
+
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        t_true = n // g + 1
+    else:
+        t_true = max(0, (n - cfg.n_fft) // g + 1)
+    rows = min(tile_t, _pad_to(max(t_true, 8), 8))
+    n_tiles = -(-t_true // rows)
+    need = n_tiles * rows + halo                        # Z rows to cover
+    x = jnp.pad(x, ((0, 0), (0, need * g - x.shape[1])))
+    blocks = x.reshape(b, need, g)
+    # halo rows are duplicated per tile host-side in XLA: a halo/rows (~2%)
+    # HBM overhead, which buys clean non-overlapping BlockSpecs
+    tiles = [blocks[:, i * rows: i * rows + rows + halo]
+             for i in range(n_tiles)]
+    sig_tiles = jnp.stack(tiles, 1).reshape(b * n_tiles, rows + halo, g)
+
+    kernel_mode = "log1e6" if cfg.log_mode == "log1e6" else "log10"
+    out = pl.pallas_call(
+        functools.partial(_kernel_overlap, nb=nb, n_freqs=cfg.n_freqs,
+                          log_mode=kernel_mode),
+        grid=(b * n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, rows + halo, g), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * nb, fp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fp, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows, mp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * n_tiles, rows, mp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=b * n_tiles * (2 * (rows + halo) * g * fp * 2
+                                 + 2 * rows * fp * mp),
+            bytes_accessed=4 * b * n_tiles * ((rows + halo) * g + rows * mp),
+            transcendentals=b * n_tiles * rows * mp,
+        ),
+        interpret=interpret,
+    )(sig_tiles, dftc, dfts, tw, fb)
+    out = (out.reshape(b, n_tiles, rows, mp)
+              .reshape(b, n_tiles * rows, mp)[:, :t_true, : cfg.n_mels])
+    return out.reshape(lead + (t_true, cfg.n_mels))
 
 
 # --------------------------------------------------------------- packed ----
@@ -175,11 +315,19 @@ def log_mel_pallas(
     """Fused-Pallas log-mel: [..., n_samples] -> [..., T, n_mels].
 
     Numerically matched against ops/stft.py:log_mel_xla and the numpy oracle
-    (tests/test_frontend.py). Framing stays in XLA (a single static gather
-    that fuses into the HBM layout); everything downstream is one fused
-    kernel. power==2 configs (all in-tree presets) take the packed
-    zero-waste layout.
+    (tests/test_frontend.py). Three tiers, picked per config:
+      1. overlap-reuse kernel (hop | n_fft, lane-aligned hop, power 2,
+         full-width hann): NB-fold less DFT work, signal read once —
+         the fastest path and the one the bench exercises;
+      2. packed zero-waste direct kernel (any power==2 config);
+      3. generic real/imag kernel (power != 2).
     """
+    if overlap_applicable(cfg):
+        mel = log_mel_overlap(x, cfg, interpret=interpret)
+        if cfg.log_mode == "whisper":
+            gmax = jnp.max(mel, axis=(-2, -1), keepdims=True)
+            mel = (jnp.maximum(mel, gmax - 8.0) + 4.0) / 4.0
+        return mel.astype(out_dtype)
     frames = frame_signal(x.astype(jnp.float32), cfg)          # [..., T, n_fft]
     lead = frames.shape[:-2]
     t = frames.shape[-2]

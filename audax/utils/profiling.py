@@ -5,7 +5,9 @@ static reports only). Here: ``trace()`` wraps ``jax.profiler`` (view in
 TensorBoard / xprof), and ``time_fn`` measures steady-state step time with
 correct device synchronization — on tunneled TPU backends
 ``block_until_ready`` does not block, so timing dispatches N calls and
-forces one host fetch.
+forces completion through a host fetch. The fetch is a jitted 4-byte
+checksum that depends on the result: fetching the full output would time
+the tunnel's transfer rate (~35 MB/s), not the device.
 """
 
 from __future__ import annotations
@@ -30,10 +32,18 @@ def trace(logdir: str = "artifacts/trace"):
         jax.profiler.stop_trace()
 
 
+@jax.jit
+def _checksum(x):
+    import jax.numpy as jnp
+    return jnp.sum(x.ravel()[::257].astype(jnp.float32))
+
+
 def _sync(result: Any) -> None:
+    """Force completion of ``result``'s dispatch chain by fetching a scalar
+    reduction of it (full-array fetches over the axon tunnel cost seconds)."""
     leaves = jax.tree.leaves(result)
     if leaves:
-        np.asarray(leaves[0]).ravel()[:1]
+        np.asarray(_checksum(leaves[0]))
 
 
 def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 2,

@@ -6,8 +6,14 @@ CPU-reference mel-frontend throughput").
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Timing note: on the tunneled "axon" TPU platform block_until_ready() does not
-synchronize; we dispatch N iterations then force one host fetch.
+Timing note: on the tunneled "axon" TPU platform block_until_ready() does
+not synchronize, so completion must be observed through a host fetch. A
+full-array fetch would measure the tunnel's ~35 MB/s transfer rate, not the
+chip (the produced features stay on device in production — they feed the
+model). We therefore synchronize through a jitted 4-byte checksum that
+*depends* on the result: fetching it forces the whole dispatch chain to
+complete while transferring one scalar. Output parity vs the XLA oracle is
+asserted before timing so the number provably computes the right thing.
 """
 
 from __future__ import annotations
@@ -19,14 +25,15 @@ import time
 import numpy as np
 
 
-def _time_tpu(fn, x, iters: int) -> float:
-    import jax
-    r = fn(x)
-    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]  # warm up + sync
+def _time_tpu(fn, checksum, x, iters: int) -> float:
+    """Best-effort device time per call: dispatch ``iters`` dependent-free
+    calls, then force completion via a scalar checksum fetch."""
+    np.asarray(checksum(fn(x)))               # warm up both programs + sync
     t0 = time.perf_counter()
+    r = None
     for _ in range(iters):
         r = fn(x)
-    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]  # fetch forces completion
+    np.asarray(checksum(r))                   # 4-byte dependency-forcing fetch
     return (time.perf_counter() - t0) / iters
 
 
@@ -83,10 +90,20 @@ def main() -> None:
     x = jnp.asarray(rng.standard_normal((batch, n_samples)).astype(np.float32))
     frames = batch * cfg.frames_for(n_samples)
 
-    # best of 3 rounds per path (the tunneled device shows heavy run-to-run
-    # variance); both paths are ours — report the better program
-    dt = min(_time_tpu(lambda a, f=f: f(a, cfg), x, iters=20)
-             for f in fns for _ in range(3))
+    @jax.jit
+    def checksum(r):
+        return jnp.sum(r.ravel()[::257].astype(jnp.float32))
+
+    # parity gate: the timed kernel must match the direct-DFT oracle
+    oracle = np.asarray(log_mel_xla(x[:4], cfg))
+    for f in fns:
+        err = float(np.abs(np.asarray(f(x[:4], cfg)) - oracle).max())
+        assert err < 2e-3, (f.__name__, err)
+
+    # best of 5 rounds per path (the tunneled device is multi-tenant with
+    # heavy run-to-run variance); both paths are ours — report the better
+    dt = min(_time_tpu(lambda a, f=f: f(a, cfg), checksum, x, iters=30)
+             for f in fns for _ in range(5))
     tpu_fps = frames / dt
 
     cpu_fps = cpu_reference_frames_per_sec(cfg)

@@ -50,6 +50,58 @@ def test_pallas_interpret_matches_xla(name, rng):
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=0)
 
 
+class TestOverlapKernel:
+    """Overlap-reuse kernel (zoom-DFT blocks + twiddle recombination +
+    spectral hann): must be numerically exact vs the direct-DFT oracle."""
+
+    def test_applicability(self):
+        from audax.ops.pallas_mel import overlap_applicable
+        assert overlap_applicable(CFGS["urbansound_v2"])   # hop 128 | 1024
+        assert overlap_applicable(CFGS["urbansound_v1"])   # hop 512 | 1024
+        assert not overlap_applicable(CFGS["whisper80"])   # 160 does not | 400
+
+    @pytest.mark.parametrize("name", ["urbansound_v2", "urbansound_v1"])
+    def test_matches_oracle(self, name, rng):
+        from audax.ops.pallas_mel import log_mel_overlap
+        cfg = CFGS[name]
+        x = _signal(rng, n=64000)
+        ref = log_mel_oracle(x, cfg)
+        out = np.asarray(log_mel_overlap(jnp.asarray(x), cfg, interpret=True))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=0)
+
+    def test_odd_length_batch_multitile(self, rng):
+        from audax.ops.pallas_mel import log_mel_overlap
+        cfg = CFGS["urbansound_v2"]
+        # odd length, batch rank, >1 frame tile per clip (T=782 > 512)
+        x = np.stack([_signal(rng, 100001) for _ in range(2)])
+        out = np.asarray(log_mel_overlap(jnp.asarray(x), cfg, interpret=True))
+        assert out.shape == (2, cfg.frames_for(100001), cfg.n_mels)
+        ref = log_mel_oracle(x[1], cfg)
+        np.testing.assert_allclose(out[1], ref, atol=2e-4, rtol=0)
+
+    def test_center_false_and_silence(self, rng):
+        from audax.ops.pallas_mel import log_mel_overlap
+        import dataclasses
+        cfg = dataclasses.replace(CFGS["urbansound_v2"], center=False)
+        x = _signal(rng, 32000)
+        out = np.asarray(log_mel_overlap(jnp.asarray(x), cfg, interpret=True))
+        ref = log_mel_oracle(x, cfg)
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=0)
+        silent = np.asarray(log_mel_overlap(
+            jnp.zeros(16000), CFGS["urbansound_v2"], interpret=True))
+        assert np.isfinite(silent).all()                  # log floor holds
+
+    def test_routed_from_log_mel_pallas(self, rng):
+        # log_mel_pallas must route urbansound configs through the overlap
+        # kernel and still match the XLA twin exactly
+        cfg = CFGS["urbansound_v2"]
+        x = _signal(rng, 48000)
+        a = np.asarray(log_mel_xla(jnp.asarray(x), cfg))
+        b = np.asarray(log_mel_pallas(jnp.asarray(x), cfg, interpret=True))
+        np.testing.assert_allclose(a, b, atol=2e-4, rtol=0)
+
+
 def test_batched_and_shapes(rng):
     cfg = CFGS["urbansound_v2"]
     x = np.stack([_signal(rng, 64000) for _ in range(3)])

@@ -32,7 +32,8 @@ class BeamResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_len", "eos_id", "beam_width", "dtype"))
+    static_argnames=("cfg", "max_len", "eos_id", "beam_width", "dtype",
+                     "mesh"))
 def beam_search(
     params,
     cfg: WhisperConfig,
@@ -44,6 +45,7 @@ def beam_search(
     beam_width: int = 5,
     suppress: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
+    mesh=None,                    # jax.sharding.Mesh with a 'model' axis
 ) -> BeamResult:
     b, p_len = prompt.shape
     w = beam_width
@@ -54,6 +56,16 @@ def beam_search(
     enc_rep = jnp.repeat(enc, w, axis=0)
     cross_kv = precompute_cross_kv(params, cfg, enc_rep)
     cache = init_kv_cache(cfg, bw, max_len, dtype)
+    if mesh is not None:
+        # TP: shard all KV over heads on 'model' (see decode.py:generate)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        model_ok = cfg.heads % mesh.shape.get("model", 1) == 0
+        spec = P(None, None, "model" if model_ok else None, None, None)
+        heads_sharded = NamedSharding(mesh, spec)
+        constrain = functools.partial(jax.lax.with_sharding_constraint,
+                                      shardings=heads_sharded)
+        cross_kv = jax.tree.map(constrain, cross_kv)
+        cache = jax.tree.map(constrain, cache)
     tokens = jnp.zeros((bw, max_len), jnp.int32)
     tokens = lax.dynamic_update_slice(tokens, jnp.repeat(prompt, w, 0), (0, 0))
 

@@ -55,7 +55,7 @@ class GenerateResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_len", "eos_id", "temperature", "dtype",
-                     "timestamps"))
+                     "timestamps", "mesh"))
 def generate(
     params,
     cfg: WhisperConfig,
@@ -69,13 +69,33 @@ def generate(
     suppress: Optional[jnp.ndarray] = None,   # [K] token ids never emitted
     timestamps: Optional[TimestampRules] = None,
     dtype=jnp.float32,
+    mesh=None,                     # jax.sharding.Mesh with a 'model' axis
 ) -> GenerateResult:
     """Decode until EOS or ``max_len``. The prompt is teacher-forced through
     the same cached step (cheap: P is tiny), then generation proceeds
-    greedily or by temperature sampling."""
+    greedily or by temperature sampling.
+
+    With ``mesh`` set (tensor parallelism), the self- and cross-attention KV
+    caches are sharding-constrained over heads on the 'model' axis, matching
+    the Megatron-style column/row split of the attention projections
+    (parallel/sharding.py:WHISPER_TP_RULES) — the whole while_loop then runs
+    head-parallel with one all-reduce per layer, so generation scales with
+    the mesh instead of running replicated."""
     b, p_len = prompt.shape
     cross_kv = precompute_cross_kv(params, cfg, enc)
     cache = init_kv_cache(cfg, b, max_len, dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        model_ok = cfg.heads % mesh.shape.get("model", 1) == 0
+        data_ok = b % mesh.shape.get("data", 1) == 0
+        spec = P(None, "data" if data_ok else None,
+                 "model" if model_ok else None, None, None)
+        heads_sharded = NamedSharding(mesh, spec)
+        cross_kv = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, heads_sharded),
+            cross_kv)
+        cache = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, heads_sharded), cache)
     tokens = jnp.zeros((b, max_len), jnp.int32)
     tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
     rng = rng if rng is not None else jax.random.key(0)

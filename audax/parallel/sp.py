@@ -2,13 +2,21 @@
 
 The reference handled long audio by chunking at data-prep time (SURVEY.md §5
 long-context); sequence-axis sharding is a new capability. Design: activations
-are sharded over a ``seq`` mesh axis along the frame dimension; per layer,
-each device computes its local queries and all-gathers K/V over the ICI ring
-(exact bidirectional attention, Ulysses-style comms = one all-gather per
-layer). LayerNorm/MLP/projections are position-local, so no other
-communication exists. Convs + positional offsets run before sharding.
+are sharded over a ``seq`` mesh axis along the frame dimension; LayerNorm/MLP/
+projections are position-local; only attention communicates. Two attention
+schedules:
 
-This is exact (tested equal to the plain encoder) and composes with the
+  * ``ring=True`` (default): RING attention — K/V blocks circulate the ICI
+    ring via ``ppermute`` while each device folds every block into a running
+    online-softmax accumulator (max, normalizer, weighted sum). Per-device
+    live K/V is 2 blocks regardless of sequence length, so KV beyond one
+    device's VMEM/HBM is fine; comms and compute overlap step by step.
+  * ``ring=False``: Ulysses-style one ``all_gather`` of K/V per layer —
+    fewer, larger collectives, but materializes the FULL K/V per device
+    (only sensible while that fits).
+
+Both are exact bidirectional attention (tested equal to the plain encoder;
+online softmax is algebraically the same sum) and compose with the
 (data, model) axes: the dryrun mesh is (data, model, seq).
 """
 
@@ -48,14 +56,57 @@ def _conv_frontend(params, cfg: WhisperConfig, mel: jnp.ndarray,
     return x + p["pos"].astype(dtype)[None, : x.shape[1]]
 
 
+def _ring_attention(q, k, v, *, seq_axis: str, n_seq: int, dtype):
+    """Exact bidirectional attention with K/V circulating the ring.
+
+    q/k/v [B, H, Sl, hd] (local blocks). Online-softmax accumulation: carry
+    (o unnormalized output, m running max, l running normalizer); each of
+    the n_seq steps folds in the currently-held K/V block, then ppermutes
+    the block to the next device. Live K/V per device stays O(Sl) however
+    long the full sequence is.
+    """
+    scale = q.shape[-1] ** -0.5
+    qs = (q * scale).astype(jnp.float32)
+    perm = [(i, (i + 1) % n_seq) for i in range(n_seq)]
+    # fresh carries are replicated-typed; mark them varying over the same
+    # manual axes as q so the fori_loop carry type matches its outputs
+    axes = tuple(sorted(jax.typeof(q).vma)) if hasattr(jax, "typeof") \
+        else (seq_axis,)
+
+    def _vary(x):
+        return lax.pcast(x, axes, to="varying")
+    o0 = _vary(jnp.zeros(q.shape, jnp.float32))
+    m0 = _vary(jnp.full(q.shape[:3] + (1,), -jnp.inf, jnp.float32))
+    l0 = _vary(jnp.zeros(q.shape[:3] + (1,), jnp.float32))
+
+    def step(i, carry):
+        o, m, l, kc, vc = carry
+        s = jnp.einsum("bhqd,bhkd->bhqk", qs, kc.astype(jnp.float32))
+        new_m = jnp.maximum(m, s.max(-1, keepdims=True))
+        corr = jnp.exp(m - new_m)
+        pexp = jnp.exp(s - new_m)
+        l = l * corr + pexp.sum(-1, keepdims=True)
+        o = o * corr + jnp.einsum("bhqk,bhkd->bhqd", pexp,
+                                  vc.astype(jnp.float32))
+        kc = lax.ppermute(kc, seq_axis, perm)
+        vc = lax.ppermute(vc, seq_axis, perm)
+        return o, new_m, l, kc, vc
+
+    o, _, l, _, _ = lax.fori_loop(0, n_seq, step, (o0, m0, l0, k, v))
+    return (o / l).astype(dtype)
+
+
 def encode_sequence_parallel(
     params, cfg: WhisperConfig, mel: jnp.ndarray, mesh: Mesh,
     *, seq_axis: str = "seq", data_axis: str = "data", dtype=jnp.float32,
+    ring: bool = True,
 ) -> jnp.ndarray:
     """mel [B, T_frames, n_mels] -> encoder states, with the frame axis
     sharded over ``seq_axis`` inside the transformer stack.
 
-    Requires (T_frames // 2) divisible by the seq-axis size.
+    ``ring=True`` uses ppermute ring attention (per-device KV stays one
+    block); ``ring=False`` all-gathers full K/V per layer. Requires
+    (T_frames // 2) divisible by the seq-axis size.
     """
     x = _conv_frontend(params, cfg, mel, dtype)      # [B, S, d]
     s = x.shape[1]
@@ -74,13 +125,18 @@ def encode_sequence_parallel(
             q = _split_heads(dense(layer["attn"]["q"], h), cfg.heads)
             k = _split_heads(dense(layer["attn"]["k"], h), cfg.heads)
             v = _split_heads(dense(layer["attn"]["v"], h), cfg.heads)
-            # exact bidirectional attention: gather K/V across the ring
-            k_all = lax.all_gather(k, seq_axis, axis=2, tiled=True)
-            v_all = lax.all_gather(v, seq_axis, axis=2, tiled=True)
-            scale = q.shape[-1] ** -0.5
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k_all)
-            probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(x.dtype)
-            attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
+            if ring and n_seq > 1:
+                attn = _ring_attention(q, k, v, seq_axis=seq_axis,
+                                       n_seq=n_seq, dtype=x.dtype)
+            else:
+                # Ulysses-style: gather full K/V across the ring
+                k_all = lax.all_gather(k, seq_axis, axis=2, tiled=True)
+                v_all = lax.all_gather(v, seq_axis, axis=2, tiled=True)
+                scale = q.shape[-1] ** -0.5
+                scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k_all)
+                probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                       -1).astype(x.dtype)
+                attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
             x = x + dense(layer["attn"]["out"], _merge_heads(attn))
             h = layer_norm(layer["mlp_ln"], x)
             x = x + _mlp(layer, h)

@@ -61,6 +61,97 @@ def test_tp_sharded_forward_matches_single_device(rng):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_tp_decode_matches_replicated(rng):
+    """TP=2 KV-cached generation (cache + cross-KV sharded over heads on
+    'model') must produce the same tokens and scores as replicated decode —
+    the decode path scales with the mesh, not just the teacher-forced one."""
+    from audax.infer.decode import generate
+    from audax.models.whisper import encode
+
+    mesh = make_mesh(MeshConfig(model=2))
+    params = init_whisper_params(CFG, jax.random.key(0))
+    mel = jnp.asarray(rng.standard_normal((4, 2 * CFG.n_audio_ctx, CFG.n_mels))
+                      .astype(np.float32))
+    prompt = jnp.full((4, 1), 3, jnp.int32)
+
+    enc_ref = encode(params, CFG, mel)
+    ref = generate(params, CFG, enc_ref, prompt, max_len=12, eos_id=2)
+
+    sharded_params = shard_params(params, mesh)
+    mel_s = jax.device_put(mel, NamedSharding(mesh, P("data", None, None)))
+    enc_s = encode(sharded_params, CFG, mel_s)
+    out = generate(sharded_params, CFG, enc_s, prompt, max_len=12, eos_id=2,
+                   mesh=mesh)
+    assert (np.asarray(out.tokens) == np.asarray(ref.tokens)).all()
+    np.testing.assert_allclose(np.asarray(out.sum_logprob),
+                               np.asarray(ref.sum_logprob),
+                               atol=1e-3, rtol=1e-4)
+
+
+def test_tp_beam_matches_replicated(rng):
+    from audax.infer.beam import beam_search
+    from audax.models.whisper import encode
+
+    mesh = make_mesh(MeshConfig(model=2))
+    params = init_whisper_params(CFG, jax.random.key(1))
+    mel = jnp.asarray(rng.standard_normal((2, 2 * CFG.n_audio_ctx, CFG.n_mels))
+                      .astype(np.float32))
+    prompt = jnp.full((2, 1), 3, jnp.int32)
+    enc = encode(params, CFG, mel)
+    ref = beam_search(params, CFG, enc, prompt, max_len=10, eos_id=2,
+                      beam_width=3)
+    sharded_params = shard_params(params, mesh)
+    out = beam_search(sharded_params, CFG, enc, prompt, max_len=10, eos_id=2,
+                      beam_width=3, mesh=mesh)
+    assert (np.asarray(out.tokens) == np.asarray(ref.tokens)).all()
+    np.testing.assert_allclose(np.asarray(out.scores), np.asarray(ref.scores),
+                               atol=1e-3, rtol=1e-4)
+
+
+class TestMultihostMesh:
+    """DCN-aware mesh construction (pure layout logic, faked device lists —
+    no real multi-host needed, per SURVEY.md §2.3 'ICI within slice, DCN
+    across slices')."""
+
+    def test_grid_layout_host_major(self):
+        from audax.parallel.mesh import multihost_device_grid
+        fake = [f"h{h}d{d}" for h in range(4) for d in range(8)]  # host-major
+        grid = multihost_device_grid(fake, num_hosts=4, model=2)
+        assert grid.shape == (4, 4, 2)
+        # every device in grid[h] belongs to host h: TP/DP inner axes never
+        # cross DCN
+        for h in range(4):
+            assert all(str(x).startswith(f"h{h}") for x in grid[h].ravel())
+
+    def test_grid_rejects_cross_host_tp(self):
+        from audax.parallel.mesh import multihost_device_grid
+        fake = list(range(8))
+        with pytest.raises(ValueError):
+            multihost_device_grid(fake, num_hosts=4, model=4)  # 2/host < 4
+        with pytest.raises(ValueError):
+            multihost_device_grid(fake, num_hosts=3, model=1)  # 8 % 3
+
+    def test_functional_on_cpu_mesh(self, rng):
+        """(2 fake hosts, 2 data, 2 model) over the 8 virtual CPU devices:
+        a batch sharded over both data axes trains one step fine."""
+        from audax.parallel.mesh import make_multihost_mesh
+
+        mesh = make_multihost_mesh(MeshConfig(model=2), num_hosts=2)
+        assert dict(mesh.shape) == {"dcn_data": 2, "data": 2, "model": 2}
+        x = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((16, 16)).astype(np.float32))
+        xs = jax.device_put(x, NamedSharding(mesh, P(("dcn_data", "data"), None)))
+        ws = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+        out = jax.jit(lambda a, b: jnp.mean(a @ b))(xs, ws)   # DCN+ICI psum
+        np.testing.assert_allclose(float(out), float(jnp.mean(x @ w)),
+                                   rtol=1e-5)
+
+    def test_init_distributed_noop_single_process(self, monkeypatch):
+        from audax.parallel.mesh import init_distributed
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert init_distributed() == 1    # no coordinator -> single-process
+
+
 def test_indivisible_dims_fall_back_to_replication():
     cfg = WhisperConfig(n_mels=16, n_audio_ctx=8, d_model=24, encoder_layers=1,
                         decoder_layers=1, heads=3, vocab_size=101, n_text_ctx=8)

@@ -20,13 +20,32 @@ def _mesh3():
     return Mesh(devs, ("data", "model", "seq"))
 
 
-def test_sp_encoder_matches_plain(rng):
+@pytest.mark.parametrize("ring", [True, False])
+def test_sp_encoder_matches_plain(rng, ring):
     mesh = _mesh3()
     params = init_whisper_params(CFG, jax.random.key(0))
     mel = jnp.asarray(rng.standard_normal((2, 2 * CFG.n_audio_ctx, CFG.n_mels))
                       .astype(np.float32))
     ref = encode(params, CFG, mel)
-    out = encode_sequence_parallel(params, CFG, mel, mesh)
+    out = encode_sequence_parallel(params, CFG, mel, mesh, ring=ring)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_ring_attention_long_sequence_small_blocks(rng):
+    """Ring attention with seq=4: per-device KV is a quarter of the full KV
+    (the case the all-gather variant cannot scale to), and the result still
+    matches the plain encoder exactly."""
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "seq"))
+    cfg = WhisperConfig(n_mels=16, n_audio_ctx=64, d_model=32,
+                        encoder_layers=2, decoder_layers=1, heads=4,
+                        vocab_size=64, n_text_ctx=8)
+    params = init_whisper_params(cfg, jax.random.key(1))
+    mel = jnp.asarray(rng.standard_normal((2, 2 * cfg.n_audio_ctx, cfg.n_mels))
+                      .astype(np.float32))
+    ref = encode(params, cfg, mel)
+    out = encode_sequence_parallel(params, cfg, mel, mesh, ring=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=1e-3)
 

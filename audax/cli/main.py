@@ -210,7 +210,13 @@ def _load_whisper(size: str, ckpt: str, tokenizer_dir: str):
            "small": WhisperConfig.small,
            "large-v3": WhisperConfig.large_v3}[size]()
     if tokenizer_dir and os.path.exists(os.path.join(tokenizer_dir, "vocab.json")):
-        tok = WhisperTokenizer(BPE.load(tokenizer_dir))
+        bpe = BPE.load(tokenizer_dir)
+        try:
+            # real checkpoint vocabs: solve language count from the preset's
+            # vocab size (51866 -> 100 languages for large-v3, 51865 -> 99)
+            tok = WhisperTokenizer.for_vocab_size(bpe, cfg.vocab_size)
+        except ValueError:
+            tok = WhisperTokenizer(bpe)    # ad-hoc/test vocab: default layout
     else:
         log.warning("no tokenizer dir; building a small ad-hoc BPE vocab")
         corpus = ["the quick brown fox jumps over the lazy dog"] * 4

@@ -78,7 +78,6 @@ def detect_language(params, cfg: WhisperConfig, tokenizer: WhisperTokenizer,
     import jax
     from audax.models.whisper import (decode_step, init_kv_cache,
                                       precompute_cross_kv)
-    from audax.symbolic.tokenizer import WHISPER_LANGUAGES
 
     b = enc.shape[0]
     cross_kv = precompute_cross_kv(params, cfg, enc)
@@ -86,13 +85,14 @@ def detect_language(params, cfg: WhisperConfig, tokenizer: WhisperTokenizer,
     sot = jnp.full((b,), tokenizer.sot, jnp.int32)
     logits, _ = decode_step(params, cfg, sot, jnp.int32(0), cache, cross_kv,
                             dtype)
+    langs = tokenizer.languages          # 99- or 100-language layout
     lang_ids = jnp.arange(tokenizer.num_languages) + tokenizer.lang_token(
-        WHISPER_LANGUAGES[0])
+        langs[0])
     lang_logits = logits[:, lang_ids]
     probs = jax.nn.softmax(lang_logits.astype(jnp.float32), -1)
     import numpy as np
     best = np.asarray(jnp.argmax(probs, -1))
-    return [WHISPER_LANGUAGES[i] for i in best], probs
+    return [langs[i] for i in best], probs
 
 
 class Transcriber:

@@ -20,9 +20,11 @@ from typing import Dict, List, Sequence
 
 from audax.symbolic.bpe import BPE
 
-__all__ = ["WhisperTokenizer", "VocabTokenizer", "WHISPER_LANGUAGES"]
+__all__ = ["WhisperTokenizer", "VocabTokenizer", "WHISPER_LANGUAGES",
+           "WHISPER_LANGUAGES_V3"]
 
-# the 99 whisper language codes in canonical id order
+# the 99 whisper language codes in canonical id order; large-v3 appends
+# "yue" (Cantonese) as language 100, shifting every later special id by one
 WHISPER_LANGUAGES = (
     "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he uk el ms "
     "cs ro da hu ta no th ur hr bg lt la mi ml cy sk te fa lv bn sr az sl kn "
@@ -30,6 +32,7 @@ WHISPER_LANGUAGES = (
     "tg sd gu am yi lo uz fo ht ps tk nn mt sa lb my bo tl mg as tt haw ln "
     "ha ba jw su"
 ).split()
+WHISPER_LANGUAGES_V3 = WHISPER_LANGUAGES + ["yue"]
 
 
 class WhisperTokenizer:
@@ -38,12 +41,17 @@ class WhisperTokenizer:
 
     def __init__(self, bpe: BPE, *, num_languages: int = len(WHISPER_LANGUAGES),
                  timestamp_count: int = 1501):
+        if not 1 <= num_languages <= len(WHISPER_LANGUAGES_V3):
+            raise ValueError(f"num_languages must be in "
+                             f"[1, {len(WHISPER_LANGUAGES_V3)}]: {num_languages}")
         self.bpe = bpe
         base = len(bpe)
         self.eot = base
         self.sot = base + 1
         self._lang_base = base + 2
         self.num_languages = num_languages
+        #: language codes valid for THIS layout (99 for <=v2, 100 for v3)
+        self.languages = WHISPER_LANGUAGES_V3[:num_languages]
         self.translate = self._lang_base + num_languages
         self.transcribe = self.translate + 1
         self.sot_lm = self.transcribe + 1
@@ -55,12 +63,32 @@ class WhisperTokenizer:
         self.vocab_size = self.timestamp_begin + timestamp_count
 
     @classmethod
-    def from_pretrained_dir(cls, directory: str) -> "WhisperTokenizer":
-        """Load vocab.json + merges.txt (HF/OpenAI format) from disk."""
-        return cls(BPE.load(directory))
+    def from_pretrained_dir(cls, directory: str,
+                            vocab_size: int | None = None) -> "WhisperTokenizer":
+        """Load vocab.json + merges.txt (HF/OpenAI format) from disk.
+
+        Pass the checkpoint's ``vocab_size`` (model config) to infer the
+        language count: large-v3 checkpoints carry 51866 (100 languages),
+        earlier multilingual ones 51865 (99). Without it, 99 is assumed.
+        """
+        bpe = BPE.load(directory)
+        if vocab_size is not None:
+            return cls.for_vocab_size(bpe, vocab_size)
+        return cls(bpe)
+
+    @classmethod
+    def for_vocab_size(cls, bpe: BPE, vocab_size: int,
+                       timestamp_count: int = 1501) -> "WhisperTokenizer":
+        """Solve the language count from the checkpoint's total vocab size:
+        ``vocab = base + 2 (eot, sot) + num_languages + 6 (task/ctl)
+        + timestamps``. For the published multilingual base (50257) this
+        yields 99 for vocab 51865 and 100 (large-v3, +yue) for 51866."""
+        num_languages = vocab_size - len(bpe) - 8 - timestamp_count
+        return cls(bpe, num_languages=num_languages,
+                   timestamp_count=timestamp_count)
 
     def lang_token(self, lang: str) -> int:
-        return self._lang_base + WHISPER_LANGUAGES.index(lang)
+        return self._lang_base + self.languages.index(lang)
 
     def sot_sequence(self, *, lang: str = "en", task: str = "transcribe",
                      timestamps: bool = False) -> List[int]:
@@ -115,7 +143,7 @@ class WhisperTokenizer:
         if i == self.sot:
             return "<|startoftranscript|>"
         if self._lang_base <= i < self._lang_base + self.num_languages:
-            return f"<|{WHISPER_LANGUAGES[i - self._lang_base]}|>"
+            return f"<|{self.languages[i - self._lang_base]}|>"
         if i == self.no_timestamps:
             return "<|notimestamps|>"
         if i >= self.timestamp_begin:

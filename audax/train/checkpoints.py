@@ -4,8 +4,14 @@ Mirrors the reference's three schemes (SURVEY.md §5 checkpoint/resume):
 hyperparameter-stamped full saves (.charles/spectrogram.py:110-118,592-594),
 space-saving trainable-only checkpoints plus config dict with best-model
 tracking (.charles/music2midi/train.py:281-334), and step-based retention
-(AB/fineTune.py:175-181) — rebuilt on orbax so saves are async and restores
-are sharding-aware.
+(AB/fineTune.py:175-181).
+
+Async contract: ``CheckpointManager.save`` is asynchronous — it snapshots the
+state and returns, and the write overlaps the next epoch's compute (the
+classifier loop saves every epoch and calls ``wait()`` once at the end,
+train/loops.py:fit_classifier). ``save_pytree`` is the synchronous one-shot
+for standalone artifacts; pass ``block=False`` to get the async variant and
+call ``.wait_until_finished()`` yourself.
 """
 
 from __future__ import annotations
@@ -24,12 +30,21 @@ __all__ = ["CheckpointManager", "save_pytree", "load_pytree"]
 log = get_logger("audax.ckpt")
 
 
-def save_pytree(path: str, tree: Any) -> None:
-    """One-shot synchronous pytree save (standalone artifacts)."""
+def save_pytree(path: str, tree: Any, *, block: bool = True
+                ) -> Optional[ocp.StandardCheckpointer]:
+    """One-shot pytree save (standalone artifacts).
+
+    ``block=True`` (default) waits for the write to finish. ``block=False``
+    returns the checkpointer immediately — the caller overlaps the write
+    with compute and calls ``wait_until_finished()`` before relying on it.
+    """
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, tree, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
+        return None
+    return ckptr
 
 
 def load_pytree(path: str, target: Optional[Any] = None) -> Any:
@@ -65,6 +80,9 @@ class CheckpointManager:
                 best_fn=(lambda m: m.get(best_metric, float("inf"))) if minimize
                 else (lambda m: m.get(best_metric, float("-inf"))),
                 best_mode="min" if minimize else "max",
+                # explicit: save() returns after snapshotting and the write
+                # overlaps subsequent compute; wait()/close() finalize
+                enable_async_checkpointing=True,
             ),
         )
         if config is not None:

@@ -177,6 +177,39 @@ def test_demo_server_endpoints(tmp_path, rng):
         server.shutdown()
 
 
+def test_async_save_then_kill_restores(tmp_path, rng):
+    """Async epoch saves must survive an abrupt end of the writing process:
+    after save()+wait() the manager object is dropped WITHOUT close() (the
+    'kill'), and a fresh manager in a new scope restores the exact state."""
+    from audax.train.checkpoints import CheckpointManager
+
+    tree = {"w": rng.standard_normal((64, 64)).astype(np.float32),
+            "step": np.asarray(7, np.int32)}
+    mgr = CheckpointManager(str(tmp_path / "ck"), best_metric="val_loss")
+    mgr.save(3, tree, metrics={"val_loss": 0.5})   # async: returns early
+    mgr.wait()                                     # write finalized
+    del mgr                                        # no close(): simulated kill
+
+    fresh = CheckpointManager(str(tmp_path / "ck"), best_metric="val_loss")
+    assert fresh.latest_step() == 3
+    restored = fresh.restore({"w": np.zeros((64, 64), np.float32),
+                              "step": np.asarray(0, np.int32)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), tree["w"])
+    assert int(restored["step"]) == 7
+    fresh.close()
+
+
+def test_save_pytree_async_handle(tmp_path, rng):
+    from audax.train.checkpoints import load_pytree, save_pytree
+
+    tree = {"a": rng.standard_normal((32, 32)).astype(np.float32)}
+    handle = save_pytree(str(tmp_path / "p"), tree, block=False)
+    assert handle is not None
+    handle.wait_until_finished()
+    back = load_pytree(str(tmp_path / "p"))
+    np.testing.assert_array_equal(np.asarray(back["a"]), tree["a"])
+
+
 def test_classifier_resume(tmp_path, rng):
     """Stop after 2 epochs, resume completes to 4 without redoing work."""
     from audax.core.config import CNNClassifierConfig

@@ -5,7 +5,7 @@ import pytest
 
 from audax.symbolic.bpe import BPE, bytes_to_unicode, train_bpe
 from audax.symbolic.tokenizer import (VocabTokenizer, WhisperTokenizer,
-                                      WHISPER_LANGUAGES)
+                                      WHISPER_LANGUAGES, WHISPER_LANGUAGES_V3)
 
 CORPUS = [
     "the quick brown fox jumps over the lazy dog",
@@ -48,6 +48,51 @@ def test_bpe_specials_and_add_tokens(tmp_path):
     loaded = BPE.load(str(tmp_path))
     assert loaded.encode("the quick fox") == bpe.encode("the quick fox")
     assert loaded.decode(ids2) == bpe.decode(ids2)
+
+
+class _FakeBase:
+    """Stand-in for a full multilingual BPE base (50257 entries) so the
+    special-token ids can be checked against the PUBLISHED checkpoint layout
+    without the real vocab files (no network in this environment)."""
+
+    def __init__(self, n):
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+
+def test_whisper_published_id_layouts():
+    """Exact ids of the published multilingual layouts. 99-language (v2 and
+    earlier) and 100-language (large-v3, +yue) — every special id after the
+    language block shifts by one between them, which is why the layout must
+    be keyed off the checkpoint's vocab size."""
+    base = _FakeBase(50257)
+    v2 = WhisperTokenizer(base)                           # default: 99 langs
+    assert (v2.eot, v2.sot) == (50257, 50258)
+    assert v2.lang_token("en") == 50259
+    assert (v2.translate, v2.transcribe) == (50358, 50359)
+    assert (v2.sot_lm, v2.sot_prev) == (50360, 50361)
+    assert (v2.no_speech, v2.no_timestamps) == (50362, 50363)
+    assert v2.timestamp_begin == 50364
+    assert v2.vocab_size == 51865
+
+    v3 = WhisperTokenizer.for_vocab_size(base, 51866)
+    assert v3.num_languages == 100
+    assert v3.languages[-1] == "yue"
+    assert v3.lang_token("yue") == 50358
+    assert (v3.translate, v3.transcribe) == (50359, 50360)
+    assert (v3.sot_lm, v3.sot_prev) == (50361, 50362)
+    assert (v3.no_speech, v3.no_timestamps) == (50363, 50364)
+    assert v3.timestamp_begin == 50365
+    assert v3.vocab_size == 51866
+
+    # round-trip: for_vocab_size on the v2 total recovers 99 languages
+    assert WhisperTokenizer.for_vocab_size(base, 51865).num_languages == 99
+    assert len(WHISPER_LANGUAGES_V3) == 100
+
+    with pytest.raises(ValueError):
+        WhisperTokenizer.for_vocab_size(base, 51867 + 200)  # nonsense size
 
 
 def test_whisper_special_layout():

@@ -363,6 +363,60 @@ def cmd_finetune(argv) -> int:
     return 0
 
 
+@command("memo2wav")
+def cmd_memo2wav(argv) -> int:
+    """Batch-convert voice memos (m4a/mp3/...) to 16 kHz mono 16-bit WAV
+    (reference: AB/memoToWav.py — in-process decode, no ffmpeg subprocess)."""
+    p = argparse.ArgumentParser(prog="audax memo2wav")
+    p.add_argument("--src-dir", required=True)
+    p.add_argument("--dst-dir", required=True)
+    p.add_argument("--rate", type=int, default=16000)
+    args = p.parse_args(argv)
+
+    from audax.data.audio_io import memo_to_wav
+    exts = (".m4a", ".mp4", ".mp3", ".ogg", ".flac", ".webm", ".wav")
+    n = 0
+    for name in sorted(os.listdir(args.src_dir)):
+        if not name.lower().endswith(exts):
+            continue
+        src = os.path.join(args.src_dir, name)
+        try:
+            dst = memo_to_wav(src, args.dst_dir, rate=args.rate)
+            log.info("%s -> %s", name, dst)
+            n += 1
+        except Exception as e:          # per-file tolerance, like the ref
+            log.warning("skip %s: %s", name, e)
+    log.success("converted %d file(s) -> %s", n, args.dst_dir)
+    return 0 if n else 1
+
+
+@command("finetune-proof")
+def cmd_finetune_proof(argv) -> int:
+    """Self-contained synthetic fine-tune proof: datagen -> BPE -> random
+    init -> before/after transcription CSV with WER drop (the committed
+    analogue of the reference's AB/transcriptions2.csv artifact)."""
+    p = argparse.ArgumentParser(prog="audax finetune-proof")
+    p.add_argument("--out", default="results")
+    p.add_argument("--items", type=int, default=16)
+    p.add_argument("--notes", type=int, default=3)
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--chunk-seconds", type=float, default=6.0)
+    p.add_argument("--d-model", type=int, default=64)
+    p.add_argument("--layers", type=int, default=2)
+    args = p.parse_args(argv)
+
+    import json
+
+    from audax.train.finetune_loop import midi_finetune_proof
+    out = midi_finetune_proof(
+        args.out, num_items=args.items, notes_per_item=args.notes,
+        steps=args.steps, chunk_seconds=args.chunk_seconds,
+        d_model=args.d_model, layers=args.layers)
+    print(json.dumps({k: out[k] for k in
+                      ("wer_before", "wer_after", "csv", "metrics")}))
+    return 0 if out["wer_after"] < out["wer_before"] else 1
+
+
 @command("data-quality")
 def cmd_data_quality(argv) -> int:
     """Dataset quality report (reference SQL cookbooks as callable checks)."""

@@ -32,7 +32,9 @@ __all__ = ["make_midi_dataset", "piano_full_range", "render_midi",
 MIDI_LABEL_START = "<|MIDI|>"
 MIDI_LABEL_END = "<|/MIDI|>"
 
-# the reference's duration / gap grids (AB/synthDataset.py:50-51)
+# duration / gap grids in the reference's style (AB/synthDataset.py:50-51
+# uses durations 0.1-0.3 s / gaps 0.1-0.5 s; ours are longer so the C++
+# synth's note envelopes are fully audible at 16 kHz)
 _DURATIONS = (0.25, 0.5, 0.75, 1.0)
 _GAPS = (0.0, 0.125, 0.25)
 

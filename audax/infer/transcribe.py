@@ -108,6 +108,7 @@ class Transcriber:
                  timestamps: bool = False,
                  temperature_fallback: bool = True,
                  condition_on_previous: bool = False,
+                 chunk_seconds: Optional[float] = None,
                  dtype=jnp.float32, backend: Optional[str] = None):
         self.params = params
         self.cfg = cfg
@@ -119,7 +120,15 @@ class Transcriber:
         self.condition_on_previous = condition_on_previous
         self.dtype = dtype
         self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
-        self.chunk_samples = int(CHUNK_SECONDS * self.frontend.cfg.sample_rate)
+        # chunk window defaults to the model's audio capacity: n_audio_ctx
+        # encoder positions x conv stride 2 x hop samples — exactly 30 s for
+        # the published whisper family, shorter for compact custom models
+        if chunk_seconds is None:
+            chunk_seconds = (cfg.n_audio_ctx * 2 * self.frontend.cfg.hop_length
+                             / self.frontend.cfg.sample_rate)
+        self.chunk_seconds = float(chunk_seconds)
+        self.chunk_samples = int(self.chunk_seconds
+                                 * self.frontend.cfg.sample_rate)
 
     def _prompt(self, n: int, prev: Optional[List[int]] = None,
                 lang: Optional[str] = None) -> np.ndarray:
@@ -223,14 +232,14 @@ class Transcriber:
                     chunk[None], prev=prev, lang=lang)[0]
                 prev = [] if temp > 0.5 else prev + [
                     t for t in ids if not tk.is_timestamp(t)]
-                offset = i * CHUNK_SECONDS
+                offset = i * self.chunk_seconds
                 if self.timestamps:
                     segments.extend(self._split_segments(ids, offset, avg_lp,
                                                          temp))
                 else:
                     segments.append(Segment(tk.decode(ids), offset,
-                                            offset + CHUNK_SECONDS, avg_lp,
-                                            temp))
+                                            offset + self.chunk_seconds,
+                                            avg_lp, temp))
         else:
             # fixed group shape: a short last group is padded with duplicate
             # chunks so every group compiles with one batch size
@@ -241,13 +250,13 @@ class Transcriber:
                 group = np.stack(group + [group[-1]] * (group_size - n_valid))
                 for j, (ids, avg_lp, temp) in enumerate(
                         self._decode_chunk_batch(group, lang=lang)[:n_valid]):
-                    offset = (i + j) * CHUNK_SECONDS
+                    offset = (i + j) * self.chunk_seconds
                     if self.timestamps:
                         segments.extend(self._split_segments(ids, offset,
                                                              avg_lp, temp))
                     else:
                         segments.append(Segment(tk.decode(ids), offset,
-                                                offset + CHUNK_SECONDS,
+                                                offset + self.chunk_seconds,
                                                 avg_lp, temp))
         wall = time.perf_counter() - t0
         return TranscriptionResult(
@@ -279,7 +288,7 @@ class Transcriber:
         if text_ids:
             segments.append(Segment(tk.decode(text_ids),
                                     offset + (start_t or 0.0),
-                                    offset + CHUNK_SECONDS, avg_lp, temp))
+                                    offset + self.chunk_seconds, avg_lp, temp))
         return segments
 
 

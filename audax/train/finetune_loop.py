@@ -31,7 +31,8 @@ from audax.train.seq2seq import (FTState, collate_seq2seq, init_finetune,
 
 log = get_logger("audax.finetune")
 
-__all__ = ["build_speech_dataset", "finetune_whisper", "eval_wer"]
+__all__ = ["build_speech_dataset", "finetune_whisper", "eval_wer",
+           "midi_finetune_proof"]
 
 
 def build_speech_dataset(
@@ -151,3 +152,110 @@ def finetune_whisper(
     history["best_wer"] = best_wer
     history["best_params"] = best_params
     return state, history
+
+
+def midi_finetune_proof(
+    out_dir: str,
+    *,
+    num_items: int = 16,
+    notes_per_item: int = 3,
+    steps: int = 80,
+    chunk_seconds: float = 6.0,
+    d_model: int = 64,
+    layers: int = 2,
+    seed: int = 0,
+) -> Dict:
+    """End-to-end synthetic fine-tune proof (reference-parity evidence).
+
+    No real datasets or pretrained weights are reachable in this
+    environment, so this is the strongest available analogue of the
+    reference's committed fine-tune artifact (AB/transcriptions2.csv, a
+    before/after CSV proving the single-word fine-tune worked; its MIDI
+    variant collapsed to "A5 A5 A5 A5", AB/midiDatasetResults.csv:2-5):
+
+      1. generate a note-name dataset with the framework's own datagen
+         (the mididataset.csv contract, AB/synthDataset.py:43-91);
+      2. train a byte-level BPE on the labels and random-init a compact
+         whisper-architecture model;
+      3. transcribe everything BEFORE (random weights -> garbage);
+      4. fine-tune; 5. transcribe AFTER; 6. write the comparison CSV
+         (file, target, previous, finetuned) plus a metrics JSON, and
+         return {"wer_before", "wer_after", "csv", "metrics"}.
+
+    Success = wer_after < wer_before by a wide margin, visible row by row
+    in the committed CSV.
+    """
+    import json
+
+    from audax.core.config import DataGenConfig
+    from audax.data.synth import make_midi_dataset
+    from audax.symbolic.bpe import train_bpe
+
+    gen = DataGenConfig(num_items=num_items, notes_per_item=notes_per_item,
+                        out_dir=os.path.join(out_dir, "datagen"), seed=seed)
+    labels_csv = make_midi_dataset(gen)
+
+    import csv as _csv
+    with open(labels_csv, newline="") as fh:
+        label_texts = [row["labels"] for row in _csv.DictReader(fh)]
+    tokenizer = WhisperTokenizer(
+        train_bpe(label_texts, vocab_size=320,
+                  special_tokens=["<|MIDI|>", "<|/MIDI|>"]))
+
+    frames = int(chunk_seconds * 16000) // 160          # whisper hop 160
+    model_cfg = WhisperConfig(
+        n_mels=80, n_audio_ctx=frames // 2, d_model=d_model,
+        encoder_layers=layers, decoder_layers=layers, heads=max(2, d_model // 32),
+        vocab_size=tokenizer.vocab_size, n_text_ctx=64)
+    mel_cfg = MelConfig.whisper(80)
+    from audax.models.whisper import init_whisper_params
+    params = init_whisper_params(model_cfg, jax.random.key(seed))
+
+    examples = build_speech_dataset("", tokenizer, mel_cfg,
+                                    labels_csv=labels_csv,
+                                    chunk_seconds=chunk_seconds)
+    assert examples, "datagen produced no usable examples"
+
+    def snapshot(p):
+        tr = Transcriber(p, model_cfg, tokenizer, max_new_tokens=24,
+                         temperature_fallback=False,
+                         chunk_seconds=chunk_seconds)
+        return {ex["file"]: tr.transcribe(ex["audio"]).text
+                for ex in examples}
+
+    before = snapshot(params)
+    wer_before = word_error_rate([ex["text"] for ex in examples],
+                                 [before[ex["file"]] for ex in examples])
+
+    ft = FineTuneConfig(learning_rate=1e-3, warmup_steps=5, max_steps=steps,
+                        eval_every=steps, batch_size=8,   # eval at the end
+                        lora_rank=0, seed=seed)
+    state, history = finetune_whisper(params, model_cfg, tokenizer, examples,
+                                      ft, mel_cfg=mel_cfg,
+                                      eval_examples=examples)
+    after = snapshot(state.model_params())
+    wer_after = word_error_rate([ex["text"] for ex in examples],
+                                [after[ex["file"]] for ex in examples])
+
+    os.makedirs(out_dir, exist_ok=True)
+    csv_path = os.path.join(out_dir, "midi_finetune_comparison.csv")
+    with open(csv_path, "w", newline="") as fh:
+        w = _csv.DictWriter(fh, fieldnames=["file", "target", "previous",
+                                            "finetuned"])
+        w.writeheader()
+        for ex in examples:
+            w.writerow({"file": ex["file"], "target": ex["text"],
+                        "previous": before[ex["file"]],
+                        "finetuned": after[ex["file"]]})
+    metrics = {"wer_before": round(float(wer_before), 4),
+               "wer_after": round(float(wer_after), 4),
+               "steps": steps, "items": len(examples),
+               "loss_first": round(history["loss"][0], 4),
+               "loss_last": round(history["loss"][-1], 4)}
+    metrics_path = os.path.join(out_dir, "midi_finetune_metrics.json")
+    with open(metrics_path, "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    log.success("fine-tune proof: WER %.3f -> %.3f (%s)", wer_before,
+                wer_after, csv_path)
+    return {"wer_before": wer_before, "wer_after": wer_after,
+            "csv": csv_path, "metrics": metrics_path, **metrics}

@@ -1,5 +1,14 @@
 """Test harness: force CPU with 8 virtual devices so sharding/collective
-tests run anywhere (the TPU analogue of a fake backend; SURVEY.md §4)."""
+tests run anywhere (the TPU analogue of a fake backend; SURVEY.md §4).
+
+Suite hygiene:
+  * per-test watchdog — faulthandler dumps all thread stacks and kills the
+    (xdist worker) process if one test exceeds AUDAX_TEST_TIMEOUT seconds
+    (default 600), so a hang shows up as a failed test with a traceback
+    instead of a silent stall;
+  * ``-m fast`` — host-side/kernel tests that finish in well under a minute
+    (the inner-loop subset); everything else carries the ``slow`` marker.
+"""
 
 import jax
 
@@ -9,8 +18,43 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+import faulthandler  # noqa: E402
+import os  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+TEST_TIMEOUT_S = float(os.environ.get("AUDAX_TEST_TIMEOUT", "600"))
+
+#: modules whose tests are cheap (host logic, oracle parity in interpret
+#: mode): the `-m fast` inner-loop subset, < 60 s wall with -n 4
+FAST_MODULES = {
+    "test_core", "test_frontend", "test_tokenizer", "test_symbolic",
+    "test_abc_parse", "test_data", "test_augment", "test_grain",
+}
+#: individually-slow tests inside otherwise-fast modules
+SLOW_TESTS = {
+    "test_end_to_end_mini_training", "test_waveform_grain_with_tokenizer",
+    "test_urbansound_grain_epochs", "test_urbansound_grain_batches",
+    "test_resample_tone_preserved", "test_spec_augment_properties",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[")[0]
+        fast = mod in FAST_MODULES and name not in SLOW_TESTS
+        item.add_marker(pytest.mark.fast if fast else pytest.mark.slow)
+
+
+@pytest.fixture(autouse=True)
+def _watchdog():
+    if TEST_TIMEOUT_S > 0:
+        faulthandler.dump_traceback_later(TEST_TIMEOUT_S, exit=True)
+    yield
+    if TEST_TIMEOUT_S > 0:
+        faulthandler.cancel_dump_traceback_later()
 
 
 @pytest.fixture

@@ -105,3 +105,25 @@ def test_finetune_overfits_tiny(lora_rank):
         chex_equal = jax.tree.map(lambda a, b: np.allclose(a, b),
                                   state.base_params, p0)
         assert all(jax.tree.leaves(chex_equal))
+
+
+def test_midi_finetune_proof_wer_drops(tmp_path):
+    """The reference-parity proof (VERDICT round-1 #4): framework datagen ->
+    random-init model -> fine-tune -> eval WER drops measurably, with the
+    before/after comparison CSV written (AB/transcriptions2.csv semantics).
+    Compact budget for CI; the committed results/ artifact uses the full
+    `audax finetune-proof` defaults."""
+    import csv
+
+    from audax.train.finetune_loop import midi_finetune_proof
+
+    out = midi_finetune_proof(str(tmp_path), num_items=6, notes_per_item=2,
+                              steps=400, chunk_seconds=3.0, d_model=32,
+                              layers=1)
+    assert out["wer_after"] < out["wer_before"] * 0.6, out
+    rows = list(csv.DictReader(open(out["csv"])))
+    assert len(rows) == 6
+    assert all(set(r) == {"file", "target", "previous", "finetuned"}
+               for r in rows)
+    # at least one clip transcribed exactly right after fine-tuning
+    assert any(r["finetuned"] == r["target"] for r in rows)

@@ -96,9 +96,10 @@ class DemoState:
 
 
 def _decode_audio(body: bytes) -> Optional[np.ndarray]:
-    """Accept WAV uploads; browser-recorded webm/ogg is converted through
-    ffmpeg when the binary exists (the reference leaned on ffmpeg too,
-    AB/memoToWav.py)."""
+    """Accept WAV uploads directly; browser-recorded webm/ogg/m4a goes
+    through the in-process C++ decode module (native lavc link), with the
+    ffmpeg binary as a last resort (the reference leaned on ffmpeg for all
+    of this, AB/memoToWav.py)."""
     from audax.data.audio_io import read_wav, resample, to_mono
     import subprocess
     import tempfile
@@ -117,10 +118,14 @@ def _decode_audio(body: bytes) -> Optional[np.ndarray]:
             src = fh.name
         dst = src + ".wav"
         try:
-            subprocess.run(["ffmpeg", "-y", "-i", src, "-ar", "16000",
-                            "-ac", "1", dst], check=True,
-                           capture_output=True)
-            x, rate = read_wav(dst)
+            try:
+                from audax.native.bindings import decode_audio_file
+                x, rate = decode_audio_file(src)
+            except Exception:
+                subprocess.run(["ffmpeg", "-y", "-i", src, "-ar", "16000",
+                                "-ac", "1", dst], check=True,
+                               capture_output=True)
+                x, rate = read_wav(dst)
         except (FileNotFoundError, subprocess.CalledProcessError):
             return None
         finally:

@@ -20,7 +20,8 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav", "resample", "to_mono"]
+__all__ = ["read_wav", "write_wav", "resample", "to_mono",
+           "read_audio", "memo_to_wav"]
 
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
@@ -133,3 +134,32 @@ def resample(x: np.ndarray, orig_rate: int, new_rate: int,
     y = resample_poly(np.asarray(x, dtype=np.float64), up, down, window=h)
     expected = int(math.ceil(len(x) * up / down))
     return y[:expected].astype(np.float32)
+
+
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Front door for ANY audio file: WAV through the dependency-free numpy
+    codec, compressed containers (m4a/AAC, mp3, ogg, flac, ...) through the
+    in-process C++ decode module (native/src_decode/audio_decode.cpp) — the
+    reference needed a per-file ffmpeg subprocess for these
+    (AB/memoToWav.py:11-26)."""
+    if path.lower().endswith(".wav"):
+        return read_wav(path)
+    from audax.native.bindings import decode_audio_file
+    return decode_audio_file(path)
+
+
+def memo_to_wav(src: str, dst_dir: str, *, rate: int = 16000) -> str:
+    """Convert one voice memo (m4a or anything decodable) to 16 kHz mono
+    16-bit WAV, preserving the stem — the exact AB/memoToWav.py:11-26
+    contract (ar=16000, ac=1, pcm_s16le)."""
+    import os
+
+    x, orig = read_audio(src)
+    x = to_mono(x)
+    if orig != rate:
+        x = resample(x, orig, rate)
+    os.makedirs(dst_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(src))[0]
+    dst = os.path.join(dst_dir, stem + ".wav")
+    write_wav(dst, np.asarray(x, np.float32), rate, bits=16)
+    return dst

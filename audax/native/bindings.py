@@ -3,8 +3,12 @@
 Public surface:
   * ``Sf2Synth`` — soundfont renderer (fluidsynth replacement)
   * ``render_simple`` — additive fallback synth (no soundfont required)
+  * ``decode_audio_file`` / ``encode_audio_file`` — compressed audio
+    (m4a/AAC, mp3, ogg, flac, ...) via the lavf/lavc-linked C++ module
+    (in-process replacement for the reference's per-file ffmpeg subprocess,
+    AB/memoToWav.py:11-26)
 
-Both take the framework's MidiFile note model and return float32 numpy audio.
+All return/accept float32 numpy audio.
 """
 
 from __future__ import annotations
@@ -67,6 +71,74 @@ def available() -> bool:
     except Exception as e:  # pragma: no cover - toolchain missing
         log.warning("native library unavailable: %s", e)
         return False
+
+
+_decode_lib = None
+
+
+def load_decode_library():
+    """Build (if stale) and load the compressed-audio module. Raises when
+    the system ffmpeg dev libraries are absent — use decode_available()."""
+    global _decode_lib
+    if _decode_lib is not None:
+        return _decode_lib
+    from audax.native.build import build_decode
+    lib = ctypes.CDLL(build_decode())
+    lib.audax_decode_audio.restype = ctypes.c_int
+    lib.audax_decode_audio.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.audax_encode_audio.restype = ctypes.c_int
+    lib.audax_encode_audio.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.c_int, ctypes.c_int]
+    lib.audax_audio_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    _decode_lib = lib
+    return lib
+
+
+def decode_available() -> bool:
+    try:
+        load_decode_library()
+        return True
+    except Exception as e:  # pragma: no cover - no lavc on host
+        log.warning("audio decode module unavailable: %s", e)
+        return False
+
+
+def decode_audio_file(path: str):
+    """Decode any lavf-supported file -> (float32 [n, channels], rate)."""
+    lib = load_decode_library()
+    buf = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_long()
+    ch = ctypes.c_int()
+    sr = ctypes.c_int()
+    rc = lib.audax_decode_audio(path.encode(), ctypes.byref(buf),
+                                ctypes.byref(n), ctypes.byref(ch),
+                                ctypes.byref(sr))
+    if rc != 0:
+        raise ValueError(f"decode failed (rc={rc}): {path}")
+    try:
+        out = np.ctypeslib.as_array(buf, shape=(n.value, ch.value)).copy()
+    finally:
+        lib.audax_audio_free(buf)
+    return out, sr.value
+
+
+def encode_audio_file(path: str, audio: np.ndarray, sample_rate: int) -> None:
+    """Encode float32 audio ([n] or [n, channels]) to ``path`` (container/
+    codec chosen from the extension; AAC for .m4a)."""
+    lib = load_decode_library()
+    a = np.asarray(audio, np.float32)
+    if a.ndim == 1:
+        a = a[:, None]
+    a = np.ascontiguousarray(a)
+    rc = lib.audax_encode_audio(
+        path.encode(), a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        a.shape[0], a.shape[1], int(sample_rate))
+    if rc != 0:
+        raise ValueError(f"encode failed (rc={rc}): {path}")
 
 
 def _events_from_midi(mf: MidiFile, program: int) -> "ctypes.Array":

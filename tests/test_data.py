@@ -152,3 +152,58 @@ def test_batching_contracts(rng):
     ev = list(eval_batches(data, 4))
     assert len(ev) == 3
     assert ev[-1]["w"].sum() == 2 and ev[-1]["x"].shape == (4, 3)
+
+
+class TestCompressedAudio:
+    """In-process m4a/AAC + mp3 decode via the lavc-linked C++ module
+    (closes the reference's AB/memoToWav.py ffmpeg-subprocess dependency)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_module(self):
+        from audax.native.bindings import decode_available
+        if not decode_available():
+            pytest.skip("system ffmpeg libraries unavailable")
+
+    def test_m4a_roundtrip_tone(self, tmp_path):
+        from audax.native.bindings import decode_audio_file, encode_audio_file
+        sr = 16000
+        t = np.arange(sr * 2) / sr
+        x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        path = str(tmp_path / "tone.m4a")
+        encode_audio_file(path, x, sr)
+        assert os.path.getsize(path) > 1000
+        y, rate = decode_audio_file(path)
+        assert rate == sr and y.ndim == 2
+        # AAC is lossy: assert the dominant frequency survives, not samples
+        spec = np.abs(np.fft.rfft(y[: sr, 0]))
+        assert abs(int(np.argmax(spec)) - 440) <= 2
+
+    def test_memo_to_wav_contract(self, tmp_path):
+        """AB/memoToWav.py parity: 16 kHz mono 16-bit wav, stem preserved."""
+        from audax.data.audio_io import memo_to_wav, read_wav
+        from audax.native.bindings import encode_audio_file
+        sr_in = 44100
+        t = np.arange(sr_in) / sr_in
+        stereo = np.stack([np.sin(2 * np.pi * 330 * t),
+                           np.sin(2 * np.pi * 330 * t)], 1).astype(np.float32)
+        src = str(tmp_path / "memo 7.m4a")
+        encode_audio_file(src, 0.4 * stereo, sr_in)
+        dst = memo_to_wav(src, str(tmp_path / "out"))
+        assert os.path.basename(dst) == "memo 7.wav"
+        x, rate = read_wav(dst)
+        assert rate == 16000 and x.shape[1] == 1
+        spec = np.abs(np.fft.rfft(x[: 16000, 0]))
+        assert abs(int(np.argmax(spec)) - 330) <= 2
+
+    def test_read_audio_routes_wav_and_compressed(self, tmp_path, rng):
+        from audax.data.audio_io import read_audio, write_wav
+        from audax.native.bindings import encode_audio_file
+        wav = str(tmp_path / "a.wav")
+        x = (0.2 * rng.standard_normal(8000)).astype(np.float32)
+        write_wav(wav, x, 16000)
+        got, rate = read_audio(wav)
+        assert rate == 16000 and got.shape[0] == 8000
+        m4a = str(tmp_path / "b.m4a")
+        encode_audio_file(m4a, x, 16000)
+        got2, rate2 = read_audio(m4a)
+        assert rate2 == 16000 and got2.shape[0] > 0

@@ -25,7 +25,7 @@ from audax.core.config import MelConfig
 __all__ = [
     "hz_to_mel", "mel_to_hz", "mel_filterbank", "hann_window",
     "dft_matrices", "frontend_constants", "packed_frontend_constants",
-    "overlap_frontend_constants",
+    "overlap_frontend_constants", "overlap_block_size",
 ]
 
 
@@ -163,32 +163,42 @@ def packed_frontend_constants(cfg: MelConfig, dtype=np.float32):
     return dft.astype(dtype), fb2.astype(dtype)
 
 
+def overlap_block_size(cfg: MelConfig) -> int:
+    """Block size of the overlap decomposition: ``g = gcd(n_fft, hop)``.
+    A frame spans ``nb = n_fft/g`` blocks and advances ``a = hop/g`` blocks
+    (UrbanSound v2: g=128, nb=8, a=1; Whisper: g=80, nb=5, a=2)."""
+    import math as _math
+    return _math.gcd(cfg.n_fft, cfg.hop_length)
+
+
 def overlap_frontend_constants(cfg: MelConfig, lane: int = 128,
                                dtype=np.float32):
     """Constants for the overlap-reuse kernel: ``(dftc, dfts, tw, fb)``.
 
-    The overlap-reuse STFT exploits ``hop | n_fft``: each hop-sized signal
-    block is zoom-DFT'd ONCE (``Z_b[k] = sum_n x[bg+n] e^{-2pi i kn/N}``),
-    and frame ``t``'s unwindowed spectrum is recombined from its ``NB =
-    n_fft/hop`` blocks with twiddles that depend only on ``jk mod NB``::
+    The overlap-reuse STFT exploits shared samples between frames: with
+    ``g = gcd(n_fft, hop)`` each g-sample signal block is zoom-DFT'd ONCE
+    (``Z_b[k] = sum_n x[bg+n] e^{-2pi i kn/N}``), and frame ``t``'s
+    unwindowed spectrum is recombined from its ``NB = n_fft/g`` blocks
+    (advancing ``a = hop/g`` blocks per frame) with twiddles that depend
+    only on ``jk mod NB``::
 
-        X_t[k] = sum_{j<NB} e^{-2pi i jk/NB} Z_{t+j}[k]
+        X_t[k] = sum_{j<NB} e^{-2pi i jk/NB} Z_{t*a+j}[k]
 
     The periodic Hann window then becomes an EXACT 3-tap spectral
     convolution (its DFT has support {-1, 0, 1}):
     ``W_t[k] = 0.5 X_t[k] - 0.25 (X_t[k-1] + X_t[k+1])`` with conjugate-
     symmetric edges. Net effect: per frame, the DFT matmul work drops from
-    ``2*n_fft*(n_fft+2)`` to ``2*hop*(n_fft+2)`` FLOPs (NB-fold), and the
-    raw signal is read once instead of NB times (the old framing gather
-    duplicated every sample NB-fold in HBM).
+    ``2*n_fft*(n_fft+2)`` to ``2*a*g*(n_fft+2)`` = ``2*hop*(n_fft+2)``
+    FLOPs (NB/a-fold), and the raw signal is read once instead of NB/a
+    times (the framing gather duplicated every sample NB/a-fold in HBM).
 
-    Returns lane-padded arrays: dftc/dfts ``[hop, FP]`` (zoom-DFT bases),
+    Returns lane-padded arrays: dftc/dfts ``[g, FP]`` (zoom-DFT bases),
     tw ``[2*NB, FP]`` (cos rows then -sin rows), fb ``[FP, MP]`` (mel
     filterbank on the padded bins), with ``FP = pad(n_freqs, lane)`` and
     ``MP = pad(n_mels, lane)``.
     """
-    assert cfg.n_fft % cfg.hop_length == 0 and cfg.win == cfg.n_fft
-    g, f = cfg.hop_length, cfg.n_freqs
+    assert cfg.win == cfg.n_fft
+    g, f = overlap_block_size(cfg), cfg.n_freqs
     nb = cfg.n_fft // g
     fp = ((f + lane - 1) // lane) * lane
     mp = ((cfg.n_mels + lane - 1) // lane) * lane

@@ -56,33 +56,49 @@ def _pad_to(n: int, m: int) -> int:
 
 # -------------------------------------------------------------- overlap ----
 def overlap_applicable(cfg: MelConfig) -> bool:
-    """The overlap-reuse kernel needs: power spectrogram, full-width periodic
-    Hann window, hop dividing n_fft (block decomposition), and lane-aligned
-    hop (so signal blocks are a pure reshape)."""
-    return (cfg.power == 2.0 and cfg.win == cfg.n_fft
-            and cfg.n_fft % cfg.hop_length == 0
-            and cfg.hop_length % _LANE == 0)
+    """The overlap-reuse kernel needs: power spectrogram, full-width
+    periodic Hann window, a useful block decomposition (g = gcd(n_fft, hop)
+    sublane-aligned, with real reuse nb > a), and the a-plane layout
+    implemented for a = hop/g in {1, 2} — which covers every in-tree
+    preset (UrbanSound g=128/512 a=1; Whisper g=80 a=2)."""
+    from audax.ops.mel import overlap_block_size
+    if not (cfg.power == 2.0 and cfg.win == cfg.n_fft):
+        return False
+    g = overlap_block_size(cfg)
+    nb, adv = cfg.n_fft // g, cfg.hop_length // g
+    return g % 8 == 0 and adv in (1, 2) and nb > adv
 
 
 def _kernel_overlap(sig_ref, dftc_ref, dfts_ref, tw_ref, fb_ref, out_ref, *,
-                    nb: int, n_freqs: int, log_mode: str):
-    """One (clip, frame-tile) program: zoom-DFT the tile's hop-blocks (MXU),
+                    nb: int, adv: int, n_freqs: int, log_mode: str):
+    """One (clip, frame-tile) program: zoom-DFT the tile's g-blocks (MXU),
     recombine frames via NB twiddle-shifted accumulations (VPU), apply the
-    periodic-Hann 3-tap spectral conv, square, mel-project (MXU), log."""
+    periodic-Hann 3-tap spectral conv, square, mel-project (MXU), log.
+
+    ``sig_ref`` carries ``adv`` block planes (plane p holds blocks with
+    index = p mod adv), so frame t's block ``t*adv + j`` is plane
+    ``j % adv`` at row offset ``t + j // adv`` — every in-kernel slice
+    stays unit-stride."""
     hi = jax.lax.Precision.HIGHEST
-    sig = sig_ref[0]                                     # [rows+halo, G]
-    zr = jnp.dot(sig, dftc_ref[:], preferred_element_type=jnp.float32,
-                 precision=hi)                           # [rows+halo, FP]
-    zi = jnp.dot(sig, dfts_ref[:], preferred_element_type=jnp.float32,
-                 precision=hi)
-    rows, fp = out_ref.shape[1], zr.shape[1]
+    rows = out_ref.shape[1]
+    zs = []
+    for pl_idx in range(adv):
+        sig = sig_ref[0, pl_idx]                         # [rows+halo, G]
+        zs.append((
+            jnp.dot(sig, dftc_ref[:], preferred_element_type=jnp.float32,
+                    precision=hi),                       # [rows+halo, FP]
+            jnp.dot(sig, dfts_ref[:], preferred_element_type=jnp.float32,
+                    precision=hi)))
+    fp = zs[0][0].shape[1]
     xr = jnp.zeros((rows, fp), jnp.float32)
     xi = jnp.zeros((rows, fp), jnp.float32)
     for j in range(nb):
         c = tw_ref[j, :][None, :]
         s = tw_ref[nb + j, :][None, :]
-        zrj = zr[j:j + rows]
-        zij = zi[j:j + rows]
+        zr, zi = zs[j % adv]
+        off = j // adv
+        zrj = zr[off:off + rows]
+        zij = zi[off:off + rows]
         xr = xr + c * zrj - s * zij
         xi = xi + c * zij + s * zrj
     # periodic hann == exact spectral 3-tap: 0.5 X_k - 0.25 (X_{k-1}+X_{k+1})
@@ -119,13 +135,18 @@ def log_mel_overlap(
     """Overlap-reuse fused log-mel: [..., n_samples] -> [..., T, n_mels].
 
     Numerically EXACT vs the direct windowed-DFT oracle (f32 HIGHEST
-    throughout); ~NB-fold less MXU work and no NB-fold HBM framing
+    throughout); NB/a-fold less MXU work and no NB/a-fold HBM framing
     duplication (docstring math in ops/mel.py:overlap_frontend_constants).
     Replaces the reference's per-clip torchaudio MelSpectrogram hot loop
-    (reference: .charles/spectrogram.py:136-175).
+    (reference: .charles/spectrogram.py:136-175) and the WhisperProcessor
+    mel path (AB/fineTune.py:88).
     """
-    g, nb = cfg.hop_length, cfg.n_fft // cfg.hop_length
-    halo = _pad_to(nb - 1, 8)
+    from audax.ops.mel import overlap_block_size
+
+    g = overlap_block_size(cfg)
+    nb, adv = cfg.n_fft // g, cfg.hop_length // g
+    # plane p needs row offsets up to (nb - 1 - p) // adv past the frame row
+    halo = _pad_to(-(-(nb - 1) // adv), 8)
     lead = x.shape[:-1]
     n = x.shape[-1]
     b = 1
@@ -140,27 +161,31 @@ def log_mel_overlap(
     if cfg.center:
         pad = cfg.n_fft // 2
         x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-        t_true = n // g + 1
+        t_true = n // cfg.hop_length + 1
     else:
-        t_true = max(0, (n - cfg.n_fft) // g + 1)
+        t_true = max(0, (n - cfg.n_fft) // cfg.hop_length + 1)
     rows = min(tile_t, _pad_to(max(t_true, 8), 8))
     n_tiles = -(-t_true // rows)
-    need = n_tiles * rows + halo                        # Z rows to cover
+    # block planes: plane p holds blocks p, p+adv, ... — each plane needs
+    # rows + halo rows per tile
+    need = (n_tiles * rows + halo) * adv               # blocks to cover
     x = jnp.pad(x, ((0, 0), (0, need * g - x.shape[1])))
     blocks = x.reshape(b, need, g)
+    planes = jnp.stack([blocks[:, pl_idx::adv] for pl_idx in range(adv)], 1)
     # halo rows are duplicated per tile host-side in XLA: a halo/rows (~2%)
     # HBM overhead, which buys clean non-overlapping BlockSpecs
-    tiles = [blocks[:, i * rows: i * rows + rows + halo]
+    tiles = [planes[:, :, i * rows: i * rows + rows + halo]
              for i in range(n_tiles)]
-    sig_tiles = jnp.stack(tiles, 1).reshape(b * n_tiles, rows + halo, g)
+    sig_tiles = jnp.stack(tiles, 1).reshape(b * n_tiles, adv,
+                                            rows + halo, g)
 
     kernel_mode = "log1e6" if cfg.log_mode == "log1e6" else "log10"
     out = pl.pallas_call(
-        functools.partial(_kernel_overlap, nb=nb, n_freqs=cfg.n_freqs,
-                          log_mode=kernel_mode),
+        functools.partial(_kernel_overlap, nb=nb, adv=adv,
+                          n_freqs=cfg.n_freqs, log_mode=kernel_mode),
         grid=(b * n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, rows + halo, g), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, adv, rows + halo, g), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -172,9 +197,10 @@ def log_mel_overlap(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * n_tiles, rows, mp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=b * n_tiles * (2 * (rows + halo) * g * fp * 2
+            flops=b * n_tiles * (2 * adv * (rows + halo) * g * fp * 2
                                  + 2 * rows * fp * mp),
-            bytes_accessed=4 * b * n_tiles * ((rows + halo) * g + rows * mp),
+            bytes_accessed=4 * b * n_tiles * (adv * (rows + halo) * g
+                                              + rows * mp),
             transcendentals=b * n_tiles * rows * mp,
         ),
         interpret=interpret,

@@ -55,10 +55,14 @@ class TestOverlapKernel:
     spectral hann): must be numerically exact vs the direct-DFT oracle."""
 
     def test_applicability(self):
+        import dataclasses
         from audax.ops.pallas_mel import overlap_applicable
-        assert overlap_applicable(CFGS["urbansound_v2"])   # hop 128 | 1024
-        assert overlap_applicable(CFGS["urbansound_v1"])   # hop 512 | 1024
-        assert not overlap_applicable(CFGS["whisper80"])   # 160 does not | 400
+        assert overlap_applicable(CFGS["urbansound_v2"])   # g=128, a=1
+        assert overlap_applicable(CFGS["urbansound_v1"])   # g=512, a=1
+        assert overlap_applicable(CFGS["whisper80"])       # g=80, nb=5, a=2
+        # no reuse when hop == n_fft (a == nb)
+        assert not overlap_applicable(
+            dataclasses.replace(CFGS["urbansound_v2"], hop_length=1024))
 
     @pytest.mark.parametrize("name", ["urbansound_v2", "urbansound_v1"])
     def test_matches_oracle(self, name, rng):
@@ -67,6 +71,18 @@ class TestOverlapKernel:
         x = _signal(rng, n=64000)
         ref = log_mel_oracle(x, cfg)
         out = np.asarray(log_mel_overlap(jnp.asarray(x), cfg, interpret=True))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=0)
+
+    @pytest.mark.parametrize("name", ["whisper80", "whisper128"])
+    def test_whisper_two_plane_matches_oracle(self, name, rng):
+        """a=2 plane layout (g=80, 5 blocks/frame, advance 2): the whisper
+        log-mel (incl. per-item max clamp, applied by log_mel_pallas) must
+        match the oracle through the overlap path."""
+        cfg = CFGS[name]
+        x = _signal(rng, n=48000)
+        ref = log_mel_oracle(x, cfg)
+        out = np.asarray(log_mel_pallas(jnp.asarray(x), cfg, interpret=True))
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, atol=2e-4, rtol=0)
 

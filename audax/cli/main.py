@@ -363,6 +363,47 @@ def cmd_finetune(argv) -> int:
     return 0
 
 
+@command("bench-rtf")
+def cmd_bench_rtf(argv) -> int:
+    """Serving real-time-factor benchmark: synthetic audio through the full
+    Transcriber (frontend + encoder + KV-cached decode + fallback ladder).
+    BASELINE target: whisper-base RTF <= 0.05 on one chip."""
+    p = argparse.ArgumentParser(prog="audax bench-rtf")
+    p.add_argument("--size", default="base")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--seconds", type=float, default=120.0)
+    p.add_argument("--batch-chunks", type=int, default=4)
+    p.add_argument("--max-new-tokens", type=int, default=224)
+    p.add_argument("--runs", type=int, default=3)
+    args = p.parse_args(argv)
+
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audax.core.runtime import setup
+    from audax.infer.transcribe import Transcriber
+
+    setup()
+    params, cfg, tok = _load_whisper(args.size, "", "")
+    tr = Transcriber(params, cfg, tok,
+                     max_new_tokens=args.max_new_tokens,
+                     dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                     else jnp.float32)
+    rng = np.random.default_rng(0)
+    audio = (0.1 * rng.standard_normal(int(args.seconds * 16000))
+             ).astype(np.float32)
+    tr.transcribe(audio, batch_chunks=args.batch_chunks)   # compile warmup
+    rtf = min(tr.transcribe(audio, batch_chunks=args.batch_chunks).rtf
+              for _ in range(args.runs))
+    print(json.dumps({"metric": "whisper_rtf", "size": args.size,
+                      "dtype": args.dtype, "seconds": args.seconds,
+                      "value": round(rtf, 5), "target": 0.05}))
+    return 0 if rtf <= 0.05 else 1
+
+
 @command("memo2wav")
 def cmd_memo2wav(argv) -> int:
     """Batch-convert voice memos (m4a/mp3/...) to 16 kHz mono 16-bit WAV

@@ -1,0 +1,213 @@
+"""Word-level timestamps via cross-attention alignment (whisper-style).
+
+openai-whisper's ``word_timestamps=True`` path, rebuilt TPU-first: one
+jitted teacher-forced decoder pass captures per-layer cross-attention
+probabilities (a ``lax.scan`` output, so depth stays O(1) compile), the
+alignment heads' maps are averaged and median-filtered on device, and a
+host-side dynamic-time-warping pass (O(L*S) numpy over a <=448 x 1500
+matrix — microseconds) yields a monotonic token->frame path that is merged
+into word timings. Each encoder frame covers 0.02 s of audio (2 mel hops).
+
+The reference used plain ``model.transcribe`` with segment-level timestamps
+only (AB/wavToWhisper.py:10-13); this is a beyond-reference capability.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from audax.core.config import WhisperConfig
+from audax.models.whisper import (_merge_heads, _mlp, _split_heads, dense,
+                                  layer_norm)
+
+__all__ = ["WordTiming", "cross_attention_weights", "dtw_path",
+           "word_timings"]
+
+SECONDS_PER_FRAME = 0.02      # encoder frame = 2 mel hops = 20 ms
+
+
+@dataclass
+class WordTiming:
+    word: str
+    start: float                # seconds within the 30 s window
+    end: float
+    probability: float          # mean attention mass along the aligned path
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "medfilt", "dtype"))
+def cross_attention_weights(params, cfg: WhisperConfig, tokens: jnp.ndarray,
+                            enc: jnp.ndarray, *, medfilt: int = 7,
+                            dtype=jnp.float32) -> jnp.ndarray:
+    """Teacher-forced decoder pass returning cross-attention probabilities.
+
+    tokens [B, L] int32, enc [B, S, d] -> weights [B, L, S]: softmax cross-
+    attention averaged over the alignment heads (upper half of the decoder
+    layers — openai-whisper's fallback when a checkpoint ships no head
+    mask), z-normalized per token and median-filtered along frames.
+    """
+    p = params["decoder"]
+    b, l = tokens.shape
+    x = p["embed"][tokens].astype(dtype) + p["pos"][:l].astype(dtype)
+    causal = jnp.tril(jnp.ones((l, l), bool))[None, None]
+
+    def body(x, layer):
+        h = layer_norm(layer["attn_ln"], x)
+        q = _split_heads(dense(layer["attn"]["q"], h), cfg.heads)
+        k = _split_heads(dense(layer["attn"]["k"], h), cfg.heads)
+        v = _split_heads(dense(layer["attn"]["v"], h), cfg.heads)
+        scale = q.shape[-1] ** -0.5
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        scores = jnp.where(causal, scores, jnp.finfo(scores.dtype).min)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(x.dtype)
+        x = x + dense(layer["attn"]["out"],
+                      _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, v)))
+
+        h = layer_norm(layer["cross_ln"], x)
+        cq = _split_heads(dense(layer["cross_attn"]["q"], h), cfg.heads)
+        ck = _split_heads(dense(layer["cross_attn"]["k"], enc.astype(x.dtype)),
+                          cfg.heads)
+        cv = _split_heads(dense(layer["cross_attn"]["v"], enc.astype(x.dtype)),
+                          cfg.heads)
+        cscale = cq.shape[-1] ** -0.5
+        cprobs = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", cq * cscale, ck).astype(jnp.float32),
+            -1)
+        x = x + dense(layer["cross_attn"]["out"],
+                      _merge_heads(jnp.einsum("bhqk,bhkd->bhqd",
+                                              cprobs.astype(x.dtype), cv)))
+        h = layer_norm(layer["mlp_ln"], x)
+        x = x + _mlp(layer, h)
+        return x, cprobs                        # [B, H, L, S] per layer
+
+    _, all_probs = lax.scan(body, x, p["layers"])   # [layers, B, H, L, S]
+
+    # alignment heads: upper half of the layers, all heads (fallback rule)
+    n_layers = all_probs.shape[0]
+    w = all_probs[n_layers // 2:].mean(axis=(0, 2))      # [B, L, S]
+    # z-normalize per token position, then median-filter along frames
+    mean = w.mean(-1, keepdims=True)
+    std = w.std(-1, keepdims=True) + 1e-9
+    w = (w - mean) / std
+    if medfilt > 1:
+        pad = medfilt // 2
+        wp = jnp.pad(w, ((0, 0), (0, 0), (pad, pad)), mode="edge")
+        stacked = jnp.stack([wp[..., i:i + w.shape[-1]]
+                             for i in range(medfilt)], -1)
+        w = jnp.median(stacked, axis=-1)
+    return w
+
+
+def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Monotonic DTW through a [L, S] cost matrix (lower = better aligned).
+
+    Returns (token_idx, frame_idx) arrays tracing the optimal path with
+    steps (1,1), (1,0), (0,1) — openai-whisper's alignment recurrence.
+    """
+    l, s = cost.shape
+    d = np.full((l + 1, s + 1), np.inf)
+    d[0, 0] = 0.0
+    trace = np.zeros((l + 1, s + 1), np.int8)
+    for i in range(1, l + 1):
+        row_prev = d[i - 1]
+        row = d[i]
+        for j in range(1, s + 1):
+            c0, c1, c2 = row_prev[j - 1], row_prev[j], row[j - 1]
+            best = min(c0, c1, c2)
+            row[j] = cost[i - 1, j - 1] + best
+            trace[i, j] = 0 if best == c0 else (1 if best == c1 else 2)
+    i, j = l, s
+    ti, fi = [], []
+    while i > 0 and j > 0:
+        ti.append(i - 1)
+        fi.append(j - 1)
+        t = trace[i, j]
+        if t == 0:
+            i, j = i - 1, j - 1
+        elif t == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.array(ti[::-1]), np.array(fi[::-1])
+
+
+def word_timings(
+    weights: np.ndarray,          # [L, S] alignment matrix (higher = aligned)
+    token_ids: Sequence[int],     # the L generated tokens (text+timestamps)
+    tokenizer,
+    *, n_frames: Optional[int] = None,
+) -> List[WordTiming]:
+    """Token->frame DTW path merged into per-word timings.
+
+    Words are whitespace-split over the decoded text; each word's span is
+    the contiguous run of its tokens' aligned frames. Timestamp/special
+    tokens are skipped for text but still anchor the path monotonicity.
+    """
+    l = len(token_ids)
+    w = np.asarray(weights[:l], np.float32)
+    if n_frames is not None:
+        w = w[:, :n_frames]
+    ti, fi = dtw_path(-w)
+
+    # first/last aligned frame per token
+    starts = np.full(l, -1, np.int64)
+    ends = np.zeros(l, np.int64)
+    for t, f in zip(ti, fi):
+        if starts[t] < 0:
+            starts[t] = f
+        ends[t] = f
+    path_score = {int(t): [] for t in range(l)}
+    for t, f in zip(ti, fi):
+        path_score[int(t)].append(float(w[t, f]))
+
+    # group text tokens into words AT THE BYTE LEVEL: byte-BPE pieces do not
+    # decode independently (UTF-8 sequences span pieces), so words are byte
+    # runs split on ASCII whitespace, each run decoded once and attributed
+    # to the token indices that contributed bytes to it
+    base = len(tokenizer.bpe)
+    ws = b" \t\n\r"
+    words: List[WordTiming] = []
+    cur_bytes = bytearray()
+    cur_tokens: List[int] = []
+
+    def flush():
+        nonlocal cur_bytes, cur_tokens
+        text = bytes(cur_bytes).decode("utf-8", errors="replace").strip()
+        aligned = [t for t in cur_tokens if starts[t] >= 0]
+        if text and aligned:
+            s = min(starts[t] for t in aligned)
+            e = max(ends[t] for t in aligned)
+            probs = [p for t in aligned for p in path_score.get(t, [])]
+            words.append(WordTiming(
+                text, round(s * SECONDS_PER_FRAME, 3),
+                round((e + 1) * SECONDS_PER_FRAME, 3),
+                float(np.mean(probs)) if probs else 0.0))
+        cur_bytes, cur_tokens = bytearray(), []
+
+    for idx, tid in enumerate(token_ids):
+        tid = int(tid)
+        piece = tokenizer.bpe.token_bytes(tid) if tid < base else None
+        if piece is None:
+            # special/timestamp: skipped WITHOUT flushing — WhisperTokenizer
+            # .decode(skip_special=True) merges byte runs across specials,
+            # and word grouping must reproduce its text exactly
+            continue
+        i0 = 0
+        for k, byte in enumerate(piece):
+            if byte in ws:
+                if k > i0:
+                    cur_bytes += piece[i0:k]
+                    cur_tokens.append(idx)
+                flush()
+                i0 = k + 1
+        if i0 < len(piece):
+            cur_bytes += piece[i0:]
+            cur_tokens.append(idx)
+    flush()
+    return words

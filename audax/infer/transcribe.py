@@ -25,6 +25,9 @@ import numpy as np
 from audax.core.config import WhisperConfig
 from audax.core.logging import get_logger
 from audax.frontend import LogMelFrontend, pad_or_trim
+from audax.infer.align import (WordTiming,
+                               cross_attention_weights,
+                               word_timings)
 from audax.infer.decode import TimestampRules, generate
 from audax.models.whisper import encode
 from audax.symbolic.tokenizer import WhisperTokenizer
@@ -54,6 +57,8 @@ class Segment:
     end: float
     avg_logprob: float
     temperature: float
+    #: word-level timings (filled when Transcriber(word_timestamps=True))
+    words: Optional[List["WordTiming"]] = None
 
 
 @dataclass
@@ -109,6 +114,7 @@ class Transcriber:
                  temperature_fallback: bool = True,
                  condition_on_previous: bool = False,
                  chunk_seconds: Optional[float] = None,
+                 word_timestamps: bool = False,
                  dtype=jnp.float32, backend: Optional[str] = None):
         self.params = params
         self.cfg = cfg
@@ -118,6 +124,7 @@ class Transcriber:
         self.timestamps = timestamps
         self.temperature_fallback = temperature_fallback
         self.condition_on_previous = condition_on_previous
+        self.word_timestamps = word_timestamps
         self.dtype = dtype
         self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
         # chunk window defaults to the model's audio capacity: n_audio_ctx
@@ -153,6 +160,37 @@ class Transcriber:
                         max_len=max_len, eos_id=tk.eot,
                         temperature=temperature, timestamps=rules,
                         dtype=self.dtype)
+
+    def _align_words(self, enc_row, prompt_len: int, prompt_and_ids,
+                     n_valid_samples: int) -> List[WordTiming]:
+        """Word timings for one chunk via cross-attention DTW. Tokens are
+        padded to the fixed decode length so the teacher-forced alignment
+        pass compiles once per model."""
+        max_len = min(prompt_len + self.max_new_tokens, self.cfg.n_text_ctx)
+        n_ids = len(prompt_and_ids) - prompt_len
+        toks = (list(prompt_and_ids) + [self.tokenizer.eot] * max_len)[:max_len]
+        w = cross_attention_weights(self.params, self.cfg,
+                                    jnp.asarray([toks], jnp.int32),
+                                    enc_row[None], dtype=self.dtype)
+        # each token's row is the attention at its own input position
+        # (openai-whisper find_alignment slicing)
+        rows = np.asarray(w[0])[prompt_len: prompt_len + n_ids]
+        n_frames = max(1, min(n_valid_samples
+                              // (2 * self.frontend.cfg.hop_length),
+                              enc_row.shape[0]))
+        return word_timings(rows, prompt_and_ids[prompt_len:],
+                            self.tokenizer, n_frames=n_frames)
+
+    def _attach_words(self, segments: List[Segment],
+                      words: List[WordTiming], offset: float) -> None:
+        """Distribute a chunk's words into its segments by midpoint time."""
+        shifted = [WordTiming(w.word, round(w.start + offset, 3),
+                              round(w.end + offset, 3), w.probability)
+                   for w in words]
+        for seg in segments:
+            seg.words = [w for w in shifted
+                         if seg.start <= (w.start + w.end) / 2 < seg.end] \
+                if self.timestamps else shifted
 
     def _decode_chunk_batch(self, audio_chunks: np.ndarray,
                             prev: Optional[List[int]] = None,
@@ -196,7 +234,7 @@ class Transcriber:
                 else:
                     still.append(chunk_i)
             pending = still
-        return results  # type: ignore[return-value]
+        return results, enc  # type: ignore[return-value]
 
     def transcribe(self, audio: np.ndarray, *, batch_chunks: int = 4
                    ) -> TranscriptionResult:
@@ -228,36 +266,55 @@ class Transcriber:
             # (reset after a high-temperature fallback, whisper convention)
             prev: List[int] = []
             for i, chunk in enumerate(chunks):
-                ids, avg_lp, temp = self._decode_chunk_batch(
-                    chunk[None], prev=prev, lang=lang)[0]
+                (res_one, enc1) = self._decode_chunk_batch(
+                    chunk[None], prev=prev, lang=lang)
+                ids, avg_lp, temp = res_one[0]
+                prompt_row = list(self._prompt(1, prev, lang)[0])
                 prev = [] if temp > 0.5 else prev + [
                     t for t in ids if not tk.is_timestamp(t)]
                 offset = i * self.chunk_seconds
                 if self.timestamps:
-                    segments.extend(self._split_segments(ids, offset, avg_lp,
-                                                         temp))
+                    seg_i = self._split_segments(ids, offset, avg_lp, temp)
                 else:
-                    segments.append(Segment(tk.decode(ids), offset,
-                                            offset + self.chunk_seconds,
-                                            avg_lp, temp))
+                    seg_i = [Segment(tk.decode(ids), offset,
+                                     offset + self.chunk_seconds, avg_lp,
+                                     temp)]
+                if self.word_timestamps and ids:
+                    valid = min(len(audio) - i * self.chunk_samples,
+                                self.chunk_samples)
+                    self._attach_words(
+                        seg_i, self._align_words(enc1[0], len(prompt_row),
+                                                 prompt_row + ids, valid),
+                        offset)
+                segments.extend(seg_i)
         else:
             # fixed group shape: a short last group is padded with duplicate
             # chunks so every group compiles with one batch size
             group_size = min(batch_chunks, len(chunks))
+            prompt_row = list(self._prompt(1, None, lang)[0])
             for i in range(0, len(chunks), group_size):
                 group = chunks[i: i + group_size]
                 n_valid = len(group)
                 group = np.stack(group + [group[-1]] * (group_size - n_valid))
-                for j, (ids, avg_lp, temp) in enumerate(
-                        self._decode_chunk_batch(group, lang=lang)[:n_valid]):
+                res_grp, enc_grp = self._decode_chunk_batch(group, lang=lang)
+                for j, (ids, avg_lp, temp) in enumerate(res_grp[:n_valid]):
                     offset = (i + j) * self.chunk_seconds
                     if self.timestamps:
-                        segments.extend(self._split_segments(ids, offset,
-                                                             avg_lp, temp))
+                        seg_i = self._split_segments(ids, offset, avg_lp,
+                                                     temp)
                     else:
-                        segments.append(Segment(tk.decode(ids), offset,
-                                                offset + self.chunk_seconds,
-                                                avg_lp, temp))
+                        seg_i = [Segment(tk.decode(ids), offset,
+                                         offset + self.chunk_seconds,
+                                         avg_lp, temp)]
+                    if self.word_timestamps and ids:
+                        valid = min(len(audio) - (i + j) * self.chunk_samples,
+                                    self.chunk_samples)
+                        self._attach_words(
+                            seg_i,
+                            self._align_words(enc_grp[j], len(prompt_row),
+                                              prompt_row + ids, valid),
+                            offset)
+                    segments.extend(seg_i)
         wall = time.perf_counter() - t0
         return TranscriptionResult(
             text="".join(s.text for s in segments).strip(),

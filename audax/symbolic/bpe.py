@@ -163,6 +163,16 @@ class BPE:
                         ids.extend(self.vocab[c] for c in piece)
         return ids
 
+    def token_bytes(self, i: int) -> "bytes | None":
+        """Raw bytes of one vocab id (None for special tokens/unknown ids).
+        Byte-level pieces do NOT decode independently — UTF-8 sequences can
+        span pieces — so alignment code groups on bytes, not on per-token
+        decode output."""
+        tok = self.id_to_token.get(int(i))
+        if tok is None or tok in self.special_tokens:
+            return None
+        return bytes(_BYTE_DECODER[c] for c in tok)
+
     def decode(self, ids: Sequence[int], *, skip_specials: bool = False) -> str:
         out: List[str] = []
         specials = set(self.special_tokens)

@@ -42,6 +42,25 @@ def test_bf16_forward_and_decode(setup, rng):
     assert out.tokens.shape == (1, 10)
 
 
+def test_bf16_transcriber_serving(setup, rng):
+    """bf16 end-to-end serving: the full Transcriber (frontend f32, encoder +
+    decode in bf16) runs and returns sane segments."""
+    from audax.infer.transcribe import Transcriber
+    tok80 = WhisperTokenizer(train_bpe(["hello world"] * 3, vocab_size=280),
+                             timestamp_count=1501)
+    cfg80 = WhisperConfig(n_mels=80, n_audio_ctx=1500, d_model=32,
+                          encoder_layers=1, decoder_layers=1, heads=2,
+                          vocab_size=tok80.vocab_size, n_text_ctx=48)
+    params80 = init_whisper_params(cfg80, jax.random.key(3))
+    tr = Transcriber(params80, cfg80, tok80, max_new_tokens=8,
+                     temperature_fallback=False, dtype=jnp.bfloat16,
+                     backend="xla")
+    audio = (0.05 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    res = tr.transcribe(audio)
+    assert res.segments and all(np.isfinite(s.avg_logprob)
+                                for s in res.segments)
+
+
 def test_auto_lang_detects_per_call(setup, rng, monkeypatch):
     """lang='auto' must re-detect for every transcribe() call — a reused
     Transcriber (batch_transcribe_to_csv) must not inherit file 1's language."""

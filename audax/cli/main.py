@@ -363,6 +363,42 @@ def cmd_finetune(argv) -> int:
     return 0
 
 
+@command("stream-serve")
+def cmd_stream_serve(argv) -> int:
+    """Live streaming-ASR WebSocket server (first-party RFC 6455 layer over
+    the fixed-slot batched StreamingTranscriber)."""
+    p = argparse.ArgumentParser(prog="audax stream-serve")
+    p.add_argument("--size", default="base")
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--tokenizer-dir", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--batch-slots", type=int, default=8)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from audax.cli.stream_server import serve_streaming
+    from audax.core.runtime import setup
+    from audax.infer.streaming import StreamingTranscriber
+
+    setup()
+    params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
+    st = StreamingTranscriber(
+        params, cfg, tok, batch_slots=args.batch_slots,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    server = serve_streaming(st, host=args.host, port=args.port)
+    log.success("streaming ASR on ws://%s:%d/ws?stream=<id>", args.host,
+                args.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
 @command("bench-rtf")
 def cmd_bench_rtf(argv) -> int:
     """Serving real-time-factor benchmark: synthetic audio through the full
@@ -511,6 +547,8 @@ def cmd_train_music(argv) -> int:
     p.add_argument("--epochs", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--chunk-seconds", type=float, default=10.0)
+    p.add_argument("--note-eval-every", type=int, default=0,
+                   help="run note-level P/R/F1 generation eval every N epochs")
     p.add_argument("--lm-size", default="small",
                    choices=["tiny", "small", "base"])
     args = p.parse_args(argv)
@@ -550,7 +588,8 @@ def cmd_train_music(argv) -> int:
         diagram=TWO_TOWER_DIAGRAM))
     sink = MetricsSink("two_tower", config=tt.asdict())
     state, history = fit_two_tower(model, ds, chunk_seconds=args.chunk_seconds,
-                                   sink=sink, ckpt_dir=args.ckpt_dir)
+                                   sink=sink, ckpt_dir=args.ckpt_dir,
+                                   note_eval_every=args.note_eval_every)
     sink.close()
     print(args.ckpt_dir)
     return 0

@@ -29,7 +29,49 @@ from audax.train.two_tower import (TwoTowerState, init_two_tower_optimizer,
 
 log = get_logger("audax.two_tower")
 
-__all__ = ["collate_music", "fit_two_tower"]
+__all__ = ["collate_music", "fit_two_tower", "eval_note_f1"]
+
+
+def eval_note_f1(model: TwoTowerModel, state: TwoTowerState,
+                 dataset: MusicDataset, idx, frontend: LogMelFrontend,
+                 chunk_seconds: float, *, max_len: int = 256,
+                 onset_tolerance: float = 0.05) -> Dict[str, float]:
+    """Generation-quality validation: sample ABC for ``idx`` examples and
+    score note-level P/R/F1 against each example's ground-truth ABC (parsed
+    back to MIDI), plus the parseable fraction. This is the metric the
+    reference lacked — its MIDI fine-tune collapse ("A5 A5 A5 A5") was only
+    visible by eyeballing CSVs (AB/midiDatasetResults.csv:2-5)."""
+    from audax.eval.music_metrics import abc_note_prf
+    from audax.symbolic.abc_parse import AbcParseError, abc_to_midi
+
+    examples = [dataset[int(i)] for i in idx]
+    if not examples:
+        return {}
+    batch = collate_music(examples, frontend, chunk_seconds)
+    enc = model.encode_audio(batch["mel"])
+    tokens, lengths = model.generate(state.params, enc,
+                                     start_id=dataset.start_id,
+                                     end_id=dataset.end_id, max_len=max_len)
+    tokens = np.asarray(tokens)
+    lengths = np.asarray(lengths)
+    scores = []
+    for row, ex in enumerate(examples):
+        ids = [int(t) for t in tokens[row, 1: lengths[row]]
+               if t != dataset.end_id]
+        abc = dataset.tokenizer.decode(ids, skip_specials=True)
+        try:
+            ref = abc_to_midi(ex.abc)
+        except (AbcParseError, Exception):
+            continue                       # unparseable ground truth: skip
+        scores.append(abc_note_prf(ref, abc, onset_tolerance=onset_tolerance))
+    if not scores:
+        return {}
+    return {
+        "note_f1": float(np.mean([s["f1"] for s in scores])),
+        "note_precision": float(np.mean([s["precision"] for s in scores])),
+        "note_recall": float(np.mean([s["recall"] for s in scores])),
+        "abc_valid_rate": float(np.mean([s["valid"] for s in scores])),
+    }
 
 
 def collate_music(examples: List, frontend: LogMelFrontend,
@@ -75,6 +117,8 @@ def fit_two_tower(
     frontend: Optional[LogMelFrontend] = None,
     plateau_patience: int = 2,
     plateau_factor: float = 0.5,
+    note_eval_every: int = 0,
+    note_eval_samples: int = 4,
 ) -> Tuple[TwoTowerState, Dict]:
     cfg = model.cfg
     frontend = frontend or LogMelFrontend.whisper(model.audio_cfg.n_mels)
@@ -123,6 +167,13 @@ def fit_two_tower(
 
         record = {"epoch": epoch, "train_loss": train_loss,
                   "val_loss": val_loss}
+        if note_eval_every and (epoch + 1) % note_eval_every == 0 \
+                and len(val_idx):
+            nm = eval_note_f1(model, state, dataset,
+                              val_idx[:note_eval_samples], frontend,
+                              chunk_seconds)
+            record.update(nm)
+            history.setdefault("note_f1", []).append(nm.get("note_f1"))
         if sink:
             sink.log(record, step=epoch)
         else:

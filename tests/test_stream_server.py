@@ -1,0 +1,100 @@
+"""WebSocket streaming server: RFC 6455 handshake/frames + end-to-end
+segments over a live socket (stdlib client, masked frames as the RFC
+requires of clients)."""
+
+import base64
+import json
+import os
+import socket
+import struct
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from audax.cli.stream_server import (read_frame, serve_streaming,
+                                     write_frame, ws_handshake_accept,
+                                     OP_BINARY, OP_CLOSE, OP_TEXT)
+from audax.core.config import WhisperConfig
+from audax.infer.streaming import StreamingTranscriber
+from audax.models.whisper import init_whisper_params
+from audax.symbolic.bpe import train_bpe
+from audax.symbolic.tokenizer import WhisperTokenizer
+
+
+def _client_send(sock, opcode, payload: bytes):
+    """Client-side frame write (masked, as RFC 6455 requires)."""
+    mask = os.urandom(4)
+    masked = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+    n = len(payload)
+    header = bytes([0x80 | opcode])
+    if n < 126:
+        header += bytes([0x80 | n])
+    elif n < (1 << 16):
+        header += bytes([0x80 | 126]) + struct.pack(">H", n)
+    else:
+        header += bytes([0x80 | 127]) + struct.pack(">Q", n)
+    sock.sendall(header + mask + masked)
+
+
+def _connect(port, stream_id):
+    sock = socket.create_connection(("127.0.0.1", port), timeout=20)
+    key = base64.b64encode(os.urandom(16)).decode()
+    sock.sendall((
+        f"GET /ws?stream={stream_id} HTTP/1.1\r\n"
+        f"Host: 127.0.0.1:{port}\r\n"
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+        f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+    ).encode())
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        resp += sock.recv(4096)
+    head = resp.decode("latin-1")
+    assert "101" in head.split("\r\n")[0]
+    assert ws_handshake_accept(key) in head
+    return sock
+
+
+def test_handshake_accept_rfc_vector():
+    # the worked example from RFC 6455 §1.3
+    assert ws_handshake_accept("dGhlIHNhbXBsZSBub25jZQ==") == \
+        "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+
+
+def test_streaming_over_websocket(rng):
+    tok = WhisperTokenizer(train_bpe(["hello world"] * 3, vocab_size=280),
+                           timestamp_count=51)
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=50, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=32)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    st = StreamingTranscriber(params, cfg, tok, batch_slots=2,
+                              window_seconds=1.0, max_new_tokens=6,
+                              backend="xla")
+    server = serve_streaming(st, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        sock = _connect(port, "mic0")
+        # 1.5 windows of audio: one full chunk finalizes immediately
+        audio = (0.05 * rng.standard_normal(24000)).astype("<f4")
+        _client_send(sock, OP_BINARY, audio.tobytes())
+        op, payload = read_frame(sock)
+        assert op == OP_TEXT
+        seg = json.loads(payload)
+        assert seg["stream"] == "mic0" and seg["index"] == 0
+        assert seg["audio_seconds"] == pytest.approx(1.0)
+        # flush emits the trailing half window as chunk 1
+        _client_send(sock, OP_TEXT, b"flush")
+        op, payload = read_frame(sock)
+        seg2 = json.loads(payload)
+        assert seg2["index"] == 1
+        # clean close
+        _client_send(sock, OP_CLOSE, struct.pack(">H", 1000))
+        op, _ = read_frame(sock)
+        assert op == OP_CLOSE
+        sock.close()
+    finally:
+        server.shutdown()

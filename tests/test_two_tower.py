@@ -156,3 +156,60 @@ def test_layer_unfreeze_mask_edges():
                                   [0, 0, 0, 0])
     np.testing.assert_array_equal(np.asarray(layer_unfreeze_mask(4, 9)),
                                   [1, 1, 1, 1])
+
+
+def test_fit_two_tower_with_note_f1_eval(tmp_path, rng):
+    """End-to-end loop over a real (tiny) MusicDataset with the note-level
+    generation eval wired in: every epoch record carries note P/R/F1 and the
+    ABC-parseable rate (the metric whose absence hid the reference's
+    'A5 A5 A5 A5' collapse)."""
+    import os
+
+    from audax.core.config import DataGenConfig
+    from audax.data.music_dataset import (ABC_SPECIALS, MusicDataset,
+                                          stage_genparquet, stage_midi2abc,
+                                          stage_midi2wav)
+    from audax.frontend import LogMelFrontend
+    from audax.models.two_tower import build_two_tower
+    from audax.symbolic.bpe import train_bpe
+    from audax.symbolic.midi import MidiFile, Note, Tempo
+    from audax.train.two_tower_loop import fit_two_tower
+
+    midi_dir = tmp_path / "m"
+    os.makedirs(midi_dir)
+    for i in range(4):
+        mf = MidiFile()
+        mf.tempos.append(Tempo(0, 500000))
+        for j in range(3):
+            mf.notes.append(Note(j * 480, 480, 60 + i + 2 * j, 100))
+        mf.save(str(midi_dir / f"x{i}.mid"))
+    wav_dir, abc_dir = str(tmp_path / "w"), str(tmp_path / "a")
+    stage_midi2wav(str(midi_dir), wav_dir, DataGenConfig(chunk_duration_s=2),
+                   workers=1)
+    stage_midi2abc(wav_dir, abc_dir, workers=1)
+    parquet = stage_genparquet(wav_dir, abc_dir, str(tmp_path / "d.parquet"))
+
+    abcs = [open(os.path.join(abc_dir, f)).read()
+            for f in os.listdir(abc_dir) if f.endswith(".abc")]
+    bpe = train_bpe(abcs, vocab_size=320, special_tokens=list(ABC_SPECIALS))
+    ds = MusicDataset(parquet, bpe, max_tokens=48)
+    assert len(ds) == 4
+
+    tt = TwoTowerConfig(adapter_heads=2, top_k_unfrozen_layers=1,
+                        max_target_tokens=48, adapter_lr=3e-3, lm_lr=1e-3,
+                        epochs=1, batch_size=2)
+    audio = WhisperConfig(n_mels=8, n_audio_ctx=100, d_model=24,
+                          encoder_layers=1, decoder_layers=1, heads=2,
+                          vocab_size=40, n_text_ctx=8)
+    lm = CausalLMConfig(vocab_size=len(bpe), d_model=32, layers=2, heads=4,
+                        kv_heads=2, ffn_dim=64, tie_embeddings=True,
+                        rope_theta=1e4)
+    model = build_two_tower(tt, audio, lm, len(bpe), jax.random.key(0))
+    frontend = LogMelFrontend.whisper(8, backend="xla")
+    state, history = fit_two_tower(
+        model, ds, chunk_seconds=2.0, val_fraction=0.5, frontend=frontend,
+        note_eval_every=1, note_eval_samples=2)
+    assert history["train_loss"] and history["val_loss"]
+    assert "note_f1" in history and len(history["note_f1"]) == 1
+    f1 = history["note_f1"][0]
+    assert f1 is not None and 0.0 <= f1 <= 1.0

@@ -27,7 +27,8 @@ from audax.symbolic.midi import MidiFile, Note, Tempo, note_number_to_name
 log = get_logger("audax.datagen")
 
 __all__ = ["make_midi_dataset", "piano_full_range", "render_midi",
-           "MIDI_LABEL_START", "MIDI_LABEL_END"]
+           "MIDI_LABEL_START", "MIDI_LABEL_END", "SYNTH_CLASSES",
+           "make_synthetic_urbansound"]
 
 MIDI_LABEL_START = "<|MIDI|>"
 MIDI_LABEL_END = "<|/MIDI|>"
@@ -140,3 +141,92 @@ def piano_full_range(path: str, *, note_seconds: float = 0.5,
     if path:
         mf.save(path)
     return mf
+
+
+# ----------------------------------------------------- synthetic classes ---
+#: ten synthetic sound classes with distinct spectro-temporal signatures —
+#: the strongest available stand-in for UrbanSound8K (not downloadable in
+#: this environment) to exercise the FULL fold protocol end-to-end
+SYNTH_CLASSES = ("low_tone", "high_tone", "chirp_up", "chirp_down",
+                 "noise_bursts", "pink_noise", "am_tone", "square_stack",
+                 "click_train", "siren")
+
+
+def _synth_clip(class_id: int, rng: np.random.Generator,
+                sample_rate: int = 16000, seconds: float = 4.0) -> np.ndarray:
+    n = int(seconds * sample_rate)
+    t = np.arange(n) / sample_rate
+    jit = float(rng.uniform(0.85, 1.15))
+    amp = float(rng.uniform(0.25, 0.6))
+    x = np.zeros(n)
+    if class_id == 0:      # low tone + harmonics
+        f0 = 180.0 * jit
+        for h, g in ((1, 1.0), (2, 0.4), (3, 0.2)):
+            x += g * np.sin(2 * np.pi * f0 * h * t + rng.uniform(0, 6.28))
+    elif class_id == 1:    # high tone
+        f0 = 3000.0 * jit
+        x = np.sin(2 * np.pi * f0 * t)
+    elif class_id == 2:    # up-chirp
+        f = 200.0 * jit + (3800.0 / seconds) * t
+        x = np.sin(2 * np.pi * np.cumsum(f) / sample_rate)
+    elif class_id == 3:    # down-chirp
+        f = 4000.0 * jit - (3800.0 / seconds) * t
+        x = np.sin(2 * np.pi * np.cumsum(np.maximum(f, 50)) / sample_rate)
+    elif class_id == 4:    # gated white-noise bursts (5 Hz)
+        gate = (np.sin(2 * np.pi * 5.0 * jit * t) > 0).astype(np.float64)
+        x = rng.standard_normal(n) * gate
+    elif class_id == 5:    # pink-ish noise (one-pole lowpass)
+        w = rng.standard_normal(n)
+        a = 0.97
+        for i in range(1, n):
+            w[i] = a * w[i - 1] + (1 - a) * w[i]
+        x = w / (np.abs(w).max() + 1e-9)
+    elif class_id == 6:    # AM tone (8 Hz tremolo)
+        x = (0.5 + 0.5 * np.sin(2 * np.pi * 8.0 * jit * t)) \
+            * np.sin(2 * np.pi * 1000.0 * jit * t)
+    elif class_id == 7:    # odd-harmonic stack (square-ish)
+        f0 = 440.0 * jit
+        for h in (1, 3, 5, 7):
+            x += np.sin(2 * np.pi * f0 * h * t) / h
+    elif class_id == 8:    # click train (10 Hz impulses through a resonance)
+        period = int(sample_rate / (10.0 * jit))
+        x = np.zeros(n)
+        x[::period] = 1.0
+        ring = np.exp(-np.arange(200) / 30.0) \
+            * np.sin(2 * np.pi * 1500.0 * np.arange(200) / sample_rate)
+        x = np.convolve(x, ring)[:n]
+    else:                  # siren: 1 Hz sinusoidal FM 500-1500 Hz
+        f = 1000.0 + 500.0 * np.sin(2 * np.pi * 1.0 * jit * t)
+        x = np.sin(2 * np.pi * np.cumsum(f) / sample_rate)
+    x = amp * x / (np.abs(x).max() + 1e-9)
+    x += 0.01 * rng.standard_normal(n)                  # noise floor
+    return x.astype(np.float32)
+
+
+def make_synthetic_urbansound(root: str, *, per_fold: int = 10,
+                              sample_rate: int = 16000,
+                              seed: int = 0) -> str:
+    """Write a synthetic dataset in the exact UrbanSound8K layout
+    (audio/fold{1..10}/<name>.wav + metadata/UrbanSound8K.csv with
+    slice_file_name/fold/classID/class columns — the contract
+    data/urbansound.py:preprocess_to_parquet consumes). Returns ``root``."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for fold in range(1, 11):
+        d = os.path.join(root, "audio", f"fold{fold}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(per_fold):
+            cid = int(rng.integers(0, len(SYNTH_CLASSES))) \
+                if per_fold < len(SYNTH_CLASSES) else i % len(SYNTH_CLASSES)
+            name = f"f{fold}_{i:03d}_{cid}.wav"
+            write_wav(os.path.join(d, name),
+                      _synth_clip(cid, rng, sample_rate), sample_rate)
+            rows.append({"slice_file_name": name, "fold": fold,
+                         "classID": cid, "class": SYNTH_CLASSES[cid]})
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    pd.DataFrame(rows).to_csv(
+        os.path.join(root, "metadata", "UrbanSound8K.csv"), index=False)
+    log.success("synthetic urbansound: %d clips -> %s", len(rows), root)
+    return root

@@ -17,7 +17,8 @@ from typing import Any, Sequence, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["WHISPER_TP_RULES", "spec_for_path", "shard_params", "param_specs"]
+__all__ = ["WHISPER_TP_RULES", "CAUSAL_LM_TP_RULES", "spec_for_path",
+           "shard_params", "param_specs"]
 
 # (path regex, spec). First match wins. Stacked-layer params carry a leading
 # layer axis -> specs start with None for it.
@@ -33,6 +34,18 @@ WHISPER_TP_RULES: Tuple[Tuple[str, P], ...] = (
     # token embedding: shard vocab rows (memory win, gather on lookup)
     (r"decoder/embed$", P("model", None)),
     # everything else replicated
+)
+
+# Megatron split for the Qwen/LLaMA-family causal LM (models/causal_lm.py):
+# q/k/v and SwiGLU gate/up are column-parallel, o/down row-parallel —
+# one all-reduce per block. GQA note: k/v shard over kv_heads; shard_params
+# falls back to replication when kv_heads doesn't divide the model axis.
+CAUSAL_LM_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r"layers/(q|k|v|gate|up)/kernel", P(None, None, "model")),
+    (r"layers/(q|k|v|gate|up)/bias", P(None, "model")),
+    (r"layers/(o|down)/kernel", P(None, "model", None)),
+    (r"^embed$|/embed$", P("model", None)),
+    (r"lm_head/kernel", P(None, "model")),
 )
 
 

@@ -207,3 +207,31 @@ class TestCompressedAudio:
         encode_audio_file(m4a, x, 16000)
         got2, rate2 = read_audio(m4a)
         assert rate2 == 16000 and got2.shape[0] > 0
+
+
+def test_make_synthetic_urbansound_layout_and_separability(tmp_path, rng):
+    """Generator writes the exact UrbanSound8K layout and the classes are
+    spectrally distinct enough for the protocol to be meaningful."""
+    import pandas as pd
+
+    from audax.data.synth import SYNTH_CLASSES, _synth_clip, \
+        make_synthetic_urbansound
+    from audax.data.urbansound import preprocess_to_parquet
+    from audax.core.config import MelConfig, UrbanSoundConfig
+
+    root = make_synthetic_urbansound(str(tmp_path / "US"), per_fold=3, seed=0)
+    meta = pd.read_csv(os.path.join(root, "metadata", "UrbanSound8K.csv"))
+    assert len(meta) == 30 and sorted(meta["fold"].unique()) == list(range(1, 11))
+    assert set(meta.columns) >= {"slice_file_name", "fold", "classID", "class"}
+    # consumable by the real preprocessing stage
+    us = UrbanSoundConfig(dataset_root=root, parquet_dir=str(tmp_path / "pq"))
+    path = preprocess_to_parquet(us, MelConfig(n_fft=512, hop_length=256,
+                                               n_mels=16))
+    assert os.path.exists(path)
+    # distinct mean spectra between a low tone and a high tone
+    lo = _synth_clip(0, np.random.default_rng(1))
+    hi = _synth_clip(1, np.random.default_rng(1))
+    slo = np.abs(np.fft.rfft(lo[:16000]))
+    shi = np.abs(np.fft.rfft(hi[:16000]))
+    assert np.argmax(slo) < 600 < np.argmax(shi)
+    assert len(SYNTH_CLASSES) == 10

@@ -108,6 +108,49 @@ def test_tp_beam_matches_replicated(rng):
                                atol=1e-3, rtol=1e-4)
 
 
+def test_causal_lm_tp_matches_single_device(rng):
+    """Qwen-family LM under CAUSAL_LM_TP_RULES: TP=2 logits equal the
+    unsharded forward (GQA kv_heads shard too when divisible)."""
+    from audax.models.causal_lm import CausalLMConfig, init_causal_lm, lm_forward
+    from audax.parallel.sharding import CAUSAL_LM_TP_RULES
+
+    cfg = CausalLMConfig(vocab_size=128, d_model=64, layers=2, heads=4,
+                         kv_heads=2, ffn_dim=128, tie_embeddings=True)
+    params = init_causal_lm(cfg, jax.random.key(0))
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 12)), jnp.int32)
+    ref = lm_forward(params, cfg, tokens)
+
+    mesh = make_mesh(MeshConfig(model=2))
+    sharded = shard_params(params, mesh, rules=CAUSAL_LM_TP_RULES)
+    q = sharded["layers"]["q"]["kernel"]
+    assert q.sharding.spec == P(None, None, "model")
+    assert sharded["layers"]["k"]["kernel"].sharding.spec \
+        == P(None, None, "model")          # kv_heads=2 divides model=2
+    tok_s = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    out = jax.jit(lambda p, t: lm_forward(p, cfg, t))(sharded, tok_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_causal_lm_tp_single_kv_head_still_exact(rng):
+    """kv_heads=1 over model=2 splits one KV head's head_dim across devices
+    — a worst case for the layout, but GSPMD must still produce logits equal
+    to the unsharded forward (it reshards where the einsums demand)."""
+    from audax.models.causal_lm import CausalLMConfig, init_causal_lm, lm_forward
+    from audax.parallel.sharding import CAUSAL_LM_TP_RULES
+
+    cfg = CausalLMConfig(vocab_size=64, d_model=32, layers=1, heads=2,
+                         kv_heads=1, ffn_dim=64)
+    params = init_causal_lm(cfg, jax.random.key(0))
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 8)), jnp.int32)
+    ref = lm_forward(params, cfg, tokens)
+    mesh = make_mesh(MeshConfig(model=2))
+    sharded = shard_params(params, mesh, rules=CAUSAL_LM_TP_RULES)
+    out = jax.jit(lambda p, t: lm_forward(p, cfg, t))(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
+
+
 class TestMultihostMesh:
     """DCN-aware mesh construction (pure layout logic, faked device lists —
     no real multi-host needed, per SURVEY.md §2.3 'ICI within slice, DCN

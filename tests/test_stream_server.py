@@ -39,7 +39,9 @@ def _client_send(sock, opcode, payload: bytes):
 
 
 def _connect(port, stream_id):
-    sock = socket.create_connection(("127.0.0.1", port), timeout=20)
+    # generous timeout: under -n 4 the first XLA compile shares a
+    # loaded box with three other workers
+    sock = socket.create_connection(("127.0.0.1", port), timeout=180)
     key = base64.b64encode(os.urandom(16)).decode()
     sock.sendall((
         f"GET /ws?stream={stream_id} HTTP/1.1\r\n"
@@ -72,6 +74,9 @@ def test_streaming_over_websocket(rng):
     st = StreamingTranscriber(params, cfg, tok, batch_slots=2,
                               window_seconds=1.0, max_new_tokens=6,
                               backend="xla")
+    # pre-compile the batched step so socket reads don't race the compiler
+    st.feed("warm", np.zeros(16000, np.float32))
+    st.drain()
     server = serve_streaming(st, port=0)
     port = server.server_address[1]
     thread = threading.Thread(target=server.serve_forever, daemon=True)

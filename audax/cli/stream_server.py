@@ -161,10 +161,12 @@ class _Handler(socketserver.BaseRequestHandler):
             while True:
                 opcode, payload = read_frame(sock)
                 if opcode == OP_CLOSE:
-                    write_frame(sock, OP_CLOSE, payload[:2])
+                    with hub.lock:          # sends serialize with pump()
+                        write_frame(sock, OP_CLOSE, payload[:2])
                     break
                 if opcode == OP_PING:
-                    write_frame(sock, OP_PONG, payload)
+                    with hub.lock:
+                        write_frame(sock, OP_PONG, payload)
                     continue
                 if opcode == OP_BINARY:
                     samples = np.frombuffer(payload, dtype="<f4")

@@ -136,6 +136,11 @@ class Transcriber:
         self.chunk_seconds = float(chunk_seconds)
         self.chunk_samples = int(self.chunk_seconds
                                  * self.frontend.cfg.sample_rate)
+        # whisper's SuppressTokens filter: control tokens are never *emitted*
+        # (EOT excepted; timestamps are governed by TimestampRules instead)
+        self.suppress = np.asarray(
+            [i for i in tokenizer.special_ids() if i != tokenizer.eot],
+            np.int32)
 
     def _prompt(self, n: int, prev: Optional[List[int]] = None,
                 lang: Optional[str] = None) -> np.ndarray:
@@ -159,6 +164,7 @@ class Transcriber:
         return generate(self.params, self.cfg, enc, jnp.asarray(prompt),
                         max_len=max_len, eos_id=tk.eot,
                         temperature=temperature, timestamps=rules,
+                        suppress=jnp.asarray(self.suppress),
                         dtype=self.dtype)
 
     def _align_words(self, enc_row, prompt_len: int, prompt_and_ids,

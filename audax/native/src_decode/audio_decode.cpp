@@ -36,7 +36,9 @@ void append_frame(const AVFrame* fr, int channels, std::vector<float>& out) {
     float* dst = out.data() + start;
 
     auto sample = [&](int ch, int i) -> float {
-        const uint8_t* plane = planar ? fr->data[ch] : fr->data[0];
+        // extended_data covers >8-channel planar audio; aliases data[] below
+        const uint8_t* plane = planar ? fr->extended_data[ch]
+                                      : fr->extended_data[0];
         const int idx = planar ? i : i * channels + ch;
         switch (base) {
             case AV_SAMPLE_FMT_FLT:

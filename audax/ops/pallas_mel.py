@@ -164,6 +164,8 @@ def log_mel_overlap(
         t_true = n // cfg.hop_length + 1
     else:
         t_true = max(0, (n - cfg.n_fft) // cfg.hop_length + 1)
+    if t_true == 0:                     # sub-window input, center=False
+        return jnp.zeros(lead + (0, cfg.n_mels), jnp.float32)
     rows = min(tile_t, _pad_to(max(t_true, 8), 8))
     n_tiles = -(-t_true // rows)
     # block planes: plane p holds blocks p, p+adv, ... — each plane needs

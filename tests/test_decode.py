@@ -111,3 +111,28 @@ def test_batch_transcribe_csv(tiny_transcriber, tmp_path, rng):
     assert "error" in rows[2]
     assert os.path.exists(csv_path)
     assert os.path.exists(str(tmp_path / "memo0.txt"))
+
+
+def test_transcriber_suppresses_control_tokens(rng):
+    """Generated output must never contain control tokens (whisper's
+    SuppressTokens filter); EOT is the only allowed special."""
+    from audax.core.config import WhisperConfig
+    from audax.infer.transcribe import Transcriber
+    from audax.models.whisper import init_whisper_params
+    from audax.symbolic.bpe import train_bpe
+    from audax.symbolic.tokenizer import WhisperTokenizer
+
+    tok = WhisperTokenizer(train_bpe(["hello world"] * 3, vocab_size=280),
+                           timestamp_count=1501)
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=300, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=48)
+    params = init_whisper_params(cfg, jax.random.key(5))
+    tr = Transcriber(params, cfg, tok, max_new_tokens=16,
+                     temperature_fallback=False, backend="xla")
+    audio = (0.05 * rng.standard_normal(16000 * 3)).astype(np.float32)
+    banned = set(tok.special_ids()) - {tok.eot}
+    res_one, _ = tr._decode_chunk_batch(
+        np.asarray(audio[: tr.chunk_samples])[None])
+    ids = res_one[0][0]
+    assert not (set(ids) & banned), set(ids) & banned

@@ -510,6 +510,68 @@ def cmd_bench_rtf(argv) -> int:
     return 0 if rtf <= 0.05 else 1
 
 
+@command("bench-train")
+def cmd_bench_train(argv) -> int:
+    """Fine-tune step throughput on the chip: jitted seq2seq train step
+    (optionally LoRA) over 30 s windows — the BASELINE north-star config
+    ('LoRA fine-tuning runs as pjit data-parallel over ICI')."""
+    p = argparse.ArgumentParser(prog="audax bench-train")
+    p.add_argument("--size", default="tiny")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lora-rank", type=int, default=8)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--label-len", type=int, default=32)
+    args = p.parse_args(argv)
+
+    import json
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audax.core.config import FineTuneConfig
+    from audax.core.runtime import setup
+    from audax.train.seq2seq import (collate_seq2seq, init_finetune,
+                                     make_finetune_step)
+
+    setup()
+    params, cfg, tok = _load_whisper(args.size, "", "")
+    ft = FineTuneConfig(learning_rate=1e-4, warmup_steps=1, max_steps=10,
+                        lora_rank=args.lora_rank)
+    state = init_finetune(params, ft)
+    step = make_finetune_step(cfg, remat=True)
+
+    rng = np.random.default_rng(0)
+    b = args.batch_size
+    mel = jnp.asarray(rng.standard_normal(
+        (b, 2 * cfg.n_audio_ctx, cfg.n_mels)).astype(np.float32))
+    rows = [list(rng.integers(3, cfg.vocab_size - 1, args.label_len))
+            for _ in range(b)]
+    lab = collate_seq2seq(rows, decoder_start_id=1)
+    batch = {"mel": mel,
+             "decoder_input_ids": jnp.asarray(lab["decoder_input_ids"]),
+             "labels": jnp.asarray(lab["labels"])}
+
+    @jax.jit
+    def checksum(m):
+        return m["loss"]
+
+    state, m = step(state, batch)                    # compile
+    np.asarray(checksum(m))
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, m = step(state, batch)
+    np.asarray(checksum(m))                          # 4-byte sync
+    dt = (time.perf_counter() - t0) / args.steps
+    print(json.dumps({
+        "metric": "finetune_examples_per_sec", "size": args.size,
+        "lora_rank": args.lora_rank, "batch_size": b,
+        "value": round(b / dt, 2), "sec_per_step": round(dt, 4),
+        "audio_seconds_per_sec": round(b * 30.0 / dt, 1)}))
+    return 0
+
+
 @command("memo2wav")
 def cmd_memo2wav(argv) -> int:
     """Batch-convert voice memos (m4a/mp3/...) to 16 kHz mono 16-bit WAV

@@ -230,3 +230,39 @@ def test_classifier_resume(tmp_path, rng):
     assert len(hist["train_loss"]) == 2    # only epochs 2,3 ran
     assert mgr.latest_step() == 3
     mgr.close()
+
+
+def test_demo_server_compressed_upload(tmp_path, rng):
+    """Non-WAV uploads (browser webm/m4a) decode through the in-process C++
+    module — no ffmpeg binary needed."""
+    from audax.cli.demo_ui import serve
+    from audax.native.bindings import decode_available, encode_audio_file
+
+    if not decode_available():
+        pytest.skip("system ffmpeg libraries unavailable")
+
+    class FakeResult:
+        text = "compressed ok"
+        rtf = 0.01
+
+    class FakeTranscriber:
+        def transcribe(self, audio):
+            assert len(audio) > 1000
+            return FakeResult()
+
+    server = serve(FakeTranscriber(), port=0, dataset_dir=str(tmp_path))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        m4a = str(tmp_path / "up.m4a")
+        encode_audio_file(m4a, (0.3 * rng.standard_normal(32000))
+                          .astype(np.float32), 16000)
+        body = open(m4a, "rb").read()
+        assert body[:4] != b"RIFF"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe?model=original", data=body)
+        out = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        assert out["text"] == "compressed ok"
+    finally:
+        server.shutdown()

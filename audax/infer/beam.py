@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from audax.core.config import WhisperConfig
+from audax.infer.decode import TimestampRules, apply_timestamp_rules
 from audax.models.whisper import (KVCache, decode_step, init_kv_cache,
                                   precompute_cross_kv)
 
@@ -33,7 +34,7 @@ class BeamResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_len", "eos_id", "beam_width", "dtype",
-                     "mesh"))
+                     "mesh", "timestamps"))
 def beam_search(
     params,
     cfg: WhisperConfig,
@@ -44,6 +45,7 @@ def beam_search(
     eos_id: int,
     beam_width: int = 5,
     suppress: Optional[jnp.ndarray] = None,
+    timestamps: Optional[TimestampRules] = None,
     dtype=jnp.float32,
     mesh=None,                    # jax.sharding.Mesh with a 'model' axis
 ) -> BeamResult:
@@ -80,6 +82,9 @@ def beam_search(
         scores: jnp.ndarray      # [B*W] sum logprob
         done: jnp.ndarray        # [B*W]
         lengths: jnp.ndarray     # [B*W]
+        prev_ts: jnp.ndarray     # [B*W] timestamp-rule carries
+        prevprev_ts: jnp.ndarray
+        last_ts: jnp.ndarray
 
     def cond(c: Carry):
         return jnp.logical_and(c.pos < max_len - 1, ~jnp.all(c.done))
@@ -87,12 +92,17 @@ def beam_search(
     def body(c: Carry):
         logits, cache = decode_step(params, cfg, c.tokens[:, c.pos], c.pos,
                                     c.cache, cross_kv, dtype)
-        # suppress BEFORE log_softmax so remaining logprobs renormalize over
-        # the allowed vocabulary (matches decode.py's constrain ordering and
-        # whisper's SuppressTokens logit filter)
+        # suppress/constrain BEFORE log_softmax so remaining logprobs
+        # renormalize over the allowed vocabulary (matches decode.py's
+        # constrain ordering and whisper's logit filters)
         logits = logits.astype(jnp.float32)
         if suppress is not None and suppress.size:
             logits = logits.at[:, suppress].set(neg_inf)
+        if timestamps is not None:
+            logits = apply_timestamp_rules(
+                logits, timestamps, first=c.pos + 1 == p_len,
+                prev_ts=c.prev_ts, prevprev_ts=c.prevprev_ts,
+                last_ts=c.last_ts)
         logp = jax.nn.log_softmax(logits, -1)
         v = logp.shape[-1]
         in_prompt = c.pos + 1 < p_len
@@ -127,16 +137,35 @@ def beam_search(
         nxt = jnp.where(done, eos_id, nxt)
         tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, c.pos + 1))
 
+        if timestamps is not None:
+            is_ts = nxt >= timestamps.timestamp_begin
+            prevprev_ts = jnp.where(in_prompt, pick(c.prevprev_ts),
+                                    pick(c.prev_ts))
+            prev_ts = jnp.where(in_prompt, pick(c.prev_ts), is_ts)
+            last_ts = jnp.where(jnp.logical_and(is_ts, ~in_prompt),
+                                jnp.maximum(pick(c.last_ts), nxt),
+                                pick(c.last_ts))
+        else:
+            prev_ts = pick(c.prev_ts)
+            prevprev_ts = pick(c.prevprev_ts)
+            last_ts = pick(c.last_ts)
+
         newly_done = jnp.logical_and(~in_prompt,
                                      jnp.logical_and(~done, nxt == eos_id))
         lengths = jnp.where(newly_done, c.pos + 2, lengths)
         done = jnp.logical_or(done, newly_done)
-        return Carry(c.pos + 1, tokens, cache, scores, done, lengths)
+        return Carry(c.pos + 1, tokens, cache, scores, done, lengths,
+                     prev_ts, prevprev_ts, last_ts)
 
+    ts0 = timestamps.timestamp_begin if timestamps is not None else 0
     final = lax.while_loop(
         cond, body,
         Carry(jnp.int32(0), tokens, cache, init_scores,
-              jnp.zeros((bw,), bool), jnp.full((bw,), max_len, jnp.int32)))
+              jnp.zeros((bw,), bool), jnp.full((bw,), max_len, jnp.int32),
+              # prevprev starts True: the opening timestamp completes a
+              # "pair" (openai len(seq)<2 rule) — see decode.py
+              jnp.zeros((bw,), bool), jnp.ones((bw,), bool),
+              jnp.full((bw,), ts0, jnp.int32)))
 
     tokens = final.tokens.reshape(b, w, max_len)
     lengths = final.lengths.reshape(b, w)

@@ -32,13 +32,38 @@ from jax import lax
 from audax.core.config import WhisperConfig
 from audax.models.whisper import KVCache, decode_step, init_kv_cache, precompute_cross_kv
 
-__all__ = ["generate", "GenerateResult", "TimestampRules"]
+__all__ = ["generate", "GenerateResult", "TimestampRules",
+           "apply_timestamp_rules"]
 
 
 class TimestampRules(NamedTuple):
     """Static tokenizer facts needed to enforce whisper timestamp structure."""
     timestamp_begin: int
     eot_id: int
+
+
+def apply_timestamp_rules(logits, rules: TimestampRules, *, first,
+                          prev_ts, prevprev_ts, last_ts):
+    """Mask ``logits`` [B, V] per whisper's timestamp structure. ``first`` is
+    a scalar bool (first generated position); the ``*_ts`` carries are [B].
+    Shared by greedy/sampling decode and beam search."""
+    neg_inf = jnp.finfo(jnp.float32).min
+    ts0 = rules.timestamp_begin
+    vocab_ids = jnp.arange(logits.shape[-1])
+    is_ts_col = (vocab_ids >= ts0)[None, :]
+    is_eot_col = (vocab_ids == rules.eot_id)[None, :]
+    must_ts = jnp.logical_or(
+        first, jnp.logical_and(prev_ts, ~prevprev_ts))  # [B]
+    after_pair = jnp.logical_and(prev_ts, prevprev_ts)
+    ban = jnp.where(
+        must_ts[:, None],
+        jnp.logical_and(~is_ts_col, ~is_eot_col),       # text banned
+        jnp.where(after_pair[:, None],
+                  is_ts_col,                            # timestamps banned
+                  jnp.zeros_like(is_ts_col)))
+    below = vocab_ids[None, :] < last_ts[:, None]
+    ban = jnp.logical_or(ban, jnp.logical_and(is_ts_col, below))
+    return jnp.where(ban, neg_inf, logits)
 
 
 class GenerateResult(NamedTuple):
@@ -105,25 +130,10 @@ def generate(
         if suppress is not None and suppress.size:
             logits = logits.at[:, suppress].set(neg_inf)
         if timestamps is not None:
-            ts0 = timestamps.timestamp_begin
-            vocab_ids = jnp.arange(logits.shape[-1])
-            is_ts_col = (vocab_ids >= ts0)[None, :]
-            is_eot_col = (vocab_ids == timestamps.eot_id)[None, :]
-            first = carry.pos + 1 == p_len                       # scalar
-            # pair structure ([B] masks)
-            must_ts = jnp.logical_or(
-                first, jnp.logical_and(carry.prev_ts, ~carry.prevprev_ts))
-            after_pair = jnp.logical_and(carry.prev_ts, carry.prevprev_ts)
-            ban = jnp.where(
-                must_ts[:, None],
-                jnp.logical_and(~is_ts_col, ~is_eot_col),   # text banned
-                jnp.where(after_pair[:, None],
-                          is_ts_col,                        # timestamps banned
-                          jnp.zeros_like(is_ts_col)))
-            # monotonicity: timestamps below the last one are banned
-            below = vocab_ids[None, :] < carry.last_ts[:, None]
-            ban = jnp.logical_or(ban, jnp.logical_and(is_ts_col, below))
-            logits = jnp.where(ban, neg_inf, logits)
+            logits = apply_timestamp_rules(
+                logits, timestamps, first=carry.pos + 1 == p_len,
+                prev_ts=carry.prev_ts, prevprev_ts=carry.prevprev_ts,
+                last_ts=carry.last_ts)
         return logits
 
     class Carry(NamedTuple):

@@ -28,7 +28,8 @@ from audax.frontend import LogMelFrontend, pad_or_trim
 from audax.infer.align import (WordTiming,
                                cross_attention_weights,
                                word_timings)
-from audax.infer.decode import TimestampRules, generate
+from audax.infer.decode import (GenerateResult, TimestampRules,
+                                generate)
 from audax.models.whisper import encode
 from audax.symbolic.tokenizer import WhisperTokenizer
 
@@ -115,6 +116,7 @@ class Transcriber:
                  condition_on_previous: bool = False,
                  chunk_seconds: Optional[float] = None,
                  word_timestamps: bool = False,
+                 beam_width: int = 1,
                  dtype=jnp.float32, backend: Optional[str] = None):
         self.params = params
         self.cfg = cfg
@@ -125,6 +127,9 @@ class Transcriber:
         self.temperature_fallback = temperature_fallback
         self.condition_on_previous = condition_on_previous
         self.word_timestamps = word_timestamps
+        #: >1 enables beam search at temperature 0 (whisper's
+        #: transcribe(beam_size=K): beam first, sampling on fallback)
+        self.beam_width = beam_width
         self.dtype = dtype
         self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
         # chunk window defaults to the model's audio capacity: n_audio_ctx
@@ -161,6 +166,19 @@ class Transcriber:
         rules = (TimestampRules(tk.timestamp_begin, tk.eot)
                  if self.timestamps else None)
         max_len = min(prompt.shape[1] + self.max_new_tokens, self.cfg.n_text_ctx)
+        if self.beam_width > 1 and temperature == 0.0:
+            # whisper's ladder: beam at t=0, sampling on hotter retries
+            from audax.infer.beam import beam_search
+            res = beam_search(self.params, self.cfg, enc,
+                              jnp.asarray(prompt), max_len=max_len,
+                              eos_id=tk.eot, beam_width=self.beam_width,
+                              suppress=jnp.asarray(self.suppress),
+                              timestamps=rules, dtype=self.dtype)
+            # top hypothesis, shaped like a GenerateResult
+            lengths = res.lengths[:, 0]
+            gen_count = jnp.maximum(lengths - prompt.shape[1], 1)
+            return GenerateResult(res.tokens[:, 0], lengths,
+                                  res.scores[:, 0] * gen_count, gen_count)
         return generate(self.params, self.cfg, enc, jnp.asarray(prompt),
                         max_len=max_len, eos_id=tk.eot,
                         temperature=temperature, timestamps=rules,

@@ -76,3 +76,41 @@ def test_beam_suppress(model, rng):
                       beam_width=2, suppress=banned)
     gen = np.asarray(out.tokens[0, :, 1:])
     assert not set(gen.ravel().tolist()) & set(np.asarray(banned).tolist())
+
+
+def test_transcriber_beam_mode(rng):
+    """Transcriber(beam_width=K): beam decode at temperature 0, with
+    timestamp rules enforced inside the beam (first token is a timestamp,
+    monotonic, no doubled opener)."""
+    import numpy as np
+
+    from audax.infer.transcribe import Transcriber
+    from audax.symbolic.bpe import train_bpe
+    from audax.symbolic.tokenizer import WhisperTokenizer
+
+    tok = WhisperTokenizer(train_bpe(["hello world how are you"] * 4,
+                                     vocab_size=280), timestamp_count=1501)
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=300, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=48)
+    params = init_whisper_params(cfg, jax.random.key(7))
+    tr = Transcriber(params, cfg, tok, max_new_tokens=12, timestamps=True,
+                     temperature_fallback=False, beam_width=3, backend="xla")
+    audio = (0.05 * rng.standard_normal(16000 * 3)).astype(np.float32)
+    (res_one, _) = tr._decode_chunk_batch(
+        np.asarray(audio[: tr.chunk_samples])[None])
+    ids, avg_lp, temp = res_one[0]
+    assert temp == 0.0 and np.isfinite(avg_lp)
+    assert ids and tok.is_timestamp(ids[0])
+    prev, prevprev, last = False, True, -1
+    for t in ids:
+        if tok.is_timestamp(t):
+            assert t >= last
+            last = t
+            assert not (prev and prevprev), "timestamp after completed pair"
+        else:
+            assert not (prev and not prevprev), "text after lone timestamp"
+        prevprev, prev = prev, tok.is_timestamp(t)
+    # full transcribe with segments also works in beam mode
+    out = tr.transcribe(audio)
+    assert out.segments

@@ -271,11 +271,27 @@ def cmd_transcribe(argv) -> int:
     p.add_argument("--ckpt", default="")
     p.add_argument("--tokenizer-dir", default="")
     p.add_argument("--csv", default="transcriptions.csv")
-    p.add_argument("--lang", default="en")
+    p.add_argument("--lang", default="en",
+                   help="language code, or 'auto' for per-file detection")
+    p.add_argument("--timestamps", action="store_true",
+                   help="timestamp-rule decoding into timed segments")
+    p.add_argument("--word-timestamps", action="store_true",
+                   help="word-level timings via cross-attention alignment")
+    p.add_argument("--beam-width", type=int, default=1,
+                   help=">1 = beam search at temperature 0")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args(argv)
+    import jax.numpy as jnp
+
     from audax.infer.transcribe import Transcriber, batch_transcribe_to_csv
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
-    tr = Transcriber(params, cfg, tok, lang=args.lang)
+    tr = Transcriber(params, cfg, tok, lang=args.lang,
+                     timestamps=args.timestamps,
+                     word_timestamps=args.word_timestamps,
+                     beam_width=args.beam_width,
+                     dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                     else jnp.float32)
     paths = []
     for w in args.wavs:
         paths.extend(sorted(glob.glob(os.path.join(w, "*.wav")))

@@ -88,6 +88,10 @@ class StreamingTranscriber:
         prompt = tokenizer.sot_sequence(lang=lang)
         self._prompt = np.asarray([prompt] * batch_slots, np.int32)
         self._max_len = min(len(prompt) + max_new_tokens, cfg.n_text_ctx)
+        # control tokens are never emitted (whisper SuppressTokens)
+        self._suppress = np.asarray(
+            [i for i in tokenizer.special_ids() if i != tokenizer.eot],
+            np.int32)
 
     # ---------------------------------------------------------- feeding ---
     def feed(self, stream_id: str, samples: np.ndarray) -> None:
@@ -131,6 +135,7 @@ class StreamingTranscriber:
         result = generate(self.params, self.cfg, enc,
                           jnp.asarray(self._prompt),
                           max_len=self._max_len, eos_id=self.tokenizer.eot,
+                          suppress=jnp.asarray(self._suppress),
                           dtype=self.dtype)
         tokens = np.asarray(result.tokens)
         lengths = np.asarray(result.lengths)

@@ -62,7 +62,9 @@ def cmd_preprocess(argv) -> int:
     us = UrbanSoundConfig.from_env()
     if args.dataset_root:
         us = replace(us, dataset_root=args.dataset_root)
+    from audax.core.runtime import setup
     from audax.data.urbansound import preprocess_to_parquet
+    setup()
     path = preprocess_to_parquet(us, _mel_from_args(args), args.out,
                                  limit=args.limit or None)
     print(path)
@@ -106,6 +108,7 @@ def _classifier_common(argv, model_kind: str, train: bool) -> int:
     args = p.parse_args(argv)
 
     from audax.core.artifacts import stamped_name
+    from audax.core.runtime import setup
     from audax.data.urbansound import load_split
     from audax.eval.metrics import (URBANSOUND8K_CLASSES, classification_report,
                                     plot_confusion_matrix)
@@ -115,6 +118,7 @@ def _classifier_common(argv, model_kind: str, train: bool) -> int:
     from audax.train.metrics_sink import MetricsSink
     from audax.train.steps import make_classifier_steps
 
+    setup()
     us = UrbanSoundConfig.from_env()
     tc = ClassifierTrainConfig.from_env()
     if args.epochs: tc = replace(tc, epochs=args.epochs)
@@ -284,7 +288,9 @@ def cmd_transcribe(argv) -> int:
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
+    from audax.core.runtime import setup
     from audax.infer.transcribe import Transcriber, batch_transcribe_to_csv
+    setup()
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
     tr = Transcriber(params, cfg, tok, lang=args.lang,
                      timestamps=args.timestamps,
@@ -325,11 +331,13 @@ def cmd_finetune(argv) -> int:
     args = p.parse_args(argv)
 
     from audax.core.config import FineTuneConfig, MelConfig
+    from audax.core.runtime import setup
     from audax.infer.transcribe import Transcriber
     from audax.train.checkpoints import save_pytree
     from audax.train.finetune_loop import build_speech_dataset, finetune_whisper
     from audax.train.metrics_sink import MetricsSink
 
+    setup()
     ft = FineTuneConfig.from_env()
     if args.steps:
         ft = replace(ft, max_steps=args.steps)
@@ -632,7 +640,9 @@ def cmd_finetune_proof(argv) -> int:
 
     import json
 
+    from audax.core.runtime import setup
     from audax.train.finetune_loop import midi_finetune_proof
+    setup()
     out = midi_finetune_proof(
         args.out, num_items=args.items, notes_per_item=args.notes,
         steps=args.steps, chunk_seconds=args.chunk_seconds,
@@ -703,6 +713,7 @@ def cmd_train_music(argv) -> int:
 
     import jax
     from audax.core.config import TwoTowerConfig, WhisperConfig
+    from audax.core.runtime import setup as _setup
     from audax.data.music_dataset import MusicDataset
     from audax.models.causal_lm import CausalLMConfig
     from audax.models.two_tower import build_two_tower
@@ -711,6 +722,7 @@ def cmd_train_music(argv) -> int:
     from audax.train.two_tower_loop import fit_two_tower
     from audax.utils.reports import TWO_TOWER_DIAGRAM, model_report
 
+    _setup()
     tt = TwoTowerConfig.from_env()
     if args.epochs:
         tt = replace(tt, epochs=args.epochs)
@@ -761,6 +773,7 @@ def cmd_infer_music(argv) -> int:
     import jax.numpy as jnp
     import numpy as np
     from audax.core.config import TwoTowerConfig, WhisperConfig
+    from audax.core.runtime import setup as _setup
     from audax.data.audio_io import read_wav, resample, to_mono
     from audax.frontend import LogMelFrontend, pad_or_trim
     from audax.models.causal_lm import CausalLMConfig

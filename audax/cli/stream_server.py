@@ -60,8 +60,15 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
-def read_frame(sock: socket.socket) -> Tuple[int, bytes]:
-    """Read one (possibly fragmented) frame; returns (opcode, payload)."""
+def read_frame(sock: socket.socket, on_control=None) -> Tuple[int, bytes]:
+    """Read one complete MESSAGE (merging continuation fragments).
+
+    Control frames (opcode >= 8) may legally arrive BETWEEN fragments of a
+    data message (RFC 6455 §5.4); they are dispatched to ``on_control``
+    immediately (never merged into the data payload). Without a handler, a
+    control frame is returned directly when no data fragments are pending,
+    and answered inline is the caller's job.
+    """
     opcode = None
     payload = b""
     while True:
@@ -78,7 +85,16 @@ def read_frame(sock: socket.socket) -> Tuple[int, bytes]:
         data = _recv_exact(sock, length) if length else b""
         if masked:
             data = bytes(c ^ mask[i % 4] for i, c in enumerate(data))
-        if op != 0:                 # first fragment carries the opcode
+        if op >= OP_CLOSE:                       # control frame
+            if on_control is not None:
+                on_control(op, data)
+                if op == OP_CLOSE:
+                    return op, data              # connection is ending
+                continue                         # keep reading the message
+            if opcode is None:
+                return op, data
+            continue                             # no handler: drop mid-msg
+        if op != 0:                              # first fragment's opcode
             opcode = op
         payload += data
         if fin:
@@ -157,17 +173,22 @@ class _Handler(socketserver.BaseRequestHandler):
         with hub.lock:
             hub.conns[stream_id] = sock
         log.info("stream %s connected", stream_id)
+        closing = False
+
+        def on_control(op, data):
+            nonlocal closing
+            with hub.lock:                  # sends serialize with pump()
+                if op == OP_PING:
+                    write_frame(sock, OP_PONG, data)
+                elif op == OP_CLOSE:
+                    write_frame(sock, OP_CLOSE, data[:2])
+                    closing = True
+
         try:
-            while True:
-                opcode, payload = read_frame(sock)
-                if opcode == OP_CLOSE:
-                    with hub.lock:          # sends serialize with pump()
-                        write_frame(sock, OP_CLOSE, payload[:2])
+            while not closing:
+                opcode, payload = read_frame(sock, on_control)
+                if opcode == OP_CLOSE or closing:
                     break
-                if opcode == OP_PING:
-                    with hub.lock:
-                        write_frame(sock, OP_PONG, payload)
-                    continue
                 if opcode == OP_BINARY:
                     samples = np.frombuffer(payload, dtype="<f4")
                     with hub.lock:

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from audax.core.config import WhisperConfig
-from audax.infer.decode import TimestampRules, apply_timestamp_rules
+from audax.infer.decode import (TimestampRules, apply_timestamp_rules,
+                                tp_shard_kv)
 from audax.models.whisper import (KVCache, decode_step, init_kv_cache,
                                   precompute_cross_kv)
 
@@ -59,15 +60,8 @@ def beam_search(
     cross_kv = precompute_cross_kv(params, cfg, enc_rep)
     cache = init_kv_cache(cfg, bw, max_len, dtype)
     if mesh is not None:
-        # TP: shard all KV over heads on 'model' (see decode.py:generate)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        model_ok = cfg.heads % mesh.shape.get("model", 1) == 0
-        spec = P(None, None, "model" if model_ok else None, None, None)
-        heads_sharded = NamedSharding(mesh, spec)
-        constrain = functools.partial(jax.lax.with_sharding_constraint,
-                                      shardings=heads_sharded)
-        cross_kv = jax.tree.map(constrain, cross_kv)
-        cache = jax.tree.map(constrain, cache)
+        # TP: heads over 'model', beam-flattened batch over 'data'
+        cross_kv, cache = tp_shard_kv(mesh, cfg, cross_kv, cache, bw)
     tokens = jnp.zeros((bw, max_len), jnp.int32)
     tokens = lax.dynamic_update_slice(tokens, jnp.repeat(prompt, w, 0), (0, 0))
 
@@ -157,7 +151,8 @@ def beam_search(
         return Carry(c.pos + 1, tokens, cache, scores, done, lengths,
                      prev_ts, prevprev_ts, last_ts)
 
-    ts0 = timestamps.timestamp_begin if timestamps is not None else 0
+    # last_ts starts one below timestamp_begin: "no timestamp emitted yet"
+    ts0 = timestamps.timestamp_begin - 1 if timestamps is not None else 0
     final = lax.while_loop(
         cond, body,
         Carry(jnp.int32(0), tokens, cache, init_scores,

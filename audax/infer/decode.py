@@ -33,7 +33,21 @@ from audax.core.config import WhisperConfig
 from audax.models.whisper import KVCache, decode_step, init_kv_cache, precompute_cross_kv
 
 __all__ = ["generate", "GenerateResult", "TimestampRules",
-           "apply_timestamp_rules"]
+           "apply_timestamp_rules", "tp_shard_kv"]
+
+
+def tp_shard_kv(mesh, cfg: WhisperConfig, cross_kv, cache, batch: int):
+    """Sharding-constrain decode KV tensors [layers, B, H, len, hd] over the
+    mesh: heads on 'model' (Megatron split), batch on 'data' — each only when
+    divisible. One definition serves generate() and beam_search()."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    model_ok = cfg.heads % mesh.shape.get("model", 1) == 0
+    data_ok = batch % mesh.shape.get("data", 1) == 0
+    sharding = NamedSharding(mesh, P(None, "data" if data_ok else None,
+                                     "model" if model_ok else None,
+                                     None, None))
+    constrain = lambda x: jax.lax.with_sharding_constraint(x, sharding)
+    return jax.tree.map(constrain, cross_kv), jax.tree.map(constrain, cache)
 
 
 class TimestampRules(NamedTuple):
@@ -45,15 +59,21 @@ class TimestampRules(NamedTuple):
 def apply_timestamp_rules(logits, rules: TimestampRules, *, first,
                           prev_ts, prevprev_ts, last_ts):
     """Mask ``logits`` [B, V] per whisper's timestamp structure. ``first`` is
-    a scalar bool (first generated position); the ``*_ts`` carries are [B].
-    Shared by greedy/sampling decode and beam search."""
+    a scalar bool (first generated position); the ``*_ts`` carries are [B],
+    with ``last_ts`` initialized to ``timestamp_begin - 1`` (= nothing
+    emitted yet). Shared by greedy/sampling decode and beam search.
+
+    Monotonicity follows openai's ApplyTimestampRules exactly: mid-pair the
+    closing timestamp may EQUAL the opener, but a new segment's opener must
+    be STRICTLY greater than the last timestamp — each segment has nonzero
+    width, so a degenerate model can't loop zero-length segments forever."""
     neg_inf = jnp.finfo(jnp.float32).min
     ts0 = rules.timestamp_begin
     vocab_ids = jnp.arange(logits.shape[-1])
     is_ts_col = (vocab_ids >= ts0)[None, :]
     is_eot_col = (vocab_ids == rules.eot_id)[None, :]
-    must_ts = jnp.logical_or(
-        first, jnp.logical_and(prev_ts, ~prevprev_ts))  # [B]
+    mid_pair = jnp.logical_and(prev_ts, ~prevprev_ts)   # [B]
+    must_ts = jnp.logical_or(first, mid_pair)
     after_pair = jnp.logical_and(prev_ts, prevprev_ts)
     ban = jnp.where(
         must_ts[:, None],
@@ -61,7 +81,8 @@ def apply_timestamp_rules(logits, rules: TimestampRules, *, first,
         jnp.where(after_pair[:, None],
                   is_ts_col,                            # timestamps banned
                   jnp.zeros_like(is_ts_col)))
-    below = vocab_ids[None, :] < last_ts[:, None]
+    min_ts = last_ts + jnp.where(mid_pair, 0, 1)
+    below = vocab_ids[None, :] < min_ts[:, None]
     ban = jnp.logical_or(ban, jnp.logical_and(is_ts_col, below))
     return jnp.where(ban, neg_inf, logits)
 
@@ -110,17 +131,7 @@ def generate(
     cross_kv = precompute_cross_kv(params, cfg, enc)
     cache = init_kv_cache(cfg, b, max_len, dtype)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        model_ok = cfg.heads % mesh.shape.get("model", 1) == 0
-        data_ok = b % mesh.shape.get("data", 1) == 0
-        spec = P(None, "data" if data_ok else None,
-                 "model" if model_ok else None, None, None)
-        heads_sharded = NamedSharding(mesh, spec)
-        cross_kv = jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, heads_sharded),
-            cross_kv)
-        cache = jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, heads_sharded), cache)
+        cross_kv, cache = tp_shard_kv(mesh, cfg, cross_kv, cache, b)
     tokens = jnp.zeros((b, max_len), jnp.int32)
     tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
     rng = rng if rng is not None else jax.random.key(0)
@@ -191,7 +202,8 @@ def generate(
         return Carry(c.pos + 1, tokens, cache, done, lengths, c.rng,
                      sum_logprob, gen_count, prev_ts, prevprev_ts, last_ts)
 
-    ts0 = timestamps.timestamp_begin if timestamps is not None else 0
+    # last_ts starts one below timestamp_begin: "no timestamp emitted yet"
+    ts0 = timestamps.timestamp_begin - 1 if timestamps is not None else 0
     init = Carry(jnp.int32(0), tokens, cache,
                  jnp.zeros((b,), bool), jnp.full((b,), max_len, jnp.int32),
                  rng, jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.int32),

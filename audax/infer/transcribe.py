@@ -38,7 +38,6 @@ __all__ = ["Transcriber", "TranscriptionResult", "Segment",
 
 log = get_logger("audax.infer")
 
-CHUNK_SECONDS = 30.0
 FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
 LOGPROB_THRESHOLD = -1.0
 COMPRESSION_THRESHOLD = 2.4
@@ -207,21 +206,35 @@ class Transcriber:
 
     def _attach_words(self, segments: List[Segment],
                       words: List[WordTiming], offset: float) -> None:
-        """Distribute a chunk's words into its segments by midpoint time."""
+        """Distribute a chunk's words into its segments by midpoint time;
+        words aligned outside every segment span (DTW can place the first
+        word before the first emitted timestamp) clamp to the NEAREST
+        segment rather than vanishing."""
         shifted = [WordTiming(w.word, round(w.start + offset, 3),
                               round(w.end + offset, 3), w.probability)
                    for w in words]
+        if not self.timestamps or not segments:
+            for seg in segments:
+                seg.words = shifted
+            return
         for seg in segments:
-            seg.words = [w for w in shifted
-                         if seg.start <= (w.start + w.end) / 2 < seg.end] \
-                if self.timestamps else shifted
+            seg.words = []
+        for w in shifted:
+            mid = (w.start + w.end) / 2
+            inside = [s for s in segments if s.start <= mid < s.end]
+            target = inside[0] if inside else min(
+                segments, key=lambda s: min(abs(mid - s.start),
+                                            abs(mid - s.end)))
+            target.words.append(w)
 
-    def _decode_chunk_batch(self, audio_chunks: np.ndarray,
-                            prev: Optional[List[int]] = None,
-                            lang: Optional[str] = None,
-                            ) -> List[Tuple[List[int], float, float]]:
-        """[N, chunk_samples] -> per chunk (token ids, avg_logprob, temp) with
-        whisper's temperature-fallback ladder."""
+    def _decode_chunk_batch(
+        self, audio_chunks: np.ndarray,
+        prev: Optional[List[int]] = None,
+        lang: Optional[str] = None,
+    ) -> Tuple[List[Tuple[List[int], float, float]], "jnp.ndarray"]:
+        """[N, chunk_samples] -> (per-chunk (token ids, avg_logprob, temp)
+        results via whisper's temperature-fallback ladder, encoder states
+        [N, S, d] for downstream word alignment)."""
         mel = self.frontend(jnp.asarray(audio_chunks))
         enc = encode(self.params, self.cfg, mel, self.dtype)
         n = len(audio_chunks)
@@ -258,7 +271,7 @@ class Transcriber:
                 else:
                     still.append(chunk_i)
             pending = still
-        return results, enc  # type: ignore[return-value]
+        return results, enc
 
     def transcribe(self, audio: np.ndarray, *, batch_chunks: int = 4
                    ) -> TranscriptionResult:

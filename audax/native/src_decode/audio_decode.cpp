@@ -19,6 +19,7 @@ extern "C" {
 #include <libavutil/opt.h>
 }
 
+#include <cmath>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
@@ -174,9 +175,40 @@ int audax_encode_audio(const char* path, const float* samples, long n_frames,
         if (!pkt || !fr) break;
         const int step = cc->frame_size > 0 ? cc->frame_size : 1024;
         const bool planar = av_sample_fmt_is_planar(cc->sample_fmt);
+        const AVSampleFormat enc_base =
+            av_get_packed_sample_fmt(cc->sample_fmt);
         long pos = 0;
         int64_t pts = 0;
         bool failed = false;
+
+        // write one float sample in the ENCODER'S sample format (writing raw
+        // float32 into an S16 buffer would overflow it 2x; into S32P it
+        // would be bit-garbage)
+        auto put_sample = [&](uint8_t* plane, int idx, float s) -> bool {
+            if (s > 1.0f) s = 1.0f;
+            if (s < -1.0f) s = -1.0f;
+            switch (enc_base) {
+                case AV_SAMPLE_FMT_FLT:
+                    reinterpret_cast<float*>(plane)[idx] = s;
+                    return true;
+                case AV_SAMPLE_FMT_DBL:
+                    reinterpret_cast<double*>(plane)[idx] = s;
+                    return true;
+                case AV_SAMPLE_FMT_S16:
+                    reinterpret_cast<int16_t*>(plane)[idx] =
+                        static_cast<int16_t>(lrintf(s * 32767.0f));
+                    return true;
+                case AV_SAMPLE_FMT_S32:
+                    reinterpret_cast<int32_t*>(plane)[idx] =
+                        static_cast<int32_t>(lrint(s * 2147483647.0));
+                    return true;
+                case AV_SAMPLE_FMT_U8:
+                    plane[idx] = static_cast<uint8_t>(lrintf(s * 127.0f) + 128);
+                    return true;
+                default:
+                    return false;   // unsupported encoder format
+            }
+        };
 
         auto pump = [&](AVFrame* frame) -> bool {
             if (avcodec_send_frame(cc, frame) < 0) return false;
@@ -194,17 +226,18 @@ int audax_encode_audio(const char* path, const float* samples, long n_frames,
             fr->format = cc->sample_fmt;
             av_channel_layout_copy(&fr->ch_layout, &cc->ch_layout);
             if (av_frame_get_buffer(fr, 0) < 0) { failed = true; break; }
-            for (int c = 0; c < channels; ++c) {
-                float* plane = reinterpret_cast<float*>(
-                    planar ? fr->data[c] : fr->data[0]);
+            for (int c = 0; c < channels && !failed; ++c) {
+                uint8_t* plane = planar ? fr->extended_data[c]
+                                        : fr->extended_data[0];
                 for (int i = 0; i < n; ++i) {
                     const float s = samples[(pos + i) * channels + c];
-                    if (planar)
-                        plane[i] = s;
-                    else
-                        plane[i * channels + c] = s;
+                    if (!put_sample(plane, planar ? i : i * channels + c, s)) {
+                        failed = true;
+                        break;
+                    }
                 }
             }
+            if (failed) break;
             fr->pts = pts;
             pts += n;
             failed = !pump(fr);

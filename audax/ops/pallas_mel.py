@@ -169,9 +169,12 @@ def log_mel_overlap(
     rows = min(tile_t, _pad_to(max(t_true, 8), 8))
     n_tiles = -(-t_true // rows)
     # block planes: plane p holds blocks p, p+adv, ... — each plane needs
-    # rows + halo rows per tile
+    # rows + halo rows per tile. The (center-)padded signal can be LONGER
+    # than need*g when the halo has no rounding slack (e.g. nb-1 already a
+    # multiple of 8): pad or trim to exactly need*g
     need = (n_tiles * rows + halo) * adv               # blocks to cover
-    x = jnp.pad(x, ((0, 0), (0, need * g - x.shape[1])))
+    total = need * g
+    x = jnp.pad(x, ((0, 0), (0, max(0, total - x.shape[1]))))[:, :total]
     blocks = x.reshape(b, need, g)
     planes = jnp.stack([blocks[:, pl_idx::adv] for pl_idx in range(adv)], 1)
     # halo rows are duplicated per tile host-side in XLA: a halo/rows (~2%)

@@ -61,8 +61,10 @@ def eval_note_f1(model: TwoTowerModel, state: TwoTowerState,
         abc = dataset.tokenizer.decode(ids, skip_specials=True)
         try:
             ref = abc_to_midi(ex.abc)
-        except (AbcParseError, Exception):
-            continue                       # unparseable ground truth: skip
+        except AbcParseError:
+            # unparseable ground truth: skip (real defects — TypeError etc.
+            # — must propagate, not hide)
+            continue
         scores.append(abc_note_prf(ref, abc, onset_tolerance=onset_tolerance))
     if not scores:
         return {}

@@ -96,6 +96,20 @@ class TestOverlapKernel:
         ref = log_mel_oracle(x[1], cfg)
         np.testing.assert_allclose(out[1], ref, atol=2e-4, rtol=0)
 
+    def test_no_halo_slack_config(self, rng):
+        """nb-1 already a multiple of 8 (n_fft=1152, hop=128: halo gets no
+        rounding slack) made the tail pad width negative — regression."""
+        import dataclasses
+        from audax.ops.pallas_mel import log_mel_overlap, overlap_applicable
+        cfg = dataclasses.replace(CFGS["urbansound_v2"], n_fft=1152,
+                                  fmax=8000.0)
+        assert overlap_applicable(cfg)
+        x = _signal(rng, 65535)
+        out = np.asarray(log_mel_overlap(jnp.asarray(x), cfg, interpret=True))
+        ref = log_mel_oracle(x, cfg)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=0)
+
     def test_center_false_and_silence(self, rng):
         from audax.ops.pallas_mel import log_mel_overlap
         import dataclasses

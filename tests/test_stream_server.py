@@ -103,3 +103,50 @@ def test_streaming_over_websocket(rng):
         sock.close()
     finally:
         server.shutdown()
+
+
+def test_ping_between_fragments(rng):
+    """A ping arriving between fragments of a binary message (legal per RFC
+    6455 §5.4) must be answered with a pong and must NOT leak into the PCM
+    payload."""
+    tok = WhisperTokenizer(train_bpe(["hello"] * 3, vocab_size=280),
+                           timestamp_count=51)
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=50, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=32)
+    st = StreamingTranscriber(init_whisper_params(cfg, jax.random.key(0)),
+                              cfg, tok, batch_slots=1, window_seconds=1.0,
+                              max_new_tokens=4, backend="xla")
+    st.feed("warm", np.zeros(16000, np.float32))
+    st.drain()
+    server = serve_streaming(st, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        sock = _connect(port, "frag")
+        audio = (0.05 * rng.standard_normal(16000)).astype("<f4").tobytes()
+        half = len(audio) // 2
+
+        def send_raw(fin, opcode, payload):
+            mask = os.urandom(4)
+            masked = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+            n = len(payload)
+            hdr = bytes([(0x80 if fin else 0) | opcode])
+            if n < 126:
+                hdr += bytes([0x80 | n])
+            else:
+                hdr += bytes([0x80 | 126]) + struct.pack(">H", n)
+            sock.sendall(hdr + mask + masked)
+
+        send_raw(False, 2, audio[:half])        # binary fragment 1 (no FIN)
+        send_raw(True, 9, b"keepalive")         # ping in the middle
+        send_raw(True, 0, audio[half:])         # continuation w/ FIN
+        # pong arrives first (control handled inline), then the segment
+        op, payload = read_frame(sock)
+        assert op == 0xA and payload == b"keepalive"
+        op, payload = read_frame(sock)
+        assert op == OP_TEXT
+        seg = json.loads(payload)
+        assert seg["stream"] == "frag" and seg["index"] == 0
+    finally:
+        server.shutdown()

@@ -99,3 +99,36 @@ def test_transcriber_timestamps_and_fallback(setup, rng):
     # with a random model the fallback ladder usually engages; just assert
     # the plumbing recorded an avg_logprob
     assert all(np.isfinite(s.avg_logprob) for s in res.segments)
+
+
+def test_timestamp_rules_monotonicity_strictness():
+    """Unit test of apply_timestamp_rules against openai's exact rule:
+    mid-pair the closer may EQUAL the opener; a new opener must be STRICTLY
+    greater (zero-width segment loops are impossible); before any timestamp,
+    <|0.00|> is allowed."""
+    import jax.numpy as jnp
+
+    from audax.infer.decode import TimestampRules, apply_timestamp_rules
+
+    ts0, eot, v = 20, 19, 31            # timestamps are ids 20..30
+    rules = TimestampRules(ts0, eot)
+    logits = jnp.zeros((1, v))
+    neg = jnp.finfo(jnp.float32).min
+
+    def masked(first, prev, prevprev, last):
+        out = apply_timestamp_rules(
+            logits, rules, first=jnp.bool_(first),
+            prev_ts=jnp.asarray([prev]), prevprev_ts=jnp.asarray([prevprev]),
+            last_ts=jnp.asarray([last], jnp.int32))
+        return np.asarray(out)[0]
+
+    # start: nothing emitted (last = ts0-1, prevprev=True trick): 0.00 allowed
+    m = masked(True, False, True, ts0 - 1)
+    assert m[ts0] == 0.0 and m[ts0 + 5] == 0.0
+    # mid-pair after opener at ts0+5: closer may EQUAL the opener
+    m = masked(False, True, False, ts0 + 5)
+    assert m[ts0 + 5] == 0.0 and m[ts0 + 4] == neg
+    # after a completed pair ending at ts0+5, then text: next opener must be
+    # STRICTLY greater
+    m = masked(False, False, False, ts0 + 5)
+    assert m[ts0 + 5] == neg and m[ts0 + 6] == 0.0

@@ -652,6 +652,34 @@ def cmd_finetune_proof(argv) -> int:
     return 0 if out["wer_after"] < out["wer_before"] else 1
 
 
+@command("music-proof")
+def cmd_music_proof(argv) -> int:
+    """Self-contained two-tower learning proof: synthetic MIDI corpus ->
+    4-stage pipeline -> random-init two-tower -> train -> note-level F1
+    before/after with a generated-vs-target ABC CSV (the working-model
+    evidence the reference's music2midi never produced)."""
+    p = argparse.ArgumentParser(prog="audax music-proof")
+    p.add_argument("--out", default="results")
+    p.add_argument("--items", type=int, default=12)
+    p.add_argument("--notes", type=int, default=3)
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--chunk-seconds", type=float, default=3.0)
+    args = p.parse_args(argv)
+
+    import json
+
+    from audax.core.runtime import setup
+    from audax.train.two_tower_loop import music_transcription_proof
+    setup()
+    out = music_transcription_proof(
+        args.out, num_items=args.items, notes_per_item=args.notes,
+        epochs=args.epochs, chunk_seconds=args.chunk_seconds)
+    print(json.dumps({"before": out["before"], "after": out["after"],
+                      "csv": out["csv"], "metrics": out["metrics"]}))
+    return 0 if (out["after"].get("note_f1", 0.0)
+                 > out["before"].get("note_f1", 0.0)) else 1
+
+
 @command("data-quality")
 def cmd_data_quality(argv) -> int:
     """Dataset quality report (reference SQL cookbooks as callable checks)."""

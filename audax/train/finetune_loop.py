@@ -216,10 +216,10 @@ def midi_finetune_proof(
                                     chunk_seconds=chunk_seconds)
     assert examples, "datagen produced no usable examples"
 
-    def snapshot(p):
+    def snapshot(p, dtype=jnp.float32):
         tr = Transcriber(p, model_cfg, tokenizer, max_new_tokens=24,
                          temperature_fallback=False,
-                         chunk_seconds=chunk_seconds)
+                         chunk_seconds=chunk_seconds, dtype=dtype)
         return {ex["file"]: tr.transcribe(ex["audio"]).text
                 for ex in examples}
 
@@ -233,29 +233,41 @@ def midi_finetune_proof(
     state, history = finetune_whisper(params, model_cfg, tokenizer, examples,
                                       ft, mel_cfg=mel_cfg,
                                       eval_examples=examples)
-    after = snapshot(state.model_params())
+    serving_params = state.model_params()
+    after = snapshot(serving_params)
     wer_after = word_error_rate([ex["text"] for ex in examples],
                                 [after[ex["file"]] for ex in examples])
+    # bf16 serving parity: the same fine-tuned checkpoint transcribed with
+    # encoder+decoder in bfloat16 (the TPU serving dtype) must reach the
+    # same quality — this is the tolerance-checked WER comparison that
+    # justifies bf16 as the serving default (PARITY.md perf table).
+    after_bf16 = snapshot(serving_params, dtype=jnp.bfloat16)
+    wer_after_bf16 = word_error_rate(
+        [ex["text"] for ex in examples],
+        [after_bf16[ex["file"]] for ex in examples])
 
     os.makedirs(out_dir, exist_ok=True)
     csv_path = os.path.join(out_dir, "midi_finetune_comparison.csv")
     with open(csv_path, "w", newline="") as fh:
         w = _csv.DictWriter(fh, fieldnames=["file", "target", "previous",
-                                            "finetuned"])
+                                            "finetuned", "finetuned_bf16"])
         w.writeheader()
         for ex in examples:
             w.writerow({"file": ex["file"], "target": ex["text"],
                         "previous": before[ex["file"]],
-                        "finetuned": after[ex["file"]]})
+                        "finetuned": after[ex["file"]],
+                        "finetuned_bf16": after_bf16[ex["file"]]})
     metrics = {"wer_before": round(float(wer_before), 4),
                "wer_after": round(float(wer_after), 4),
+               "wer_after_bf16": round(float(wer_after_bf16), 4),
                "steps": steps, "items": len(examples),
                "loss_first": round(history["loss"][0], 4),
                "loss_last": round(history["loss"][-1], 4)}
     metrics_path = os.path.join(out_dir, "midi_finetune_metrics.json")
     with open(metrics_path, "w") as fh:
         json.dump(metrics, fh, indent=2)
-    log.success("fine-tune proof: WER %.3f -> %.3f (%s)", wer_before,
-                wer_after, csv_path)
+    log.success("fine-tune proof: WER %.3f -> %.3f (bf16 %.3f) (%s)",
+                wer_before, wer_after, wer_after_bf16, csv_path)
     return {"wer_before": wer_before, "wer_after": wer_after,
+            "wer_after_bf16": wer_after_bf16,
             "csv": csv_path, "metrics": metrics_path, **metrics}

@@ -29,13 +29,16 @@ from audax.train.two_tower import (TwoTowerState, init_two_tower_optimizer,
 
 log = get_logger("audax.two_tower")
 
-__all__ = ["collate_music", "fit_two_tower", "eval_note_f1"]
+__all__ = ["collate_music", "fit_two_tower", "eval_note_f1",
+           "music_transcription_proof"]
 
 
 def eval_note_f1(model: TwoTowerModel, state: TwoTowerState,
                  dataset: MusicDataset, idx, frontend: LogMelFrontend,
                  chunk_seconds: float, *, max_len: int = 256,
-                 onset_tolerance: float = 0.05) -> Dict[str, float]:
+                 onset_tolerance: float = 0.05,
+                 temperature: float = 0.7,
+                 return_samples: bool = False) -> Dict[str, float]:
     """Generation-quality validation: sample ABC for ``idx`` examples and
     score note-level P/R/F1 against each example's ground-truth ABC (parsed
     back to MIDI), plus the parseable fraction. This is the metric the
@@ -51,14 +54,18 @@ def eval_note_f1(model: TwoTowerModel, state: TwoTowerState,
     enc = model.encode_audio(batch["mel"])
     tokens, lengths = model.generate(state.params, enc,
                                      start_id=dataset.start_id,
-                                     end_id=dataset.end_id, max_len=max_len)
+                                     end_id=dataset.end_id, max_len=max_len,
+                                     temperature=temperature)
     tokens = np.asarray(tokens)
     lengths = np.asarray(lengths)
     scores = []
+    samples = []
     for row, ex in enumerate(examples):
         ids = [int(t) for t in tokens[row, 1: lengths[row]]
                if t != dataset.end_id]
         abc = dataset.tokenizer.decode(ids, skip_specials=True)
+        samples.append({"file": ex.filename, "target_abc": ex.abc,
+                        "generated_abc": abc})
         try:
             ref = abc_to_midi(ex.abc)
         except AbcParseError:
@@ -67,13 +74,16 @@ def eval_note_f1(model: TwoTowerModel, state: TwoTowerState,
             continue
         scores.append(abc_note_prf(ref, abc, onset_tolerance=onset_tolerance))
     if not scores:
-        return {}
-    return {
+        return {"samples": samples} if return_samples else {}
+    out = {
         "note_f1": float(np.mean([s["f1"] for s in scores])),
         "note_precision": float(np.mean([s["precision"] for s in scores])),
         "note_recall": float(np.mean([s["recall"] for s in scores])),
         "abc_valid_rate": float(np.mean([s["valid"] for s in scores])),
     }
+    if return_samples:
+        out["samples"] = samples
+    return out
 
 
 def collate_music(examples: List, frontend: LogMelFrontend,
@@ -135,7 +145,8 @@ def fit_two_tower(
 
     rng = np.random.default_rng(cfg.seed)
     idx = rng.permutation(len(dataset))
-    n_val = max(1, int(len(dataset) * val_fraction)) if len(dataset) > 1 else 0
+    n_val = (max(1, int(len(dataset) * val_fraction))
+             if len(dataset) > 1 and val_fraction > 0 else 0)
     val_idx, train_idx = idx[:n_val], idx[n_val:]
     log.info("split: %d train / %d val", len(train_idx), len(val_idx))
 
@@ -203,3 +214,133 @@ def fit_two_tower(
                 log.info("plateau: scaled learning rates by %.2f",
                          plateau_factor)
     return state, history
+
+
+def music_transcription_proof(
+    out_dir: str,
+    *,
+    num_items: int = 12,
+    notes_per_item: int = 3,
+    epochs: int = 40,
+    chunk_seconds: float = 3.0,
+    seed: int = 0,
+) -> Dict:
+    """End-to-end two-tower learning proof (audio -> ABC notation).
+
+    The reference's music2midi project never demonstrated a working model:
+    its MIDI fine-tune collapsed to a constant output
+    (AB/midiDatasetResults.csv:2-5) and no trained-two-tower artifact exists
+    in the tree. No real MIDI corpus or pretrained weights are reachable in
+    this environment, so this is the strongest available end-to-end
+    evidence that the two-tower stack — frozen Whisper-architecture encoder,
+    cross-attention adapter, partially-unfrozen causal LM
+    (.charles/music2midi/model.py:190-344) — actually trains:
+
+      1. generate random melodies, run the framework's own 4-stage pipeline
+         (cut->render via the C++ SF2-less synth, MIDI->ABC, BPE tokens,
+         typed Parquet — .charles/music2midi/preprocess_data.py parity);
+      2. build a compact random-init two-tower and score note-level P/R/F1
+         of greedy generations BEFORE training (garbage);
+      3. train with the real loop (dual-LR, top-K unfreeze, plateau LR);
+      4. score AFTER; write metrics JSON + generated-vs-target ABC CSV.
+
+    Success = note_f1 rises from ~0 to a clearly non-degenerate value and
+    abc_valid_rate reaches ~1.0 — the metric whose absence hid the
+    reference's mode collapse.
+    """
+    import csv as _csv
+    import json
+
+    import jax
+
+    from audax.core.config import (DataGenConfig, TwoTowerConfig,
+                                   WhisperConfig)
+    from audax.data.music_dataset import (stage_genparquet,
+                                          stage_gentokens_bpe,
+                                          stage_midi2abc, stage_midi2wav)
+    from audax.data.synth import _random_melody
+    from audax.models.causal_lm import CausalLMConfig
+    from audax.models.two_tower import build_two_tower
+
+    rng = np.random.default_rng(seed)
+    midi_dir = os.path.join(out_dir, "proof_midis")
+    os.makedirs(midi_dir, exist_ok=True)
+    for i in range(num_items):
+        mf, _ = _random_melody(rng, notes_per_item, velocity=100,
+                               low=48, high=84)
+        mf.save(os.path.join(midi_dir, f"melody_{i:03d}.mid"))
+
+    gen = DataGenConfig(chunk_duration_s=chunk_seconds,
+                        out_dir=out_dir, seed=seed)
+    wav_dir = os.path.join(out_dir, "proof_wavs")
+    abc_dir = os.path.join(out_dir, "proof_abcs")
+    stage_midi2wav(midi_dir, wav_dir, gen, workers=1)
+    stage_midi2abc(wav_dir, abc_dir, workers=1)
+    bpe = stage_gentokens_bpe(abc_dir, os.path.join(out_dir, "proof_bpe"),
+                              vocab_size=300)
+    parquet = stage_genparquet(wav_dir, abc_dir,
+                               os.path.join(out_dir, "proof_music.parquet"))
+    dataset = MusicDataset(parquet, bpe, max_tokens=64)
+    assert len(dataset) >= num_items // 2, "pipeline produced too few rows"
+
+    frames = int(chunk_seconds * 16000) // 160      # whisper hop 160
+    audio_cfg = WhisperConfig(
+        n_mels=80, n_audio_ctx=frames // 2, d_model=64, encoder_layers=2,
+        decoder_layers=1, heads=2, vocab_size=64, n_text_ctx=8)
+    lm_cfg = CausalLMConfig(vocab_size=len(bpe), d_model=96, layers=4,
+                            heads=4, kv_heads=2, ffn_dim=192,
+                            tie_embeddings=True, max_seq=128)
+    tt_cfg = TwoTowerConfig(adapter_heads=4, top_k_unfrozen_layers=2,
+                            max_target_tokens=64, adapter_lr=3e-3,
+                            lm_lr=1e-3, batch_size=4, epochs=epochs,
+                            seed=seed)
+    model = build_two_tower(tt_cfg, audio_cfg, lm_cfg, len(bpe),
+                            jax.random.key(seed))
+    frontend = LogMelFrontend.whisper(80)
+
+    tx, mask = init_two_tower_optimizer(model)
+    state0 = TwoTowerState(step=jnp.int32(0), params=model.params,
+                           opt_state=tx.init(model.params), tx=tx,
+                           layer_mask=mask)
+    all_idx = np.arange(len(dataset))
+    before = eval_note_f1(model, state0, dataset, all_idx, frontend,
+                          chunk_seconds, max_len=64, temperature=0.0,
+                          return_samples=True)
+
+    state, history = fit_two_tower(model, dataset,
+                                   chunk_seconds=chunk_seconds,
+                                   val_fraction=0.0, frontend=frontend)
+    after = eval_note_f1(model, state, dataset, all_idx, frontend,
+                         chunk_seconds, max_len=64, temperature=0.0,
+                         return_samples=True)
+
+    os.makedirs(out_dir, exist_ok=True)
+    csv_path = os.path.join(out_dir, "two_tower_proof_comparison.csv")
+    before_by_file = {s["file"]: s for s in before.pop("samples", [])}
+    after_samples = after.pop("samples", [])
+    with open(csv_path, "w", newline="") as fh:
+        w = _csv.DictWriter(fh, fieldnames=["file", "target_abc",
+                                            "previous", "trained"])
+        w.writeheader()
+        for s in after_samples:
+            prev = before_by_file.get(s["file"], {})
+            w.writerow({"file": os.path.basename(s["file"]),
+                        "target_abc": s["target_abc"],
+                        "previous": prev.get("generated_abc", ""),
+                        "trained": s["generated_abc"]})
+    metrics = {
+        "before": {k: round(v, 4) for k, v in before.items()},
+        "after": {k: round(v, 4) for k, v in after.items()},
+        "epochs": epochs, "items": len(dataset),
+        "train_loss_first": round(history["train_loss"][0], 4),
+        "train_loss_last": round(history["train_loss"][-1], 4),
+    }
+    metrics_path = os.path.join(out_dir, "two_tower_proof_metrics.json")
+    with open(metrics_path, "w") as fh:
+        json.dump(metrics, fh, indent=2)
+    log.success("two-tower proof: note_f1 %.3f -> %.3f, valid %.2f -> %.2f"
+                " (%s)", before.get("note_f1", 0.0), after.get("note_f1", 0.0),
+                before.get("abc_valid_rate", 0.0),
+                after.get("abc_valid_rate", 0.0), csv_path)
+    return {"before": before, "after": after, "csv": csv_path,
+            "metrics": metrics_path, **metrics}

@@ -121,9 +121,12 @@ def test_midi_finetune_proof_wer_drops(tmp_path):
                               steps=400, chunk_seconds=3.0, d_model=32,
                               layers=1)
     assert out["wer_after"] < out["wer_before"] * 0.6, out
+    # bf16 serving reaches f32 quality on the fine-tuned checkpoint
+    # (tolerance-checked WER comparison backing the bf16 serving default)
+    assert out["wer_after_bf16"] <= out["wer_after"] + 0.15, out
     rows = list(csv.DictReader(open(out["csv"])))
     assert len(rows) == 6
-    assert all(set(r) == {"file", "target", "previous", "finetuned"}
-               for r in rows)
+    assert all(set(r) == {"file", "target", "previous", "finetuned",
+                          "finetuned_bf16"} for r in rows)
     # at least one clip transcribed exactly right after fine-tuning
     assert any(r["finetuned"] == r["target"] for r in rows)

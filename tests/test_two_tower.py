@@ -213,3 +213,26 @@ def test_fit_two_tower_with_note_f1_eval(tmp_path, rng):
     assert "note_f1" in history and len(history["note_f1"]) == 1
     f1 = history["note_f1"][0]
     assert f1 is not None and 0.0 <= f1 <= 1.0
+
+
+def test_music_transcription_proof_learns(tmp_path):
+    """End-to-end learning proof (the working-model evidence the reference's
+    music2midi never produced — its MIDI fine-tune collapsed to constant
+    output, AB/midiDatasetResults.csv:2-5): synthetic corpus through the
+    4-stage pipeline, random-init two-tower, train to memorization, and
+    note-level F1 must rise from ~0 to a clearly non-degenerate value.
+    Compact budget for CI; the committed results/ artifact uses the full
+    `audax music-proof` defaults."""
+    from audax.train.two_tower_loop import music_transcription_proof
+
+    out = music_transcription_proof(str(tmp_path), num_items=8,
+                                    notes_per_item=2, epochs=400,
+                                    chunk_seconds=2.0)
+    assert out["after"].get("abc_valid_rate", 0.0) >= 0.5, out
+    assert (out["after"].get("note_f1", 0.0)
+            >= out["before"].get("note_f1", 0.0) + 0.5), out
+    import csv
+    rows = list(csv.DictReader(open(out["csv"])))
+    assert len(rows) == 8
+    assert all(set(r) == {"file", "target_abc", "previous", "trained"}
+               for r in rows)

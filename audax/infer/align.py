@@ -52,9 +52,10 @@ def cross_attention_weights(params, cfg: WhisperConfig, tokens: jnp.ndarray,
     layers — openai-whisper's fallback when a checkpoint ships no head
     mask), z-normalized per token and median-filtered along frames.
     """
+    from audax.models.quantize import embed_lookup
     p = params["decoder"]
     b, l = tokens.shape
-    x = p["embed"][tokens].astype(dtype) + p["pos"][:l].astype(dtype)
+    x = embed_lookup(p, tokens, dtype) + p["pos"][:l].astype(dtype)
     causal = jnp.tril(jnp.ones((l, l), bool))[None, None]
 
     def body(x, layer):

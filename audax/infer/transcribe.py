@@ -116,7 +116,13 @@ class Transcriber:
                  chunk_seconds: Optional[float] = None,
                  word_timestamps: bool = False,
                  beam_width: int = 1,
-                 dtype=jnp.float32, backend: Optional[str] = None):
+                 dtype=jnp.float32, backend: Optional[str] = None,
+                 quantize: bool = False):
+        if quantize:
+            # int8 weight-only serving (models/quantize.py): decode reads
+            # 4x fewer weight bytes vs f32 — pair with dtype=bfloat16
+            from audax.models.quantize import quantize_tree
+            params = quantize_tree(params)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

@@ -106,6 +106,9 @@ def rms_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _dense_fwd(p, x):
+    if "kernel_q" in p:                  # int8 weight-only serving path
+        from audax.models.quantize import dequant_dense
+        return dequant_dense(p, x)
     y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype))
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
@@ -169,7 +172,8 @@ def _mlp_block(layer, cfg, x):
 # ------------------------------------------------------------- forward ----
 def embed_tokens(params: Params, tokens: jnp.ndarray,
                  dtype=jnp.float32) -> jnp.ndarray:
-    return params["embed"][tokens].astype(dtype)
+    from audax.models.quantize import embed_lookup
+    return embed_lookup(params, tokens, dtype)
 
 
 def forward_with_embeds(params: Params, cfg: CausalLMConfig,
@@ -203,9 +207,10 @@ def forward_with_embeds(params: Params, cfg: CausalLMConfig,
 
 def lm_logits(params: Params, cfg: CausalLMConfig, hidden: jnp.ndarray
               ) -> jnp.ndarray:
-    if cfg.tie_embeddings or "lm_head" not in params:
-        return jnp.einsum("btd,vd->btv", hidden,
-                          params["embed"].astype(hidden.dtype))
+    if cfg.tie_embeddings or not any(k.startswith("lm_head")
+                                     for k in params):
+        from audax.models.quantize import embed_logits
+        return embed_logits(params, hidden)
     return _dense_fwd(params["lm_head"], hidden)
 
 

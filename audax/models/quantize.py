@@ -1,0 +1,120 @@
+"""Int8 weight-only quantization for serving.
+
+TPU decode is HBM-bandwidth bound: every generated token re-reads the full
+weight set, so halving (vs bf16) or quartering (vs f32) the bytes per weight
+directly raises tokens/s and lets larger checkpoints fit one chip. This
+module quantizes matmul weights to symmetric per-output-channel int8 at
+load time; matmuls still run in the activation dtype (weight-only — the
+int8 tensor is cast back per-tile inside the fused XLA matmul, so the MXU
+sees bf16/f32 operands and accuracy loss stays ~0.4% per channel).
+
+This is a new serving capability with no reference equivalent (the
+reference serves f32 torch checkpoints, .charles/music2midi/inference.py);
+it exists because the rebuild targets production TPU serving.
+
+Contract: a quantized tree is a drop-in replacement for the float tree —
+``dense``-style primitives in models/whisper.py, models/causal_lm.py and
+models/two_tower.py dispatch on the presence of ``kernel_q``/``embed_q``
+leaves. Tensor-parallel rules apply unchanged (`kernel_q` matches the same
+path rules as `kernel`; the tiny per-channel scales stay replicated).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+__all__ = ["quantize_matrix", "quantize_tree", "dequant_dense",
+           "embed_lookup", "embed_logits", "tree_bytes"]
+
+#: dicts under these keys hold conv kernels ([W, I, O]) — the two encoder
+#: convs run once per utterance and stay float.
+_SKIP_KEYS = {"conv1", "conv2"}
+
+
+def quantize_matrix(k: jnp.ndarray, axis: int = -2
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 with one scale per output channel: ``axis`` is the
+    contraction axis that gets reduced away in the matmul."""
+    k = jnp.asarray(k)
+    s = jnp.max(jnp.abs(k), axis=axis) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(k / jnp.expand_dims(s, axis)),
+                 -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def _quantize_dense(p: Params) -> Params:
+    # kernel [..., d_in, d_out] (leading layer axis when scan-stacked)
+    q, s = quantize_matrix(p["kernel"], axis=-2)
+    out = {"kernel_q": q, "kernel_scale": s}
+    for k, v in p.items():
+        if k != "kernel":
+            out[k] = v
+    return out
+
+
+def quantize_tree(params: Params, *, embed_keys=("embed",)) -> Params:
+    """Walk a model pytree, replacing every dense ``{kernel[, bias]}`` with
+    ``{kernel_q, kernel_scale[, bias]}`` and every ``embed`` matrix (token
+    embedding, [V, d], also used transposed as the logit projection) with
+    ``embed_q``/``embed_scale`` (one scale per vocab row). Everything else
+    (LayerNorm/RMSNorm, positions, convs, biases) stays float."""
+
+    def rec(node, name):
+        if isinstance(node, dict):
+            if ("kernel" in node and name not in _SKIP_KEYS
+                    and getattr(node["kernel"], "ndim", 0) >= 2):
+                return _quantize_dense(node)
+            out = {}
+            for k, v in node.items():
+                if k in embed_keys and getattr(v, "ndim", 0) == 2:
+                    q, s = quantize_matrix(v, axis=-1)
+                    out[k + "_q"] = q
+                    out[k + "_scale"] = s
+                else:
+                    out[k] = rec(v, k)
+            return out
+        return node
+
+    return rec(params, "")
+
+
+# ------------------------------------------------------- dequant compute --
+def dequant_dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x @ dequant(kernel_q) + bias, computed as (x @ q) * scale in the
+    activation dtype (weight-only: the cast fuses into the matmul read)."""
+    y = jnp.einsum("...d,df->...f", x, p["kernel_q"].astype(x.dtype))
+    y = y * p["kernel_scale"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def embed_lookup(p: Params, idx: jnp.ndarray, dtype,
+                 key: str = "embed") -> jnp.ndarray:
+    """Token-embedding gather, float or quantized."""
+    if key + "_q" in p:
+        rows = p[key + "_q"][idx].astype(dtype)
+        return rows * p[key + "_scale"][idx][..., None].astype(dtype)
+    return p[key][idx].astype(dtype)
+
+
+def embed_logits(p: Params, x: jnp.ndarray, key: str = "embed"
+                 ) -> jnp.ndarray:
+    """Tied-embedding logit projection x [..., d] -> [..., V], float or
+    quantized (per-row scale multiplies the output column)."""
+    if key + "_q" in p:
+        y = jnp.einsum("...d,vd->...v", x, p[key + "_q"].astype(x.dtype))
+        return y * p[key + "_scale"].astype(x.dtype)
+    return jnp.einsum("...d,vd->...v", x, p[key].astype(x.dtype))
+
+
+def tree_bytes(params: Params) -> int:
+    """Total parameter bytes (for before/after memory reports)."""
+    import jax
+    return sum(np.asarray(x).nbytes for x in jax.tree.leaves(params))

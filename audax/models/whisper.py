@@ -143,6 +143,9 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_q" in p:                  # int8 weight-only serving path
+        from audax.models.quantize import dequant_dense
+        return dequant_dense(p, x)
     y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype))
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
@@ -222,9 +225,10 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
 def decode_train(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
                  enc: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """tokens [B, L] int32 -> logits [B, L, vocab] with causal masking."""
+    from audax.models.quantize import embed_logits, embed_lookup
     p = params["decoder"]
     b, l = tokens.shape
-    x = p["embed"][tokens].astype(dtype) + p["pos"][:l].astype(dtype)
+    x = embed_lookup(p, tokens, dtype) + p["pos"][:l].astype(dtype)
     causal = jnp.tril(jnp.ones((l, l), bool))[None, None]
 
     def body(x, layer):
@@ -238,7 +242,7 @@ def decode_train(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
 
     x, _ = lax.scan(body, x, p["layers"])
     x = layer_norm(p["ln"], x)
-    return jnp.einsum("bld,vd->blv", x, p["embed"].astype(dtype))
+    return embed_logits(p, x)
 
 
 def whisper_forward(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
@@ -289,8 +293,9 @@ def decode_step(params: Params, cfg: WhisperConfig, token: jnp.ndarray,
     cache. Returns (logits [B, vocab], updated cache). jit/while_loop safe:
     static shapes, dynamic_update_slice writes, position-masked attention.
     """
+    from audax.models.quantize import embed_logits, embed_lookup
     p = params["decoder"]
-    x = p["embed"][token].astype(dtype)[:, None, :] + \
+    x = embed_lookup(p, token, dtype)[:, None, :] + \
         lax.dynamic_slice_in_dim(p["pos"], pos, 1)[None].astype(dtype)
     max_len = cache.k.shape[3]
     valid = (jnp.arange(max_len) <= pos)[None, None, None, :]
@@ -319,5 +324,5 @@ def decode_step(params: Params, cfg: WhisperConfig, token: jnp.ndarray,
     x, (new_k, new_v) = lax.scan(
         body, x, (p["layers"], cache.k, cache.v, cross_kv[0], cross_kv[1]))
     x = layer_norm(p["ln"], x)
-    logits = jnp.einsum("bd,vd->bv", x[:, 0], p["embed"].astype(dtype))
+    logits = embed_logits(p, x[:, 0])
     return logits, KVCache(new_k, new_v)

@@ -506,6 +506,8 @@ def cmd_bench_rtf(argv) -> int:
     p.add_argument("--batch-chunks", type=int, default=4)
     p.add_argument("--max-new-tokens", type=int, default=224)
     p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 weight-only serving (models/quantize.py)")
     args = p.parse_args(argv)
 
     import json
@@ -520,6 +522,7 @@ def cmd_bench_rtf(argv) -> int:
     params, cfg, tok = _load_whisper(args.size, "", "")
     tr = Transcriber(params, cfg, tok,
                      max_new_tokens=args.max_new_tokens,
+                     quantize=args.quantize,
                      dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                      else jnp.float32)
     rng = np.random.default_rng(0)
@@ -529,7 +532,8 @@ def cmd_bench_rtf(argv) -> int:
     rtf = min(tr.transcribe(audio, batch_chunks=args.batch_chunks).rtf
               for _ in range(args.runs))
     print(json.dumps({"metric": "whisper_rtf", "size": args.size,
-                      "dtype": args.dtype, "seconds": args.seconds,
+                      "dtype": args.dtype + ("+int8" if args.quantize else ""),
+                      "seconds": args.seconds,
                       "value": round(rtf, 5), "target": 0.05}))
     return 0 if rtf <= 0.05 else 1
 

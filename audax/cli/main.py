@@ -229,7 +229,9 @@ def _load_whisper(size: str, ckpt: str, tokenizer_dir: str):
     params = init_whisper_params(cfg, jax.random.key(0))
     if ckpt:
         from audax.train.checkpoints import load_pytree
-        params = load_pytree(ckpt, params)
+        # target-less restore: the checkpoint may be the float tree or the
+        # int8 serving tree from `convert-hf --quantize` (kernel_q leaves)
+        params = load_pytree(ckpt)
     return params, cfg, tok
 
 
@@ -242,6 +244,10 @@ def cmd_convert_hf(argv) -> int:
     p.add_argument("--hf-dir", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--kind", default="whisper", choices=["whisper", "causal-lm"])
+    p.add_argument("--quantize", action="store_true",
+                   help="save int8 weight-only serving weights "
+                   "(models/quantize.py; ~3-4x smaller checkpoint, loads "
+                   "straight into Transcriber/generate)")
     args = p.parse_args(argv)
     from audax.train.checkpoints import save_pytree
     if args.kind == "whisper":
@@ -256,6 +262,9 @@ def cmd_convert_hf(argv) -> int:
         from audax.models.causal_lm import port_causal_lm_from_hf
         hf = AutoModelForCausalLM.from_pretrained(args.hf_dir)
         params, cfg = port_causal_lm_from_hf(hf)
+    if args.quantize:
+        from audax.models.quantize import quantize_tree
+        params = quantize_tree(params)
     save_pytree(args.out, params)
     import json
     with open(args.out + ".config.json", "w") as fh:
@@ -508,6 +517,11 @@ def cmd_bench_rtf(argv) -> int:
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--quantize", action="store_true",
                    help="int8 weight-only serving (models/quantize.py)")
+    p.add_argument("--no-fallback", action="store_true",
+                   help="single greedy decode per chunk (random-weight "
+                   "models always fail the quality gates, so the default "
+                   "measures the full 6-temperature ladder — the "
+                   "worst case; trained checkpoints mostly decode once)")
     args = p.parse_args(argv)
 
     import json
@@ -523,6 +537,7 @@ def cmd_bench_rtf(argv) -> int:
     tr = Transcriber(params, cfg, tok,
                      max_new_tokens=args.max_new_tokens,
                      quantize=args.quantize,
+                     temperature_fallback=not args.no_fallback,
                      dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                      else jnp.float32)
     rng = np.random.default_rng(0)
@@ -533,6 +548,7 @@ def cmd_bench_rtf(argv) -> int:
               for _ in range(args.runs))
     print(json.dumps({"metric": "whisper_rtf", "size": args.size,
                       "dtype": args.dtype + ("+int8" if args.quantize else ""),
+                      "fallback_ladder": not args.no_fallback,
                       "seconds": args.seconds,
                       "value": round(rtf, 5), "target": 0.05}))
     return 0 if rtf <= 0.05 else 1

@@ -162,3 +162,36 @@ def test_convert_hf_cli_roundtrip(hf_pair, rng, tmp_path):
                     decoder_input_ids=torch.tensor(np.asarray(toks))
                     ).logits.numpy()
     np.testing.assert_allclose(ours, theirs, atol=5e-5, rtol=1e-4)
+
+
+def test_convert_hf_quantized_roundtrip(hf_pair, rng, tmp_path):
+    """convert-hf --quantize saves the int8 serving tree; a target-less
+    orbax restore yields kernel_q/embed_q leaves whose logits stay close to
+    the float port (weight-only int8, per-channel scales)."""
+    pytest.importorskip("torch")
+    hf, params = hf_pair
+    hf_dir = str(tmp_path / "hf_ckpt")
+    hf.save_pretrained(hf_dir)
+
+    out = str(tmp_path / "ported_q")
+    from audax.cli.main import _COMMANDS
+    rc = _COMMANDS["convert-hf"](["--hf-dir", hf_dir, "--out", out,
+                                  "--kind", "whisper", "--quantize"])
+    assert rc == 0
+
+    from audax.train.checkpoints import load_pytree
+    restored = load_pytree(out)
+    assert restored["decoder"]["layers"]["attn"]["q"]["kernel_q"].dtype \
+        == jnp.int8
+
+    from audax.models.quantize import tree_bytes
+    assert tree_bytes(restored) < 0.4 * tree_bytes(params)
+
+    mel = _mel(rng)
+    toks = jnp.asarray(rng.integers(0, TINY.vocab_size, (2, 6)), jnp.int32)
+    lf = whisper_forward(params, TINY, jnp.asarray(mel), toks)
+    lq = whisper_forward(restored, TINY, jnp.asarray(mel), toks)
+    pf = jax.nn.softmax(lf, -1)
+    pq = jax.nn.softmax(lq, -1)
+    kl = (pf * (jnp.log(pf + 1e-9) - jnp.log(pq + 1e-9))).sum(-1)
+    assert float(kl.max()) < 0.05

@@ -517,6 +517,8 @@ def cmd_bench_rtf(argv) -> int:
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--quantize", action="store_true",
                    help="int8 weight-only serving (models/quantize.py)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 self+cross KV caches (whisper.QuantKV)")
     p.add_argument("--no-fallback", action="store_true",
                    help="single greedy decode per chunk (random-weight "
                    "models always fail the quality gates, so the default "
@@ -536,7 +538,7 @@ def cmd_bench_rtf(argv) -> int:
     params, cfg, tok = _load_whisper(args.size, "", "")
     tr = Transcriber(params, cfg, tok,
                      max_new_tokens=args.max_new_tokens,
-                     quantize=args.quantize,
+                     quantize=args.quantize, kv_quant=args.kv_quant,
                      temperature_fallback=not args.no_fallback,
                      dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                      else jnp.float32)
@@ -547,7 +549,8 @@ def cmd_bench_rtf(argv) -> int:
     rtf = min(tr.transcribe(audio, batch_chunks=args.batch_chunks).rtf
               for _ in range(args.runs))
     print(json.dumps({"metric": "whisper_rtf", "size": args.size,
-                      "dtype": args.dtype + ("+int8" if args.quantize else ""),
+                      "dtype": args.dtype + ("+int8" if args.quantize else "")
+                      + ("+int8kv" if args.kv_quant else ""),
                       "fallback_ladder": not args.no_fallback,
                       "seconds": args.seconds,
                       "value": round(rtf, 5), "target": 0.05}))

@@ -35,7 +35,7 @@ class BeamResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_len", "eos_id", "beam_width", "dtype",
-                     "mesh", "timestamps"))
+                     "mesh", "timestamps", "kv_quant"))
 def beam_search(
     params,
     cfg: WhisperConfig,
@@ -49,6 +49,7 @@ def beam_search(
     timestamps: Optional[TimestampRules] = None,
     dtype=jnp.float32,
     mesh=None,                    # jax.sharding.Mesh with a 'model' axis
+    kv_quant: bool = False,       # int8 self+cross KV (whisper.QuantKV)
 ) -> BeamResult:
     b, p_len = prompt.shape
     w = beam_width
@@ -57,8 +58,8 @@ def beam_search(
 
     # replicate encoder state / prompt across beams -> [B*W, ...]
     enc_rep = jnp.repeat(enc, w, axis=0)
-    cross_kv = precompute_cross_kv(params, cfg, enc_rep)
-    cache = init_kv_cache(cfg, bw, max_len, dtype)
+    cross_kv = precompute_cross_kv(params, cfg, enc_rep, quant=kv_quant)
+    cache = init_kv_cache(cfg, bw, max_len, dtype, quant=kv_quant)
     if mesh is not None:
         # TP: heads over 'model', beam-flattened batch over 'data'
         cross_kv, cache = tp_shard_kv(mesh, cfg, cross_kv, cache, bw)
@@ -121,8 +122,9 @@ def beam_search(
         scores = top_scores.reshape(-1)
         done = pick(c.done)
         lengths = pick(c.lengths)
-        # reorder the POST-step cache (contains this step's new K/V)
-        cache = KVCache(cache.k[:, src], cache.v[:, src])
+        # reorder the POST-step cache (contains this step's new K/V);
+        # tree-mapped so float KVCache and int8 QuantKV both reorder
+        cache = jax.tree.map(lambda a: a[:, src], cache)
 
         nxt = new_tok.reshape(-1)
         # during the prompt, force the prompt token and keep scores at init

@@ -43,10 +43,14 @@ def tp_shard_kv(mesh, cfg: WhisperConfig, cross_kv, cache, batch: int):
     from jax.sharding import NamedSharding, PartitionSpec as P
     model_ok = cfg.heads % mesh.shape.get("model", 1) == 0
     data_ok = batch % mesh.shape.get("data", 1) == 0
-    sharding = NamedSharding(mesh, P(None, "data" if data_ok else None,
-                                     "model" if model_ok else None,
-                                     None, None))
-    constrain = lambda x: jax.lax.with_sharding_constraint(x, sharding)
+    axes = ("data" if data_ok else None, "model" if model_ok else None)
+
+    def constrain(x):
+        # k/v are [layers, B, H, len, hd]; QuantKV scales are [layers, B,
+        # H, len] — shard the shared leading axes, replicate the rest
+        spec = P(None, *axes, *([None] * (x.ndim - 3)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
     return jax.tree.map(constrain, cross_kv), jax.tree.map(constrain, cache)
 
 
@@ -101,7 +105,7 @@ class GenerateResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_len", "eos_id", "temperature", "dtype",
-                     "timestamps", "mesh"))
+                     "timestamps", "mesh", "kv_quant"))
 def generate(
     params,
     cfg: WhisperConfig,
@@ -116,6 +120,7 @@ def generate(
     timestamps: Optional[TimestampRules] = None,
     dtype=jnp.float32,
     mesh=None,                     # jax.sharding.Mesh with a 'model' axis
+    kv_quant: bool = False,        # int8 self+cross KV (whisper.QuantKV)
 ) -> GenerateResult:
     """Decode until EOS or ``max_len``. The prompt is teacher-forced through
     the same cached step (cheap: P is tiny), then generation proceeds
@@ -128,8 +133,8 @@ def generate(
     head-parallel with one all-reduce per layer, so generation scales with
     the mesh instead of running replicated."""
     b, p_len = prompt.shape
-    cross_kv = precompute_cross_kv(params, cfg, enc)
-    cache = init_kv_cache(cfg, b, max_len, dtype)
+    cross_kv = precompute_cross_kv(params, cfg, enc, quant=kv_quant)
+    cache = init_kv_cache(cfg, b, max_len, dtype, quant=kv_quant)
     if mesh is not None:
         cross_kv, cache = tp_shard_kv(mesh, cfg, cross_kv, cache, b)
     tokens = jnp.zeros((b, max_len), jnp.int32)

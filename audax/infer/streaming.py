@@ -70,13 +70,16 @@ class StreamingTranscriber:
                  tokenizer: WhisperTokenizer, *,
                  batch_slots: int = 8, window_seconds: float = 30.0,
                  lang: str = "en", max_new_tokens: int = 224,
-                 mesh=None, dtype=jnp.float32, backend: Optional[str] = None):
+                 mesh=None, dtype=jnp.float32, backend: Optional[str] = None,
+                 kv_quant: bool = False):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.batch_slots = batch_slots
         self.lang = lang
         self.max_new_tokens = max_new_tokens
         self.dtype = dtype
+        #: int8 KV caches — halves per-slot decode cache memory/bandwidth
+        self.kv_quant = kv_quant
         self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
         self.window = int(window_seconds * self.frontend.cfg.sample_rate)
         self.streams: Dict[str, _Stream] = {}
@@ -136,7 +139,7 @@ class StreamingTranscriber:
                           jnp.asarray(self._prompt),
                           max_len=self._max_len, eos_id=self.tokenizer.eot,
                           suppress=jnp.asarray(self._suppress),
-                          dtype=self.dtype)
+                          dtype=self.dtype, kv_quant=self.kv_quant)
         tokens = np.asarray(result.tokens)
         lengths = np.asarray(result.lengths)
         p = self._prompt.shape[1]

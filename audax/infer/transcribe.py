@@ -117,7 +117,10 @@ class Transcriber:
                  word_timestamps: bool = False,
                  beam_width: int = 1,
                  dtype=jnp.float32, backend: Optional[str] = None,
-                 quantize: bool = False):
+                 quantize: bool = False, kv_quant: bool = False):
+        #: int8 self+cross KV caches in decode (whisper.QuantKV) — halves
+        #: the per-token cache read bytes and per-stream cache memory
+        self.kv_quant = kv_quant
         if quantize:
             # int8 weight-only serving (models/quantize.py): decode reads
             # 4x fewer weight bytes vs f32 — pair with dtype=bfloat16
@@ -178,7 +181,8 @@ class Transcriber:
                               jnp.asarray(prompt), max_len=max_len,
                               eos_id=tk.eot, beam_width=self.beam_width,
                               suppress=jnp.asarray(self.suppress),
-                              timestamps=rules, dtype=self.dtype)
+                              timestamps=rules, dtype=self.dtype,
+                              kv_quant=self.kv_quant)
             # top hypothesis, shaped like a GenerateResult
             lengths = res.lengths[:, 0]
             gen_count = jnp.maximum(lengths - prompt.shape[1], 1)
@@ -188,7 +192,7 @@ class Transcriber:
                         max_len=max_len, eos_id=tk.eot,
                         temperature=temperature, timestamps=rules,
                         suppress=jnp.asarray(self.suppress),
-                        dtype=self.dtype)
+                        dtype=self.dtype, kv_quant=self.kv_quant)
 
     def _align_words(self, enc_row, prompt_len: int, prompt_and_ids,
                      n_valid_samples: int) -> List[WordTiming]:

@@ -41,7 +41,7 @@ Params = Dict[str, Any]
 __all__ = [
     "init_whisper_params", "encode", "decode_train", "whisper_forward",
     "init_kv_cache", "precompute_cross_kv", "decode_step",
-    "sinusoidal_positions", "KVCache",
+    "sinusoidal_positions", "KVCache", "QuantKV", "quantize_kv",
 ]
 
 
@@ -170,13 +170,27 @@ def attention(p: Params, x: jnp.ndarray, heads: int, *,
     """Multi-head attention. ``kv``: cross-attention source; ``kv_cached``:
     precomputed (k, v) head tensors [B, H, S, hd] (decode fast path)."""
     q = _split_heads(dense(p["q"], x), heads)
+    scale = (q.shape[-1]) ** -0.5
+    if isinstance(kv_cached, QuantKV):
+        # int8 KV: scales fold into the einsums (see QuantKV docstring)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale,
+                            kv_cached.k_q.astype(x.dtype))
+        scores = scores * kv_cached.k_scale[:, :, None, :].astype(x.dtype)
+        if mask is not None:
+            scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+        probs = jax.nn.softmax(scores.astype(jnp.float32),
+                               axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd",
+                         probs * kv_cached.v_scale[:, :, None, :
+                                                   ].astype(x.dtype),
+                         kv_cached.v_q.astype(x.dtype))
+        return dense(p["out"], _merge_heads(out))
     if kv_cached is not None:
         k, v = kv_cached
     else:
         src = kv if kv is not None else x
         k = _split_heads(dense(p["k"], src), heads)
         v = _split_heads(dense(p["v"], src), heads)
-    scale = (q.shape[-1]) ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
@@ -262,17 +276,52 @@ class KVCache(NamedTuple):
     v: jnp.ndarray
 
 
+class QuantKV(NamedTuple):
+    """Int8 KV with one scale per key/value vector: ``*_q`` int8
+    [..., T, hd], ``*_scale`` f32 [..., T].
+
+    TPU decode reads the whole cache every token, so KV bytes are decode
+    bandwidth (at large-v3 the 1500-frame cross KV is ~1 GB/token read in
+    bf16); int8 halves that and the per-stream cache memory of batched
+    streaming serving. Scales fold into the attention einsums (scores *=
+    k_scale over the key axis; probs *= v_scale before the value matmul),
+    so nothing is ever dequantized to a full float tensor."""
+    k_q: jnp.ndarray
+    k_scale: jnp.ndarray
+    v_q: jnp.ndarray
+    v_scale: jnp.ndarray
+
+
+def quantize_kv(k: jnp.ndarray, v: jnp.ndarray) -> QuantKV:
+    """Per-vector symmetric int8 over the head dim (any leading shape)."""
+
+    def one(x):
+        s = jnp.max(jnp.abs(x), axis=-1) / 127.0
+        s = jnp.maximum(s, 1e-8)
+        q = jnp.clip(jnp.round(x / s[..., None]), -127, 127).astype(jnp.int8)
+        return q, s.astype(jnp.float32)
+
+    kq, ks = one(k)
+    vq, vs = one(v)
+    return QuantKV(kq, ks, vq, vs)
+
+
 def init_kv_cache(cfg: WhisperConfig, batch: int, max_len: int,
-                  dtype=jnp.float32) -> KVCache:
+                  dtype=jnp.float32, quant: bool = False):
     hd = cfg.d_model // cfg.heads
     shape = (cfg.decoder_layers, batch, cfg.heads, max_len, hd)
+    if quant:
+        return QuantKV(jnp.zeros(shape, jnp.int8),
+                       jnp.ones(shape[:-1], jnp.float32),
+                       jnp.zeros(shape, jnp.int8),
+                       jnp.ones(shape[:-1], jnp.float32))
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
-def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray,
+                        quant: bool = False):
     """Cross-attention K/V for all layers, computed once per utterance:
-    [layers, B, H, S, hd] each."""
+    [layers, B, H, S, hd] each (``quant=True``: int8 + per-vector scales)."""
     layers = params["decoder"]["layers"]
 
     def per_layer(layer):
@@ -280,49 +329,75 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig, enc: jnp.ndarray
         v = _split_heads(dense(layer["cross_attn"]["v"], enc), cfg.heads)
         return k, v
 
-    return jax.vmap(per_layer)(layers)
+    k, v = jax.vmap(per_layer)(layers)
+    return quantize_kv(k, v) if quant else (k, v)
 
 
 def decode_step(params: Params, cfg: WhisperConfig, token: jnp.ndarray,
-                pos: jnp.ndarray, cache: KVCache,
-                cross_kv: Tuple[jnp.ndarray, jnp.ndarray],
-                dtype=jnp.float32) -> Tuple[jnp.ndarray, KVCache]:
+                pos: jnp.ndarray, cache,
+                cross_kv,
+                dtype=jnp.float32):
     """One autoregressive step.
 
     token [B] int32, pos scalar int32 (current write position), fixed-shape
     cache. Returns (logits [B, vocab], updated cache). jit/while_loop safe:
     static shapes, dynamic_update_slice writes, position-masked attention.
+
+    ``cache``/``cross_kv`` are either the float pair types (KVCache /
+    (k, v)) or their int8 ``QuantKV`` forms from ``init_kv_cache(quant=
+    True)`` / ``precompute_cross_kv(quant=True)`` — the layer scan slices
+    whichever pytree it is given, so both paths share this one step.
     """
     from audax.models.quantize import embed_logits, embed_lookup
     p = params["decoder"]
     x = embed_lookup(p, token, dtype)[:, None, :] + \
         lax.dynamic_slice_in_dim(p["pos"], pos, 1)[None].astype(dtype)
-    max_len = cache.k.shape[3]
+    quant_self = isinstance(cache, QuantKV)
+    max_len = (cache.k_q if quant_self else cache.k).shape[3]
     valid = (jnp.arange(max_len) <= pos)[None, None, None, :]
 
     def body(x, scanned):
-        layer, k_cache, v_cache, ck, cv = scanned
+        layer, c, ckv = scanned
         h = layer_norm(layer["attn_ln"], x)
         q = _split_heads(dense(layer["attn"]["q"], h), cfg.heads)
         k1 = _split_heads(dense(layer["attn"]["k"], h), cfg.heads)
         v1 = _split_heads(dense(layer["attn"]["v"], h), cfg.heads)
-        k_all = lax.dynamic_update_slice(k_cache, k1, (0, 0, pos, 0))
-        v_all = lax.dynamic_update_slice(v_cache, v1, (0, 0, pos, 0))
         scale = q.shape[-1] ** -0.5
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k_all)
-        scores = jnp.where(valid, scores, jnp.finfo(scores.dtype).min)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(x.dtype)
-        attn_out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_all)
+        if quant_self:
+            new = quantize_kv(k1, v1)            # [B, H, 1, hd] / [B, H, 1]
+            c = QuantKV(
+                lax.dynamic_update_slice(c.k_q, new.k_q, (0, 0, pos, 0)),
+                lax.dynamic_update_slice(c.k_scale, new.k_scale, (0, 0, pos)),
+                lax.dynamic_update_slice(c.v_q, new.v_q, (0, 0, pos, 0)),
+                lax.dynamic_update_slice(c.v_scale, new.v_scale, (0, 0, pos)))
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale,
+                                c.k_q.astype(x.dtype))
+            scores = scores * c.k_scale[:, :, None, :].astype(x.dtype)
+            scores = jnp.where(valid, scores, jnp.finfo(scores.dtype).min)
+            probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                   -1).astype(x.dtype)
+            attn_out = jnp.einsum(
+                "bhqk,bhkd->bhqd",
+                probs * c.v_scale[:, :, None, :].astype(x.dtype),
+                c.v_q.astype(x.dtype))
+        else:
+            c = KVCache(
+                lax.dynamic_update_slice(c.k, k1, (0, 0, pos, 0)),
+                lax.dynamic_update_slice(c.v, v1, (0, 0, pos, 0)))
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, c.k)
+            scores = jnp.where(valid, scores, jnp.finfo(scores.dtype).min)
+            probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                   -1).astype(x.dtype)
+            attn_out = jnp.einsum("bhqk,bhkd->bhqd", probs, c.v)
         x = x + dense(layer["attn"]["out"], _merge_heads(attn_out))
 
         h = layer_norm(layer["cross_ln"], x)
-        x = x + attention(layer["cross_attn"], h, cfg.heads, kv_cached=(ck, cv))
+        x = x + attention(layer["cross_attn"], h, cfg.heads, kv_cached=ckv)
         h = layer_norm(layer["mlp_ln"], x)
         x = x + _mlp(layer, h)
-        return x, (k_all, v_all)
+        return x, c
 
-    x, (new_k, new_v) = lax.scan(
-        body, x, (p["layers"], cache.k, cache.v, cross_kv[0], cross_kv[1]))
+    x, new_cache = lax.scan(body, x, (p["layers"], cache, cross_kv))
     x = layer_norm(p["ln"], x)
     logits = embed_logits(p, x[:, 0])
-    return logits, KVCache(new_k, new_v)
+    return logits, new_cache

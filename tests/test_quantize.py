@@ -145,3 +145,112 @@ def test_transcriber_quantize_flag(wparams):
                      quantize=True, dtype=jnp.bfloat16)
     res = tr.transcribe(np.zeros(16000, np.float32))
     assert isinstance(res.text, str)
+
+
+# ------------------------------------------------------ int8 KV cache ----
+def test_quantize_kv_roundtrip(rng):
+    from audax.models.whisper import quantize_kv
+
+    k = jnp.asarray(rng.standard_normal((2, 4, 7, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 4, 7, 16)), jnp.float32)
+    q = quantize_kv(k, v)
+    assert q.k_q.dtype == jnp.int8 and q.k_scale.shape == (2, 4, 7)
+    deq = q.k_q.astype(jnp.float32) * q.k_scale[..., None]
+    err = np.abs(np.asarray(deq - k))
+    bound = np.abs(np.asarray(k)).max(-1) / 254.0 + 1e-6
+    assert (err <= bound[..., None] + 1e-6).all()
+
+
+def test_cross_attention_quant_kv_close(wparams, rng):
+    """attention() with QuantKV cross-KV matches the float path closely."""
+    from audax.models.whisper import (attention, precompute_cross_kv,
+                                      _split_heads, dense)
+
+    enc = jnp.asarray(rng.standard_normal((2, 10, CFG.d_model)) * 0.3,
+                      jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 3, CFG.d_model)) * 0.3,
+                    jnp.float32)
+    layer0 = jax.tree.map(lambda a: a[0],
+                          wparams["decoder"]["layers"])["cross_attn"]
+    kf, vf = (_split_heads(dense(layer0["k"], enc), CFG.heads),
+              _split_heads(dense(layer0["v"], enc), CFG.heads))
+    out_f = attention(layer0, x, CFG.heads, kv_cached=(kf, vf))
+    from audax.models.whisper import quantize_kv
+    out_q = attention(layer0, x, CFG.heads, kv_cached=quantize_kv(kf, vf))
+    scale = float(jnp.abs(out_f).max())
+    assert np.abs(np.asarray(out_f - out_q)).max() < 0.03 * scale + 1e-4
+
+
+def test_generate_kv_quant_close(wparams, rng):
+    """Greedy decode with int8 KV: logprob trajectory stays close to float
+    decode (token-exact on most steps for a random model; we assert the
+    structural outputs + score proximity rather than chaotic token ids)."""
+    from audax.infer.decode import generate
+    from audax.models.whisper import encode
+
+    mel = jnp.asarray(rng.standard_normal((2, 2 * CFG.n_audio_ctx,
+                                           CFG.n_mels)), jnp.float32)
+    enc = encode(wparams, CFG, mel)
+    prompt = jnp.asarray([[1, 2], [1, 2]], jnp.int32)
+    out_f = generate(wparams, CFG, enc, prompt, max_len=10, eos_id=0)
+    out_q = generate(wparams, CFG, enc, prompt, max_len=10, eos_id=0,
+                     kv_quant=True)
+    assert out_q.tokens.shape == out_f.tokens.shape
+    assert np.allclose(np.asarray(out_q.avg_logprob),
+                       np.asarray(out_f.avg_logprob), atol=0.25)
+
+
+def test_decode_step_kv_quant_first_logits_close(wparams, rng):
+    """First decode step (empty cache) with int8 self+cross KV produces
+    near-identical logits to the float step — the per-step quantization
+    error bound, before any trajectory divergence."""
+    from audax.models.whisper import (decode_step, encode, init_kv_cache,
+                                      precompute_cross_kv)
+
+    mel = jnp.asarray(rng.standard_normal((1, 2 * CFG.n_audio_ctx,
+                                           CFG.n_mels)), jnp.float32)
+    enc = encode(wparams, CFG, mel)
+    tok = jnp.asarray([3], jnp.int32)
+    pos = jnp.int32(0)
+    lf, _ = decode_step(wparams, CFG, tok, pos,
+                        init_kv_cache(CFG, 1, 8),
+                        precompute_cross_kv(wparams, CFG, enc))
+    lq, _ = decode_step(wparams, CFG, tok, pos,
+                        init_kv_cache(CFG, 1, 8, quant=True),
+                        precompute_cross_kv(wparams, CFG, enc, quant=True))
+    pf = jax.nn.softmax(lf, -1)
+    pq = jax.nn.softmax(lq, -1)
+    kl = (pf * (jnp.log(pf + 1e-9) - jnp.log(pq + 1e-9))).sum(-1)
+    assert float(kl.max()) < 0.05
+
+
+def test_beam_search_kv_quant_runs(wparams, rng):
+    from audax.infer.beam import beam_search
+    from audax.models.whisper import encode
+
+    mel = jnp.asarray(rng.standard_normal((1, 2 * CFG.n_audio_ctx,
+                                           CFG.n_mels)), jnp.float32)
+    enc = encode(wparams, CFG, mel)
+    prompt = jnp.asarray([[1, 2]], jnp.int32)
+    res = beam_search(wparams, CFG, enc, prompt, max_len=8, eos_id=0,
+                      beam_width=2, kv_quant=True)
+    assert res.tokens.shape[:2] == (1, 2)
+
+
+def test_transcriber_kv_quant(wparams):
+    from audax.infer.transcribe import Transcriber
+    from audax.symbolic.bpe import train_bpe
+    from audax.symbolic.tokenizer import WhisperTokenizer
+    from audax.core.config import WhisperConfig
+    from audax.models.whisper import init_whisper_params
+
+    tok = WhisperTokenizer(train_bpe(["x y z"], vocab_size=280))
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=100, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=32)
+    params = init_whisper_params(cfg, jax.random.key(3))
+    tr = Transcriber(params, cfg, tok, max_new_tokens=6,
+                     temperature_fallback=False, chunk_seconds=2.0,
+                     quantize=True, kv_quant=True, dtype=jnp.bfloat16)
+    res = tr.transcribe(np.zeros(16000, np.float32))
+    assert isinstance(res.text, str)

@@ -557,6 +557,72 @@ def cmd_bench_rtf(argv) -> int:
     return 0 if rtf <= 0.05 else 1
 
 
+@command("bench-streaming")
+def cmd_bench_streaming(argv) -> int:
+    """Batched multi-stream serving throughput: N concurrent streams of
+    synthetic audio through StreamingTranscriber's fixed-slot batches.
+    Reports audio-seconds transcribed per wall-second = how many real-time
+    streams one chip sustains (the BASELINE stretch config's capacity
+    metric; the reference has no serving layer at all)."""
+    p = argparse.ArgumentParser(prog="audax bench-streaming")
+    p.add_argument("--size", default="base")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--streams", type=int, default=16)
+    p.add_argument("--windows", type=int, default=2,
+                   help="30 s windows fed per stream")
+    p.add_argument("--batch-slots", type=int, default=8)
+    p.add_argument("--max-new-tokens", type=int, default=224)
+    p.add_argument("--quantize", action="store_true")
+    p.add_argument("--kv-quant", action="store_true")
+    args = p.parse_args(argv)
+
+    import json
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audax.core.runtime import setup
+    from audax.infer.streaming import StreamingTranscriber
+
+    setup()
+    params, cfg, tok = _load_whisper(args.size, "", "")
+    if args.quantize:
+        from audax.models.quantize import quantize_tree
+        params = quantize_tree(params)
+    st = StreamingTranscriber(
+        params, cfg, tok, batch_slots=args.batch_slots,
+        max_new_tokens=args.max_new_tokens, kv_quant=args.kv_quant,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    rng = np.random.default_rng(0)
+    window = st.window
+
+    def fill():
+        for i in range(args.streams):
+            for _ in range(args.windows):
+                st.feed(f"s{i:03d}",
+                        (0.1 * rng.standard_normal(window)).astype(np.float32))
+
+    fill()
+    st.drain()                                   # compile warmup
+    fill()
+    audio_s = args.streams * args.windows * window / 16000.0
+    t0 = time.perf_counter()
+    segs = st.drain()
+    wall = time.perf_counter() - t0
+    assert len(segs) == args.streams * args.windows
+    capacity = audio_s / wall
+    print(json.dumps({
+        "metric": "streaming_realtime_streams_per_chip", "size": args.size,
+        "dtype": args.dtype + ("+int8" if args.quantize else "")
+        + ("+int8kv" if args.kv_quant else ""),
+        "batch_slots": args.batch_slots, "streams": args.streams,
+        "value": round(capacity, 2), "audio_seconds": audio_s,
+        "wall_seconds": round(wall, 3)}))
+    return 0
+
+
 @command("bench-train")
 def cmd_bench_train(argv) -> int:
     """Fine-tune step throughput on the chip: jitted seq2seq train step

@@ -203,3 +203,27 @@ def test_indivisible_dims_fall_back_to_replication():
     sharded = shard_params(params, mesh)   # 101 % 2 != 0 -> embed replicated
     emb = sharded["decoder"]["embed"]
     assert emb.sharding.spec in (P(), P(None), P(None, None))
+
+
+def test_tp_decode_kv_quant_matches_replicated(rng):
+    """TP=2 decode with int8 KV caches (QuantKV: scale leaves are 4D, so
+    the sharding constraint must be rank-aware) equals replicated int8-KV
+    decode token for token."""
+    from audax.infer.decode import generate
+    from audax.models.whisper import encode
+
+    mesh = make_mesh(MeshConfig(model=2))
+    params = init_whisper_params(CFG, jax.random.key(2))
+    mel = jnp.asarray(rng.standard_normal((2, 2 * CFG.n_audio_ctx, CFG.n_mels))
+                      .astype(np.float32))
+    prompt = jnp.full((2, 1), 3, jnp.int32)
+    enc = encode(params, CFG, mel)
+    ref = generate(params, CFG, enc, prompt, max_len=10, eos_id=2,
+                   kv_quant=True)
+    sharded_params = shard_params(params, mesh)
+    out = generate(sharded_params, CFG, enc, prompt, max_len=10, eos_id=2,
+                   mesh=mesh, kv_quant=True)
+    assert (np.asarray(out.tokens) == np.asarray(ref.tokens)).all()
+    np.testing.assert_allclose(np.asarray(out.sum_logprob),
+                               np.asarray(ref.sum_logprob),
+                               atol=1e-3, rtol=1e-4)

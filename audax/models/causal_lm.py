@@ -133,9 +133,10 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 
 def _attn_block(layer, cfg: CausalLMConfig, x, positions, mask,
-                kv_cache=None, cache_pos=None):
-    """Returns (out, (k_all, v_all)). Causal masking via ``mask``
-    [B or 1, 1, Tq, Tk] boolean."""
+                kv_cache=None, cache_pos=None, causal=False):
+    """Returns (out, (k_all, v_all)). ``causal`` + optional key-padding
+    ``mask`` [B or 1, 1, 1 or Tq, Tk]; the maskless-causal case dispatches
+    to the fused GQA flash kernel on TPU (ops/attention.py)."""
     b, t, _ = x.shape
     hd = cfg.head_dim
     h = rms_norm(layer["attn_norm"], x, cfg.rms_eps)
@@ -151,13 +152,9 @@ def _attn_block(layer, cfg: CausalLMConfig, x, positions, mask,
         k_cache, v_cache = kv_cache
         k = lax.dynamic_update_slice(k_cache, k, (0, 0, cache_pos, 0))
         v = lax.dynamic_update_slice(v_cache, v, (0, 0, cache_pos, 0))
-    rep = cfg.heads // cfg.kv_heads
-    k_full = jnp.repeat(k, rep, axis=1) if rep > 1 else k
-    v_full = jnp.repeat(v, rep, axis=1) if rep > 1 else v
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q * (hd ** -0.5), k_full)
-    scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v_full)
+    from audax.ops.attention import dot_product_attention
+    out = dot_product_attention(q, k, v, causal=causal, mask=mask,
+                                scale=hd ** -0.5)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.heads * hd)
     return _dense_fwd(layer["o"], out), (k, v)
 
@@ -188,15 +185,13 @@ def forward_with_embeds(params: Params, cfg: CausalLMConfig,
     b, t, _ = embeds.shape
     x = embeds.astype(dtype)
     positions = jnp.arange(t)
-    causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
-    if attention_mask is not None:
-        key_mask = attention_mask[:, None, None, :].astype(bool)
-        mask = jnp.logical_and(causal, key_mask)
-    else:
-        mask = causal
+    # key-padding mask only; the causal part is a flag so the maskless
+    # case rides the flash kernel (the XLA twin folds causal AND mask)
+    mask = (attention_mask[:, None, None, :].astype(bool)
+            if attention_mask is not None else None)
 
     def body(x, layer):
-        attn, _ = _attn_block(layer, cfg, x, positions, mask)
+        attn, _ = _attn_block(layer, cfg, x, positions, mask, causal=True)
         x = x + attn
         x = x + _mlp_block(layer, cfg, x)
         return x, None

@@ -165,10 +165,13 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
 def attention(p: Params, x: jnp.ndarray, heads: int, *,
               kv: Optional[jnp.ndarray] = None,
               mask: Optional[jnp.ndarray] = None,
+              causal: bool = False,
               kv_cached: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
               ) -> jnp.ndarray:
     """Multi-head attention. ``kv``: cross-attention source; ``kv_cached``:
-    precomputed (k, v) head tensors [B, H, S, hd] (decode fast path)."""
+    precomputed (k, v) head tensors [B, H, S, hd] (decode fast path).
+    ``causal``/maskless paths dispatch to the fused flash kernel on TPU
+    (ops/attention.py); arbitrary ``mask`` arrays stay on the XLA twin."""
     q = _split_heads(dense(p["q"], x), heads)
     scale = (q.shape[-1]) ** -0.5
     if isinstance(kv_cached, QuantKV):
@@ -191,11 +194,9 @@ def attention(p: Params, x: jnp.ndarray, heads: int, *,
         src = kv if kv is not None else x
         k = _split_heads(dense(p["k"], src), heads)
         v = _split_heads(dense(p["v"], src), heads)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
-    if mask is not None:
-        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    from audax.ops.attention import dot_product_attention
+    out = dot_product_attention(q, k, v, causal=causal, mask=mask,
+                                scale=scale)
     return dense(p["out"], _merge_heads(out))
 
 
@@ -243,11 +244,10 @@ def decode_train(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
     p = params["decoder"]
     b, l = tokens.shape
     x = embed_lookup(p, tokens, dtype) + p["pos"][:l].astype(dtype)
-    causal = jnp.tril(jnp.ones((l, l), bool))[None, None]
 
     def body(x, layer):
         h = layer_norm(layer["attn_ln"], x)
-        x = x + attention(layer["attn"], h, cfg.heads, mask=causal)
+        x = x + attention(layer["attn"], h, cfg.heads, causal=True)
         h = layer_norm(layer["cross_ln"], x)
         x = x + attention(layer["cross_attn"], h, cfg.heads, kv=enc)
         h = layer_norm(layer["mlp_ln"], x)

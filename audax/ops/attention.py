@@ -1,0 +1,473 @@
+"""Flash attention: fused online-softmax kernels (Pallas TPU) + XLA twin.
+
+Plain attention materialises the [B, H, Tq, Tk] score tensor in HBM
+(models/whisper.py:attention; the reference's torch equivalents are the
+transformer blocks in .charles/spectrogram.py:831-867 and
+.charles/music2midi/model.py — all softmax(QK^T)V with materialised
+scores). At Whisper-large-v3 encoder scale (H=20, T=1500) that is
+~180 MB of f32 score traffic per layer per direction; this module keeps
+score blocks in VMEM and streams K/V once.
+
+Forward: grid (B*Hq, Tq/bq, Tk/bk) with the k-block axis innermost;
+(m, l, acc) scratch carries the online-softmax state across the
+sequential grid steps, and the output plus logsumexp are written on the
+last k-block. Rows: running max m, normaliser l, accumulator acc — the
+standard rescaling recurrence (Flash-Attention; PAPERS.md).
+
+Backward: no O(T^2) residual — block scores are recomputed from the
+saved logsumexp. Two kernels: dq over (bh, iq, ik) and a fused dk/dv
+over (bhkv, ik, g, iq) whose inner (g, iq) loops also fold grouped-query
+heads into the shared KV gradient. delta = rowsum(dO * O) is a cheap
+elementwise pass left to XLA.
+
+GQA (Hkv < Hq) is handled purely by block index maps (the kv block of
+q-head h is block h // group — no jnp.repeat materialisation). Causal
+masking skips whole above-diagonal blocks and lane-masks the diagonal.
+Ragged (padded) Tk is masked from the static true length.
+
+Probabilities are cast to the value dtype before the PV matmul, matching
+the XLA path (and openai-whisper, which runs attention in model dtype).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention", "xla_attention", "dot_product_attention",
+           "flash_applicable"]
+
+_NEG = -1e30  # masking constant; -inf would NaN the m-recurrence
+
+
+def _pad_to(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------- forward --
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                *, scale: float, causal: bool, kv_len: int,
+                block_q: int, block_k: int):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full(m_ref.shape, _NEG, jnp.float32)
+        l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    def _step():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale
+        cols = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        valid = cols < kv_len
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            valid = jnp.logical_and(valid, cols <= rows)
+        s = jnp.where(valid, s, _NEG)
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(valid, p, 0.0)          # fully-masked blocks: p == 0
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        pv = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
+                     preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    if causal:   # skip whole above-diagonal k-blocks
+        pl.when(ik * block_k <= iq * block_q + block_q - 1)(_step)
+    else:
+        _step()
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)   # padded q rows: garbage-safe
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[:, :1] + jnp.log(l_safe)
+
+
+def _fwd(q3, k3, v3, *, group: int, scale: float, causal: bool, kv_len: int,
+         block_q: int, block_k: int, interpret: bool):
+    """q3 [BHq, Tq_p, D]; k3/v3 [BHkv, Tk_p, D] -> (o [BHq, Tq_p, D],
+    lse [BHq, Tq_p] f32)."""
+    bhq, tq, d = q3.shape
+    tk = k3.shape[1]
+    grid = (bhq, tq // block_q, tk // block_k)
+    kern = functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                             kv_len=kv_len, block_q=block_q, block_k=block_k)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // group, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // group, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            # lse as a [T, 1] column: lane-1 blocks keep every in-kernel
+            # use a sublane column (no lane<->sublane relayouts)
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bhq, tq, d), q3.dtype),
+            jax.ShapeDtypeStruct((bhq, tq, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q3, k3, v3)
+
+
+# --------------------------------------------------------------- backward --
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref, dq_ref,
+               acc_ref, *, scale: float, causal: bool, kv_len: int,
+               block_q: int, block_k: int):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    def _step():
+        q = q_ref[0]
+        k = k_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        cols = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        valid = cols < kv_len
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            valid = jnp.logical_and(valid, cols <= rows)
+        p = jnp.where(valid, jnp.exp(s - lse_ref[0]), 0.0)
+        dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dlt_ref[0]) * scale
+        acc_ref[:] = acc_ref[:] + jnp.dot(ds.astype(k.dtype), k,
+                                          preferred_element_type=jnp.float32)
+
+    if causal:
+        pl.when(ik * block_k <= iq * block_q + block_q - 1)(_step)
+    else:
+        _step()
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dlt_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float, causal: bool,
+                kv_len: int, block_q: int, block_k: int):
+    ik = pl.program_id(1)
+    g = pl.program_id(2)
+    iq = pl.program_id(3)
+    ng = pl.num_programs(2)
+    nq = pl.num_programs(3)
+
+    @pl.when(jnp.logical_and(g == 0, iq == 0))
+    def _init():
+        dk_acc[:] = jnp.zeros(dk_acc.shape, jnp.float32)
+        dv_acc[:] = jnp.zeros(dv_acc.shape, jnp.float32)
+
+    def _step():
+        q = q_ref[0]
+        k = k_ref[0]
+        do = do_ref[0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        cols = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        valid = cols < kv_len
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            valid = jnp.logical_and(valid, cols <= rows)
+        p = jnp.where(valid, jnp.exp(s - lse_ref[0]), 0.0)
+        # dv += P^T @ dO   (contract the q axis)
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - dlt_ref[0]) * scale
+        dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        pl.when(iq * block_q + block_q - 1 >= ik * block_k)(_step)
+    else:
+        _step()
+
+    @pl.when(jnp.logical_and(g == ng - 1, iq == nq - 1))
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_pallas(q3, k3, v3, o3, lse, do3, *, group: int, scale: float,
+                causal: bool, kv_len: int, block_q: int, block_k: int,
+                interpret: bool):
+    bhq, tq, d = q3.shape
+    bhkv, tk, _ = k3.shape
+    delta = jnp.sum(do3.astype(jnp.float32) * o3.astype(jnp.float32),
+                    axis=-1, keepdims=True)        # [BHq, Tq, 1]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, causal=causal,
+                          kv_len=kv_len, block_q=block_q, block_k=block_k),
+        grid=(bhq, tq // block_q, tk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // group, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // group, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bhq, tq, d), q3.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(q3, k3, v3, do3, lse, delta)
+
+    # (bhkv, ik, g, iq): inner (g, iq) sweep folds the whole q-head group
+    # into one resident dk/dv block — GQA KV grads without a jnp.repeat.
+    def qmap(b, j, g_, i):
+        return (b * group + g_, i, 0)
+
+    def qvecmap(b, j, g_, i):
+        return (b * group + g_, i, 0)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, causal=causal,
+                          kv_len=kv_len, block_q=block_q, block_k=block_k),
+        grid=(bhkv, tk // block_k, group, tq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), qmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, g_, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, g_, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), qmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qvecmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), qvecmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, g_, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, g_, i: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bhkv, tk, d), k3.dtype),
+            jax.ShapeDtypeStruct((bhkv, tk, d), v3.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(q3, k3, v3, do3, lse, delta)
+    return dq, dk, dv
+
+
+# ------------------------------------------------------- custom-vjp glue --
+
+class _FlashCfg(NamedTuple):
+    causal: bool
+    scale: float
+    block_q: int
+    block_k: int
+    interpret: bool
+    tq: int          # true (unpadded) lengths — static at trace time
+    tk: int
+
+
+def _run_fwd(cfg: _FlashCfg, q, k, v):
+    b, hq, tq, d = q.shape
+    hkv = k.shape[1]
+    group = hq // hkv
+    bq = min(cfg.block_q, _pad_to(tq, 16))
+    bk = min(cfg.block_k, _pad_to(cfg.tk, 16))
+    tq_p, tk_p = _pad_to(tq, bq), _pad_to(cfg.tk, bk)
+    q3 = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0))
+                 ).reshape(b * hq, tq_p, d)
+    k3 = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - cfg.tk), (0, 0))
+                 ).reshape(b * hkv, tk_p, d)
+    v3 = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - cfg.tk), (0, 0))
+                 ).reshape(b * hkv, tk_p, d)
+    o3, lse = _fwd(q3, k3, v3, group=group, scale=cfg.scale,
+                   causal=cfg.causal, kv_len=cfg.tk, block_q=bq, block_k=bk,
+                   interpret=cfg.interpret)
+    o = o3.reshape(b, hq, tq_p, d)[:, :, :tq]
+    return o, (q3, k3, v3, o3, lse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash(cfg: _FlashCfg, q, k, v):
+    return _run_fwd(cfg, q, k, v)[0]
+
+
+def _flash_fwd_rule(cfg, q, k, v):
+    o, res = _run_fwd(cfg, q, k, v)
+    return o, res
+
+
+def _flash_bwd_rule(cfg, res, do):
+    q3, k3, v3, o3, lse = res
+    bhq, tq_p, d = q3.shape
+    bhkv, tk_p, _ = k3.shape
+    b, hq = do.shape[:2]                   # do is [B, Hq, Tq, D]
+    hkv = bhkv // b
+    group = hq // hkv
+    bq = min(cfg.block_q, _pad_to(cfg.tq, 16))
+    bk = min(cfg.block_k, _pad_to(cfg.tk, 16))
+    do3 = jnp.pad(do, ((0, 0), (0, 0), (0, tq_p - do.shape[2]), (0, 0))
+                  ).reshape(bhq, tq_p, d)
+    dq3, dk3, dv3 = _bwd_pallas(q3, k3, v3, o3, lse, do3, group=group,
+                                scale=cfg.scale, causal=cfg.causal,
+                                kv_len=cfg.tk, block_q=bq, block_k=bk,
+                                interpret=cfg.interpret)
+    dq = dq3.reshape(b, hq, tq_p, d)[:, :, :cfg.tq]
+    dk = dk3.reshape(b, hkv, tk_p, d)[:, :, :cfg.tk]
+    dv = dv3.reshape(b, hkv, tk_p, d)[:, :, :cfg.tk]
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    causal: bool = False, scale: Optional[float] = None,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
+                    interpret: bool = False) -> jax.Array:
+    """Fused attention. q [B, Hq, Tq, D]; k/v [B, Hkv, Tk, D] with
+    Hq % Hkv == 0 (grouped-query). Differentiable (custom VJP, flash
+    backward kernels). Causal requires Tq == Tk (token-aligned ends).
+
+    Default blocks (v5e-tuned): non-causal keeps the whole q tile
+    resident (up to 2048 rows) and streams K/V; causal uses small
+    128x256 blocks so whole above-diagonal k-blocks are skipped."""
+    b, hq, tq, d = q.shape
+    if causal and tq != k.shape[2]:
+        raise ValueError("causal flash attention requires Tq == Tk")
+    if hq % k.shape[1]:
+        raise ValueError(f"Hq={hq} not a multiple of Hkv={k.shape[1]}")
+    if causal:
+        block_q = block_q or 128
+        block_k = block_k or 256
+    else:
+        block_q = block_q or 2048
+        block_k = block_k or 512
+    cfg = _FlashCfg(causal=causal,
+                    scale=float(scale if scale is not None else d ** -0.5),
+                    block_q=block_q, block_k=block_k, interpret=interpret,
+                    tq=tq, tk=k.shape[2])
+    return _flash(cfg, q, k, v)
+
+
+# ------------------------------------------------------------ XLA twin ----
+
+def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                  causal: bool = False, mask: Optional[jax.Array] = None,
+                  scale: Optional[float] = None) -> jax.Array:
+    """Reference/materialised path (identical math to
+    models/whisper.py:attention): softmax in f32, probs cast to the
+    compute dtype before PV. Supports GQA and arbitrary masks."""
+    d = q.shape[-1]
+    scale = float(scale if scale is not None else d ** -0.5)
+    group = q.shape[1] // k.shape[1]
+    if group > 1:
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k)
+    if causal:
+        tq, tk = s.shape[-2:]
+        cm = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+        mask = cm if mask is None else jnp.logical_and(mask, cm)
+    if mask is not None:
+        s = jnp.where(mask, s, jnp.finfo(s.dtype).min)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+# ----------------------------------------------------------- dispatcher ---
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
+
+
+_ENV_BACKEND = os.environ.get("AUDAX_ATTN_BACKEND", "").strip() or None
+
+
+def flash_applicable(q_shape, k_shape, mask) -> bool:
+    """Flash path: no arbitrary mask, head dims grouped, and enough rows
+    that the kernel beats the fused-XLA small case (decode has Tq == 1)."""
+    return (mask is None and q_shape[-1] == k_shape[-1]
+            and q_shape[1] % k_shape[1] == 0 and q_shape[2] >= 16
+            and k_shape[2] >= 16)
+
+
+def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                          causal: bool = False,
+                          mask: Optional[jax.Array] = None,
+                          scale: Optional[float] = None,
+                          backend: Optional[str] = None,
+                          interpret: bool = False) -> jax.Array:
+    """Backend-dispatched attention: the Pallas flash kernel on TPU, the
+    XLA twin elsewhere (or via AUDAX_ATTN_BACKEND / ``backend=``)."""
+    backend = backend or _ENV_BACKEND or ("pallas" if _on_tpu() else "xla")
+    if backend == "pallas" and flash_applicable(q.shape, k.shape, mask):
+        return flash_attention(q, k, v, causal=causal, scale=scale,
+                               interpret=interpret)
+    return xla_attention(q, k, v, causal=causal, mask=mask, scale=scale)

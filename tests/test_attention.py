@@ -1,0 +1,108 @@
+"""Flash-attention kernel parity: Pallas (interpret) vs XLA twin vs numpy.
+
+The reference's attention is torch softmax(QK^T)V with materialised
+scores (.charles/spectrogram.py:831-867, .charles/music2midi/model.py);
+audax's XLA twin reproduces that math and the Pallas kernel must match
+the twin bit-tight in f32 — forward AND backward (custom VJP)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audax.ops.attention import flash_attention, xla_attention
+
+pytestmark = pytest.mark.fast
+
+
+def _rand(rng, *shape, dtype=np.float32):
+    return jnp.asarray(rng.standard_normal(shape).astype(dtype))
+
+
+def _numpy_attention(q, k, v, causal=False):
+    q, k, v = (np.asarray(x, np.float64) for x in (q, k, v))
+    group = q.shape[1] // k.shape[1]
+    k, v = np.repeat(k, group, 1), np.repeat(v, group, 1)
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * q.shape[-1] ** -0.5
+    if causal:
+        tq, tk = s.shape[-2:]
+        s = np.where(np.tril(np.ones((tq, tk), bool), tk - tq), s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def test_xla_twin_matches_numpy(rng):
+    q, k, v = (_rand(rng, 2, 4, 37, 16) for _ in range(3))
+    out = xla_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), _numpy_attention(q, k, v, True),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_xla_square(rng, causal):
+    q, k, v = (_rand(rng, 2, 3, 128, 64) for _ in range(3))
+    ref = xla_attention(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, interpret=True,
+                          block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_flash_ragged_cross_lengths(rng):
+    """Tq != Tk (cross-attention) with both lengths off the tile grid —
+    exercises q-row padding and the kv_len lane mask."""
+    q = _rand(rng, 1, 4, 100, 64)
+    k = _rand(rng, 1, 4, 77, 64)
+    v = _rand(rng, 1, 4, 77, 64)
+    ref = xla_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True, block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_flash_gqa_causal(rng):
+    q = _rand(rng, 2, 8, 96, 32)
+    k = _rand(rng, 2, 2, 96, 32)
+    v = _rand(rng, 2, 2, 96, 32)
+    ref = xla_attention(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, interpret=True,
+                          block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_flash_bf16(rng):
+    q, k, v = (_rand(rng, 1, 4, 64, 64).astype(jnp.bfloat16)
+               for _ in range(3))
+    ref = xla_attention(q, k, v)
+    out = flash_attention(q, k, v, interpret=True, block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("causal,gqa,ragged", [
+    (False, 1, False), (True, 1, False), (True, 4, False), (False, 2, True)])
+def test_flash_grads_match_xla(rng, causal, gqa, ragged):
+    tq = 72 if ragged else 64
+    tk = tq if causal or not ragged else 50
+    q = _rand(rng, 2, 4, tq, 32)
+    k = _rand(rng, 2, 4 // gqa, tk, 32)
+    v = _rand(rng, 2, 4 // gqa, tk, 32)
+    w = _rand(rng, 2, 4, tq, 32)      # cotangent-shaping weights
+
+    def loss(fn):
+        def f(q, k, v):
+            return jnp.sum(fn(q, k, v) * w)
+        return f
+
+    flash = loss(lambda q, k, v: flash_attention(
+        q, k, v, causal=causal, interpret=True, block_q=32, block_k=32))
+    ref = loss(lambda q, k, v: xla_attention(q, k, v, causal=causal))
+    g_flash = jax.grad(flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4,
+                                   err_msg=f"d{name} mismatch")

@@ -479,6 +479,8 @@ def cmd_stream_serve(argv) -> int:
     p.add_argument("--batch-slots", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the startup compile (first request pays it)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -492,6 +494,9 @@ def cmd_stream_serve(argv) -> int:
     st = StreamingTranscriber(
         params, cfg, tok, batch_slots=args.batch_slots,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    if not args.no_warmup:
+        log.info("warming up (compiling the batch program)...")
+        st.warmup()
     server = serve_streaming(st, host=args.host, port=args.port)
     log.success("streaming ASR on ws://%s:%d/ws?stream=<id>", args.host,
                 args.port)

@@ -179,3 +179,11 @@ class StreamingTranscriber:
         while self.pending_chunks():
             out.extend(self.step())
         return out
+
+    def warmup(self) -> None:
+        """Compile the (only) batch program — frontend + encoder + decode at
+        the fixed slot shape — before the first client connects. The
+        persistent compilation cache makes this a no-op after the first
+        process (core/runtime.setup)."""
+        self._run_batch(np.zeros((self.batch_slots, self.window),
+                                 np.float32))

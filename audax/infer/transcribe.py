@@ -24,7 +24,7 @@ import numpy as np
 
 from audax.core.config import WhisperConfig
 from audax.core.logging import get_logger
-from audax.frontend import LogMelFrontend, pad_or_trim
+from audax.frontend import LogMelFrontend
 from audax.infer.align import (WordTiming,
                                cross_attention_weights,
                                word_timings)
@@ -237,6 +237,42 @@ class Transcriber:
                                             abs(mid - s.end)))
             target.words.append(w)
 
+    def warmup(self, *, batch_chunks: int = 4) -> None:
+        """Precompile every XLA program the serving path can hit — encoder,
+        each temperature rung (beam at t=0 when beam_width>1), language
+        detection, context-bucket prompts, word alignment — so the first
+        real request never pays a compile. With the persistent compilation
+        cache (core/runtime.setup) the artifacts survive process restarts;
+        call this at server startup (cli/stream_server.py does)."""
+        tk = self.tokenizer
+        ladder = (FALLBACK_TEMPERATURES if self.temperature_fallback
+                  else (0.0,))
+        lang = "en" if self.lang == "auto" else self.lang
+        out = None
+        sizes = {1} if self.condition_on_previous else {1, batch_chunks}
+        for n in sorted(sizes):
+            mel = self.frontend(jnp.zeros((n, self.chunk_samples),
+                                          jnp.float32))
+            enc = encode(self.params, self.cfg, mel, self.dtype)
+            if self.lang == "auto":
+                detect_language(self.params, self.cfg, tk, enc, self.dtype)
+            enc[np.asarray(list(range(n)))]   # the ladder's slot gather
+            prompts = [self._prompt(n, None, lang)]
+            if self.condition_on_previous and n == 1:
+                # the conditioned path decodes chunks sequentially (B=1):
+                # warm one program per context bucket
+                filler = tk.encode("a") * max(self.CONTEXT_BUCKETS)
+                prompts += [self._prompt(n, filler[:b], lang)
+                            for b in self.CONTEXT_BUCKETS]
+            for prompt in prompts:
+                for temp in ladder:
+                    out = self._decode_once(enc, prompt, temp)
+            if self.word_timestamps:
+                row = list(prompts[0][0])
+                self._align_words(enc[0], len(row), row, self.chunk_samples)
+        if out is not None:
+            np.asarray(out.avg_logprob)      # force (incl. the lazy props)
+
     def _decode_chunk_batch(
         self, audio_chunks: np.ndarray,
         prev: Optional[List[int]] = None,
@@ -294,8 +330,11 @@ class Transcriber:
         chunks = []
         for start in range(0, max(n, 1), self.chunk_samples):
             chunk = audio[start: start + self.chunk_samples]
-            chunks.append(np.asarray(
-                pad_or_trim(jnp.asarray(chunk), self.chunk_samples)))
+            # host-side pad: a device pad would compile one tiny program
+            # per distinct trailing-chunk length
+            if len(chunk) < self.chunk_samples:
+                chunk = np.pad(chunk, (0, self.chunk_samples - len(chunk)))
+            chunks.append(chunk)
         tk = self.tokenizer
         lang = self.lang
         if lang == "auto":

@@ -26,6 +26,7 @@ head_dim**-0.5; exact GELU).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -207,10 +208,16 @@ def _mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # encoder
 
+@functools.partial(jax.jit, static_argnums=(1, 3))
 def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
            dtype=jnp.float32) -> jnp.ndarray:
     """mel [B, T_frames, n_mels] (time-major) -> encoder states
-    [B, T_frames//2, d_model]."""
+    [B, T_frames//2, d_model].
+
+    Def-site jitted (cfg/dtype static): serving calls it eagerly per
+    request, and an unjitted ``lax.scan`` would re-trace + recompile its
+    layer loop on every call (fresh body identity). Inside an outer jit
+    it simply inlines."""
     p = params["encoder"]
     x = mel.astype(dtype)
     x = jax.nn.gelu(lax.conv_general_dilated(

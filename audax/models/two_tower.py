@@ -88,9 +88,8 @@ def adapter_apply(p: Params, text: jnp.ndarray, audio: jnp.ndarray,
     q = _fwd(p["q"], text).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
     k = _fwd(p["k"], akv).reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
     v = _fwd(p["v"], akv).reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q * hd ** -0.5, k)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(text.dtype)
-    attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    from audax.ops.attention import dot_product_attention
+    attn = dot_product_attention(q, k, v, scale=hd ** -0.5)
     attn = _fwd(p["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, d))
     x = _ln(p["ln1"], text + attn)
     h = _fwd(p["ffn_out"], jax.nn.gelu(_fwd(p["ffn_in"], x), approximate=False))

@@ -22,8 +22,6 @@ online softmax is algebraically the same sum) and compose with the
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 from fractions import Fraction
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 from audax.symbolic.abc import extract_tokens
 from audax.symbolic.midi import (KeySignature, MidiFile, Note, Tempo,

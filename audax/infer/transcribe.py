@@ -117,7 +117,8 @@ class Transcriber:
                  word_timestamps: bool = False,
                  beam_width: int = 1,
                  dtype=jnp.float32, backend: Optional[str] = None,
-                 quantize: bool = False, kv_quant: bool = False):
+                 quantize: bool = False, kv_quant: bool = False,
+                 draft=None, spec_tokens: int = 8):
         #: int8 self+cross KV caches in decode (whisper.QuantKV) — halves
         #: the per-token cache read bytes and per-stream cache memory
         self.kv_quant = kv_quant
@@ -138,8 +139,16 @@ class Transcriber:
         #: >1 enables beam search at temperature 0 (whisper's
         #: transcribe(beam_size=K): beam first, sampling on fallback)
         self.beam_width = beam_width
+        #: (draft_params, draft_cfg) enables speculative decoding on the
+        #: single-chunk greedy path (infer/speculative.py) — token-exact,
+        #: lower latency when the draft tracks the target
+        self.draft = draft
+        self.spec_tokens = spec_tokens
         self.dtype = dtype
         self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
+        self.draft_frontend = (
+            LogMelFrontend.whisper(draft[1].n_mels, backend=backend)
+            if draft is not None and draft[1].n_mels != cfg.n_mels else None)
         # chunk window defaults to the model's audio capacity: n_audio_ctx
         # encoder positions x conv stride 2 x hop samples — exactly 30 s for
         # the published whisper family, shorter for compact custom models
@@ -169,11 +178,21 @@ class Transcriber:
                 seq = [tk.sot_prev] + prev[-bucket:] + seq
         return np.asarray([seq] * n, np.int32)
 
-    def _decode_once(self, enc, prompt, temperature: float):
+    def _decode_once(self, enc, prompt, temperature: float, denc=None):
         tk = self.tokenizer
         rules = (TimestampRules(tk.timestamp_begin, tk.eot)
                  if self.timestamps else None)
         max_len = min(prompt.shape[1] + self.max_new_tokens, self.cfg.n_text_ctx)
+        if (denc is not None and temperature == 0.0 and rules is None
+                and self.beam_width == 1 and enc.shape[0] == 1):
+            # token-exact draft-verified greedy (single-stream latency path)
+            from audax.infer.speculative import generate_speculative
+            return generate_speculative(
+                self.draft[0], self.params, self.draft[1], self.cfg,
+                denc, enc, jnp.asarray(prompt), max_len=max_len,
+                eos_id=tk.eot, spec_tokens=self.spec_tokens,
+                suppress=jnp.asarray(self.suppress), dtype=self.dtype,
+                kv_quant=self.kv_quant)
         if self.beam_width > 1 and temperature == 0.0:
             # whisper's ladder: beam at t=0, sampling on hotter retries
             from audax.infer.beam import beam_search
@@ -257,6 +276,12 @@ class Transcriber:
             if self.lang == "auto":
                 detect_language(self.params, self.cfg, tk, enc, self.dtype)
             enc[np.asarray(list(range(n)))]   # the ladder's slot gather
+            denc = None
+            if self.draft is not None and n == 1:
+                dmel = (self.draft_frontend(
+                    jnp.zeros((n, self.chunk_samples), jnp.float32))
+                    if self.draft_frontend is not None else mel)
+                denc = encode(self.draft[0], self.draft[1], dmel, self.dtype)
             prompts = [self._prompt(n, None, lang)]
             if self.condition_on_previous and n == 1:
                 # the conditioned path decodes chunks sequentially (B=1):
@@ -266,7 +291,7 @@ class Transcriber:
                             for b in self.CONTEXT_BUCKETS]
             for prompt in prompts:
                 for temp in ladder:
-                    out = self._decode_once(enc, prompt, temp)
+                    out = self._decode_once(enc, prompt, temp, denc=denc)
             if self.word_timestamps:
                 row = list(prompts[0][0])
                 self._align_words(enc[0], len(row), row, self.chunk_samples)
@@ -284,6 +309,11 @@ class Transcriber:
         mel = self.frontend(jnp.asarray(audio_chunks))
         enc = encode(self.params, self.cfg, mel, self.dtype)
         n = len(audio_chunks)
+        denc = None
+        if self.draft is not None and n == 1:
+            dmel = (self.draft_frontend(jnp.asarray(audio_chunks))
+                    if self.draft_frontend is not None else mel)
+            denc = encode(self.draft[0], self.draft[1], dmel, self.dtype)
         prompt = self._prompt(n, prev, lang)
         p = prompt.shape[1]
         tk = self.tokenizer
@@ -300,7 +330,7 @@ class Transcriber:
             # per chunk-batch size instead of one per distinct pending count
             idx = pending + [pending[0]] * (n - len(pending))
             sub_enc = enc[np.asarray(idx)]
-            out = self._decode_once(sub_enc, prompt, temp)
+            out = self._decode_once(sub_enc, prompt, temp, denc=denc)
             tokens = np.asarray(out.tokens)
             lengths = np.asarray(out.lengths)
             avg_lp = np.asarray(out.avg_logprob)

@@ -41,7 +41,7 @@ Params = Dict[str, Any]
 
 __all__ = [
     "init_whisper_params", "encode", "decode_train", "whisper_forward",
-    "init_kv_cache", "precompute_cross_kv", "decode_step",
+    "init_kv_cache", "precompute_cross_kv", "decode_step", "decode_span",
     "sinusoidal_positions", "KVCache", "QuantKV", "quantize_kv",
 ]
 
@@ -355,13 +355,35 @@ def decode_step(params: Params, cfg: WhisperConfig, token: jnp.ndarray,
     True)`` / ``precompute_cross_kv(quant=True)`` — the layer scan slices
     whichever pytree it is given, so both paths share this one step.
     """
+    logits, cache = decode_span(params, cfg, token[:, None], pos, cache,
+                                cross_kv, dtype)
+    return logits[:, 0], cache
+
+
+def decode_span(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
+                pos: jnp.ndarray, cache,
+                cross_kv,
+                dtype=jnp.float32):
+    """Teacher-forced span decode WITH cache append: tokens [B, K] occupy
+    positions pos..pos+K-1; returns (logits [B, K, vocab], updated cache).
+
+    The K=1 case is ``decode_step``. K>1 is the speculative-decoding
+    verifier (infer/speculative.py): the target model scores K draft
+    tokens in ONE pass — K-row matmuls instead of K sequential matvecs
+    reading the weights K times. Query i attends cached positions
+    <= pos+i (in-span causality); span slots are (re)written before
+    attention, which is what lets stale rejected-branch cache entries
+    self-heal across speculative iterations.
+    """
     from audax.models.quantize import embed_logits, embed_lookup
     p = params["decoder"]
-    x = embed_lookup(p, token, dtype)[:, None, :] + \
-        lax.dynamic_slice_in_dim(p["pos"], pos, 1)[None].astype(dtype)
+    kk = tokens.shape[1]
+    x = embed_lookup(p, tokens, dtype) + \
+        lax.dynamic_slice_in_dim(p["pos"], pos, kk)[None].astype(dtype)
     quant_self = isinstance(cache, QuantKV)
     max_len = (cache.k_q if quant_self else cache.k).shape[3]
-    valid = (jnp.arange(max_len) <= pos)[None, None, None, :]
+    qpos = pos + jnp.arange(kk)
+    valid = (jnp.arange(max_len)[None, :] <= qpos[:, None])[None, None]
 
     def body(x, scanned):
         layer, c, ckv = scanned
@@ -406,5 +428,4 @@ def decode_step(params: Params, cfg: WhisperConfig, token: jnp.ndarray,
 
     x, new_cache = lax.scan(body, x, (p["layers"], cache, cross_kv))
     x = layer_norm(p["ln"], x)
-    logits = embed_logits(p, x[:, 0])
-    return logits, new_cache
+    return embed_logits(p, x), new_cache

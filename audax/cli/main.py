@@ -644,6 +644,8 @@ def cmd_bench_speculative(argv) -> int:
     p.add_argument("--spec-tokens", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=224)
     p.add_argument("--kv-quant", action="store_true")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 weight-only target (draft stays float)")
     args = p.parse_args(argv)
 
     import json
@@ -660,6 +662,9 @@ def cmd_bench_speculative(argv) -> int:
 
     setup()
     params, cfg, tok = _load_whisper(args.size, "", "")
+    if args.quantize:
+        from audax.models.quantize import quantize_tree
+        params = quantize_tree(params)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     import dataclasses
 
@@ -725,7 +730,8 @@ def cmd_bench_speculative(argv) -> int:
     print(json.dumps({
         "metric": "speculative_decode_ms_per_token", "size": args.size,
         "draft": args.draft_size,
-        "dtype": args.dtype + ("+int8kv" if args.kv_quant else ""),
+        "dtype": args.dtype + ("+int8" if args.quantize else "")
+        + ("+int8kv" if args.kv_quant else ""),
         "spec_tokens": args.spec_tokens, "tokens": n,
         "plain": round(tok_plain * 1e3, 3),
         "draft_alone": round(tok_draft * 1e3, 3),

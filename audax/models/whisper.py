@@ -175,6 +175,11 @@ def attention(p: Params, x: jnp.ndarray, heads: int, *,
     (ops/attention.py); arbitrary ``mask`` arrays stay on the XLA twin."""
     q = _split_heads(dense(p["q"], x), heads)
     scale = (q.shape[-1]) ** -0.5
+    if kv_cached is not None and mask is None:
+        # decode fast path: fused cached-KV kernel (int8 scales in-kernel)
+        from audax.ops.attention import decode_attention
+        out = decode_attention(q, kv_cached, scale=scale)
+        return dense(p["out"], _merge_heads(out))
     if isinstance(kv_cached, QuantKV):
         # int8 KV: scales fold into the einsums (see QuantKV docstring)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale,
@@ -381,9 +386,6 @@ def decode_span(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
     x = embed_lookup(p, tokens, dtype) + \
         lax.dynamic_slice_in_dim(p["pos"], pos, kk)[None].astype(dtype)
     quant_self = isinstance(cache, QuantKV)
-    max_len = (cache.k_q if quant_self else cache.k).shape[3]
-    qpos = pos + jnp.arange(kk)
-    valid = (jnp.arange(max_len)[None, :] <= qpos[:, None])[None, None]
 
     def body(x, scanned):
         layer, c, ckv = scanned
@@ -392,32 +394,19 @@ def decode_span(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         k1 = _split_heads(dense(layer["attn"]["k"], h), cfg.heads)
         v1 = _split_heads(dense(layer["attn"]["v"], h), cfg.heads)
         scale = q.shape[-1] ** -0.5
+        from audax.ops.attention import decode_attention
         if quant_self:
-            new = quantize_kv(k1, v1)            # [B, H, 1, hd] / [B, H, 1]
+            new = quantize_kv(k1, v1)            # [B, H, K, hd] / [B, H, K]
             c = QuantKV(
                 lax.dynamic_update_slice(c.k_q, new.k_q, (0, 0, pos, 0)),
                 lax.dynamic_update_slice(c.k_scale, new.k_scale, (0, 0, pos)),
                 lax.dynamic_update_slice(c.v_q, new.v_q, (0, 0, pos, 0)),
                 lax.dynamic_update_slice(c.v_scale, new.v_scale, (0, 0, pos)))
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale,
-                                c.k_q.astype(x.dtype))
-            scores = scores * c.k_scale[:, :, None, :].astype(x.dtype)
-            scores = jnp.where(valid, scores, jnp.finfo(scores.dtype).min)
-            probs = jax.nn.softmax(scores.astype(jnp.float32),
-                                   -1).astype(x.dtype)
-            attn_out = jnp.einsum(
-                "bhqk,bhkd->bhqd",
-                probs * c.v_scale[:, :, None, :].astype(x.dtype),
-                c.v_q.astype(x.dtype))
         else:
             c = KVCache(
                 lax.dynamic_update_slice(c.k, k1, (0, 0, pos, 0)),
                 lax.dynamic_update_slice(c.v, v1, (0, 0, pos, 0)))
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale, c.k)
-            scores = jnp.where(valid, scores, jnp.finfo(scores.dtype).min)
-            probs = jax.nn.softmax(scores.astype(jnp.float32),
-                                   -1).astype(x.dtype)
-            attn_out = jnp.einsum("bhqk,bhkd->bhqd", probs, c.v)
+        attn_out = decode_attention(q, c, pos=pos, scale=scale)
         x = x + dense(layer["attn"]["out"], _merge_heads(attn_out))
 
         h = layer_norm(layer["cross_ln"], x)

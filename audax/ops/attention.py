@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention", "xla_attention", "dot_product_attention",
-           "flash_applicable"]
+           "decode_attention", "flash_applicable"]
 
 _NEG = -1e30  # masking constant; -inf would NaN the m-recurrence
 
@@ -411,6 +411,157 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     block_q=block_q, block_k=block_k, interpret=interpret,
                     tq=tq, tk=k.shape[2])
     return _flash(cfg, q, k, v)
+
+
+# -------------------------------------------------- decode (cached KV) ----
+
+def _dec_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                m_ref, l_ref, acc_ref, *, scale: float, kv_len: int,
+                block_k: int, quant: bool):
+    """Single/small-query attention over a cached K/V: one (bh) row per
+    grid slot, K/V streamed in block_k chunks with online softmax. Query
+    row i sits at absolute position pos+i and may see keys <= pos+i
+    (pos >= kv_len disables the positional mask — cross-attention)."""
+    ik = pl.program_id(1)
+    nk = pl.num_programs(1)
+    tq = q_ref.shape[1]
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full(m_ref.shape, _NEG, jnp.float32)
+        l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
+
+    pos = pos_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    if quant:
+        k = (k.astype(jnp.float32) * ks_ref[0]).astype(q_ref.dtype)
+        v = (v.astype(jnp.float32) * vs_ref[0]).astype(q_ref.dtype)
+    s = jax.lax.dot_general(q_ref[0], k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (tq, block_k), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tq, block_k), 0)
+    valid = jnp.logical_and(cols < kv_len, cols <= pos + rows)
+    s = jnp.where(valid, s, _NEG)
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    pv = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)
+                    ).astype(o_ref.dtype)
+
+
+def decode_attention(q: jax.Array, kv, *, pos=None,
+                     scale: Optional[float] = None, block_k: int = 512,
+                     backend: Optional[str] = None,
+                     interpret: bool = False) -> jax.Array:
+    """Attention for the KV-cached decode path (Tq of 1..~16).
+
+    q [B, H, Tq, D]; ``kv`` either float (k, v) [B, H, S, D] or the int8
+    4-tuple (k_q, k_scale, v_q, v_scale) with [B, H, S] per-vector scales
+    (models/whisper.py:QuantKV fields). ``pos``: scalar int32 — query row
+    i may attend keys <= pos+i (None = every key; cross-attention).
+
+    The Pallas path fuses dequant + scores + online softmax + PV with K/V
+    streamed through VMEM once; the profiled XLA decode spent ~30% of
+    large-v3 per-token time in these two matvecs at 140-213 GB/s.
+    """
+    quant = len(kv) == 4
+    if quant:
+        k, ks, v, vs = kv
+    else:
+        k, v = kv
+        ks = vs = None
+    b, h, tq, d = q.shape
+    s_len = k.shape[2]
+    scale = float(scale if scale is not None else d ** -0.5)
+    backend = backend or _ENV_BACKEND or ("pallas" if _on_tpu() else "xla")
+    if backend != "pallas":
+        return _decode_attention_xla(q, k, v, ks, vs, pos=pos, scale=scale)
+
+    posv = jnp.asarray(s_len if pos is None else pos,
+                       jnp.int32).reshape(1)
+    bk = min(block_k, _pad_to(s_len, 128))
+    s_p = _pad_to(s_len, bk)
+    tq_p = _pad_to(tq, 16)
+    q3 = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0))
+                 ).reshape(b * h, tq_p, d)
+    pad_s = ((0, 0), (0, 0), (0, s_p - s_len), (0, 0))
+    k3 = jnp.pad(k, pad_s).reshape(b * h, s_p, d)
+    v3 = jnp.pad(v, pad_s).reshape(b * h, s_p, d)
+    if quant:
+        ks3 = jnp.pad(ks, ((0, 0), (0, 0), (0, s_p - s_len))
+                      ).reshape(b * h, s_p, 1)
+        vs3 = jnp.pad(vs, ((0, 0), (0, 0), (0, s_p - s_len))
+                      ).reshape(b * h, s_p, 1)
+    else:  # dummy minimal operands keep one kernel signature
+        ks3 = jnp.zeros((b * h, 1, 1), jnp.float32)
+        vs3 = ks3
+    nb = s_p // bk
+    smap = ((lambda bh, j: (bh, j, 0)) if quant
+            else (lambda bh, j: (bh, 0, 0)))
+    sblk = (1, bk, 1) if quant else (1, 1, 1)
+    out = pl.pallas_call(
+        functools.partial(_dec_kernel, scale=scale, kv_len=s_len,
+                          block_k=bk, quant=quant),
+        grid=(b * h, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tq_p, d), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sblk, smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(sblk, smap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq_p, d), lambda bh, j: (bh, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq_p, 128), jnp.float32),
+            pltpu.VMEM((tq_p, 128), jnp.float32),
+            pltpu.VMEM((tq_p, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(posv, q3, k3, v3, ks3, vs3)
+    return out.reshape(b, h, tq_p, d)[:, :, :tq]
+
+
+def _decode_attention_xla(q, k, v, ks, vs, *, pos, scale):
+    """Einsum twin (the original models/whisper.py decode path math)."""
+    dt = q.dtype
+    if ks is not None:
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, dt),
+                       k.astype(dt))
+        s = s * ks[:, :, None, :].astype(dt)
+    else:
+        s = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, dt), k)
+    if pos is not None:
+        tq, s_len = s.shape[-2:]
+        cols = jnp.arange(s_len)[None, :]
+        rows = jnp.arange(tq)[:, None]
+        s = jnp.where((cols <= pos + rows)[None, None], s,
+                      jnp.finfo(s.dtype).min)
+    p = jax.nn.softmax(s.astype(jnp.float32), -1).astype(dt)
+    if vs is not None:
+        return jnp.einsum("bhqk,bhkd->bhqd",
+                          p * vs[:, :, None, :].astype(dt), v.astype(dt))
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
 
 # ------------------------------------------------------------ XLA twin ----

@@ -106,3 +106,52 @@ def test_flash_grads_match_xla(rng, causal, gqa, ragged):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4,
                                    err_msg=f"d{name} mismatch")
+
+
+def _quant_kv(rng, b, h, s, d):
+    from audax.models.whisper import quantize_kv
+    k = _rand(rng, b, h, s, d)
+    v = _rand(rng, b, h, s, d)
+    qkv = quantize_kv(k, v)
+    return qkv, (k, v)
+
+
+@pytest.mark.parametrize("tq,pos", [(1, 6), (8, 3), (4, None)])
+def test_decode_attention_float_matches_xla(rng, tq, pos):
+    from audax.ops.attention import decode_attention
+    q = _rand(rng, 2, 4, tq, 64)
+    k = _rand(rng, 2, 4, 40, 64)
+    v = _rand(rng, 2, 4, 40, 64)
+    ref = decode_attention(q, (k, v), pos=pos, backend="xla")
+    out = decode_attention(q, (k, v), pos=pos, backend="pallas",
+                           interpret=True, block_k=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("tq,pos", [(1, 9), (8, None)])
+def test_decode_attention_quant_matches_xla(rng, tq, pos):
+    from audax.ops.attention import decode_attention
+    q = _rand(rng, 1, 2, tq, 32)
+    qkv, _ = _quant_kv(rng, 1, 2, 24, 32)
+    ref = decode_attention(q, qkv, pos=pos, backend="xla")
+    out = decode_attention(q, qkv, pos=pos, backend="pallas",
+                           interpret=True, block_k=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_decode_attention_pos_masks_future(rng):
+    """With pos=p, key j > p must not influence the Tq=1 output."""
+    from audax.ops.attention import decode_attention
+    q = _rand(rng, 1, 2, 1, 32)
+    k = _rand(rng, 1, 2, 20, 32)
+    v = _rand(rng, 1, 2, 20, 32)
+    base = decode_attention(q, (k, v), pos=7, backend="pallas",
+                            interpret=True, block_k=8)
+    k2 = k.at[:, :, 8:].set(99.0)
+    v2 = v.at[:, :, 8:].set(-99.0)
+    pert = decode_attention(q, (k2, v2), pos=7, backend="pallas",
+                            interpret=True, block_k=8)
+    np.testing.assert_allclose(np.asarray(pert), np.asarray(base),
+                               atol=1e-6)

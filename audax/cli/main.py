@@ -294,6 +294,12 @@ def cmd_transcribe(argv) -> int:
                    help=">1 = beam search at temperature 0")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--draft-size", default="",
+                   help="draft model size for speculative decoding "
+                        "(single-stream greedy latency; token-exact)")
+    p.add_argument("--draft-ckpt", default="",
+                   help="orbax checkpoint for the draft model")
+    p.add_argument("--spec-tokens", type=int, default=8)
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
@@ -301,10 +307,24 @@ def cmd_transcribe(argv) -> int:
     from audax.infer.transcribe import Transcriber, batch_transcribe_to_csv
     setup()
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
+    draft = None
+    if args.draft_size:
+        import dataclasses
+        dparams, dcfg, _ = _load_whisper(args.draft_size, args.draft_ckpt,
+                                         args.tokenizer_dir)
+        if dcfg.vocab_size != cfg.vocab_size:
+            # drafts must share the target token space; random-init drafts
+            # (no --draft-ckpt) are only useful for plumbing/benchmarks
+            dcfg = dataclasses.replace(dcfg, vocab_size=cfg.vocab_size)
+            from audax.models.whisper import init_whisper_params
+            import jax
+            dparams = init_whisper_params(dcfg, jax.random.key(1))
+        draft = (dparams, dcfg)
     tr = Transcriber(params, cfg, tok, lang=args.lang,
                      timestamps=args.timestamps,
                      word_timestamps=args.word_timestamps,
                      beam_width=args.beam_width,
+                     draft=draft, spec_tokens=args.spec_tokens,
                      dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                      else jnp.float32)
     paths = []

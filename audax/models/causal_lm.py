@@ -152,9 +152,13 @@ def _attn_block(layer, cfg: CausalLMConfig, x, positions, mask,
         k_cache, v_cache = kv_cache
         k = lax.dynamic_update_slice(k_cache, k, (0, 0, cache_pos, 0))
         v = lax.dynamic_update_slice(v_cache, v, (0, 0, cache_pos, 0))
-    from audax.ops.attention import dot_product_attention
-    out = dot_product_attention(q, k, v, causal=causal, mask=mask,
-                                scale=hd ** -0.5)
+        # decode fast path: fused cached-KV kernel with GQA + position mask
+        from audax.ops.attention import decode_attention
+        out = decode_attention(q, (k, v), pos=cache_pos, scale=hd ** -0.5)
+    else:
+        from audax.ops.attention import dot_product_attention
+        out = dot_product_attention(q, k, v, causal=causal, mask=mask,
+                                    scale=hd ** -0.5)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, cfg.heads * hd)
     return _dense_fwd(layer["o"], out), (k, v)
 

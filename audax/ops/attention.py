@@ -484,6 +484,8 @@ def decode_attention(q: jax.Array, kv, *, pos=None,
         k, v = kv
         ks = vs = None
     b, h, tq, d = q.shape
+    hkv = k.shape[1]
+    group = h // hkv               # grouped-query: kv head = q head // group
     s_len = k.shape[2]
     scale = float(scale if scale is not None else d ** -0.5)
     backend = backend or _ENV_BACKEND or ("pallas" if _on_tpu() else "xla")
@@ -498,19 +500,19 @@ def decode_attention(q: jax.Array, kv, *, pos=None,
     q3 = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0))
                  ).reshape(b * h, tq_p, d)
     pad_s = ((0, 0), (0, 0), (0, s_p - s_len), (0, 0))
-    k3 = jnp.pad(k, pad_s).reshape(b * h, s_p, d)
-    v3 = jnp.pad(v, pad_s).reshape(b * h, s_p, d)
+    k3 = jnp.pad(k, pad_s).reshape(b * hkv, s_p, d)
+    v3 = jnp.pad(v, pad_s).reshape(b * hkv, s_p, d)
     if quant:
         ks3 = jnp.pad(ks, ((0, 0), (0, 0), (0, s_p - s_len))
-                      ).reshape(b * h, s_p, 1)
+                      ).reshape(b * hkv, s_p, 1)
         vs3 = jnp.pad(vs, ((0, 0), (0, 0), (0, s_p - s_len))
-                      ).reshape(b * h, s_p, 1)
+                      ).reshape(b * hkv, s_p, 1)
     else:  # dummy minimal operands keep one kernel signature
-        ks3 = jnp.zeros((b * h, 1, 1), jnp.float32)
+        ks3 = jnp.zeros((b * hkv, 1, 1), jnp.float32)
         vs3 = ks3
     nb = s_p // bk
-    smap = ((lambda bh, j: (bh, j, 0)) if quant
-            else (lambda bh, j: (bh, 0, 0)))
+    smap = ((lambda bh, j: (bh // group, j, 0)) if quant
+            else (lambda bh, j: (bh // group, 0, 0)))
     sblk = (1, bk, 1) if quant else (1, 1, 1)
     out = pl.pallas_call(
         functools.partial(_dec_kernel, scale=scale, kv_len=s_len,
@@ -520,9 +522,9 @@ def decode_attention(q: jax.Array, kv, *, pos=None,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tq_p, d), lambda bh, j: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bh, j: (bh, j, 0),
+            pl.BlockSpec((1, bk, d), lambda bh, j: (bh // group, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bh, j: (bh, j, 0),
+            pl.BlockSpec((1, bk, d), lambda bh, j: (bh // group, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(sblk, smap, memory_space=pltpu.VMEM),
             pl.BlockSpec(sblk, smap, memory_space=pltpu.VMEM),
@@ -545,6 +547,13 @@ def decode_attention(q: jax.Array, kv, *, pos=None,
 def _decode_attention_xla(q, k, v, ks, vs, *, pos, scale):
     """Einsum twin (the original models/whisper.py decode path math)."""
     dt = q.dtype
+    group = q.shape[1] // k.shape[1]
+    if group > 1:
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+        if ks is not None:
+            ks = jnp.repeat(ks, group, axis=1)
+            vs = jnp.repeat(vs, group, axis=1)
     if ks is not None:
         s = jnp.einsum("bhqd,bhkd->bhqk", q * jnp.asarray(scale, dt),
                        k.astype(dt))

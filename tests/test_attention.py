@@ -155,3 +155,15 @@ def test_decode_attention_pos_masks_future(rng):
                             interpret=True, block_k=8)
     np.testing.assert_allclose(np.asarray(pert), np.asarray(base),
                                atol=1e-6)
+
+
+def test_decode_attention_gqa(rng):
+    from audax.ops.attention import decode_attention
+    q = _rand(rng, 2, 8, 1, 32)
+    k = _rand(rng, 2, 2, 24, 32)
+    v = _rand(rng, 2, 2, 24, 32)
+    ref = decode_attention(q, (k, v), pos=10, backend="xla")
+    out = decode_attention(q, (k, v), pos=10, backend="pallas",
+                           interpret=True, block_k=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

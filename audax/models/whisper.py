@@ -387,34 +387,49 @@ def decode_span(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         lax.dynamic_slice_in_dim(p["pos"], pos, kk)[None].astype(dtype)
     quant_self = isinstance(cache, QuantKV)
 
-    def body(x, scanned):
-        layer, c, ckv = scanned
+    # the stacked [L, ...] caches are scan CARRY (not xs): the attention
+    # kernel layer-indexes them via scalar prefetch, so the hot loop never
+    # materialises a per-layer cache slice (ops/attention.py:
+    # decode_attention_stacked)
+    from audax.ops.attention import decode_attention_stacked
+
+    def body(carry, scanned):
+        x, c = carry
+        layer, li = scanned
         h = layer_norm(layer["attn_ln"], x)
         q = _split_heads(dense(layer["attn"]["q"], h), cfg.heads)
         k1 = _split_heads(dense(layer["attn"]["k"], h), cfg.heads)
         v1 = _split_heads(dense(layer["attn"]["v"], h), cfg.heads)
         scale = q.shape[-1] ** -0.5
-        from audax.ops.attention import decode_attention
         if quant_self:
             new = quantize_kv(k1, v1)            # [B, H, K, hd] / [B, H, K]
             c = QuantKV(
-                lax.dynamic_update_slice(c.k_q, new.k_q, (0, 0, pos, 0)),
-                lax.dynamic_update_slice(c.k_scale, new.k_scale, (0, 0, pos)),
-                lax.dynamic_update_slice(c.v_q, new.v_q, (0, 0, pos, 0)),
-                lax.dynamic_update_slice(c.v_scale, new.v_scale, (0, 0, pos)))
+                lax.dynamic_update_slice(c.k_q, new.k_q[None],
+                                         (li, 0, 0, pos, 0)),
+                lax.dynamic_update_slice(c.k_scale, new.k_scale[None],
+                                         (li, 0, 0, pos)),
+                lax.dynamic_update_slice(c.v_q, new.v_q[None],
+                                         (li, 0, 0, pos, 0)),
+                lax.dynamic_update_slice(c.v_scale, new.v_scale[None],
+                                         (li, 0, 0, pos)))
         else:
             c = KVCache(
-                lax.dynamic_update_slice(c.k, k1, (0, 0, pos, 0)),
-                lax.dynamic_update_slice(c.v, v1, (0, 0, pos, 0)))
-        attn_out = decode_attention(q, c, pos=pos, scale=scale)
+                lax.dynamic_update_slice(c.k, k1[None], (li, 0, 0, pos, 0)),
+                lax.dynamic_update_slice(c.v, v1[None], (li, 0, 0, pos, 0)))
+        attn_out = decode_attention_stacked(q, c, li, pos=pos, scale=scale)
         x = x + dense(layer["attn"]["out"], _merge_heads(attn_out))
 
         h = layer_norm(layer["cross_ln"], x)
-        x = x + attention(layer["cross_attn"], h, cfg.heads, kv_cached=ckv)
+        qc = _split_heads(dense(layer["cross_attn"]["q"], h), cfg.heads)
+        co = decode_attention_stacked(qc, cross_kv, li,
+                                      scale=qc.shape[-1] ** -0.5)
+        x = x + dense(layer["cross_attn"]["out"], _merge_heads(co))
         h = layer_norm(layer["mlp_ln"], x)
         x = x + _mlp(layer, h)
-        return x, c
+        return (x, c), None
 
-    x, new_cache = lax.scan(body, x, (p["layers"], cache, cross_kv))
+    (x, new_cache), _ = lax.scan(
+        body, (x, cache),
+        (p["layers"], jnp.arange(cfg.decoder_layers)))
     x = layer_norm(p["ln"], x)
     return embed_logits(p, x), new_cache

@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention", "xla_attention", "dot_product_attention",
-           "decode_attention", "flash_applicable"]
+           "decode_attention", "decode_attention_stacked",
+           "flash_applicable"]
 
 _NEG = -1e30  # masking constant; -inf would NaN the m-recurrence
 
@@ -415,51 +416,36 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
 # -------------------------------------------------- decode (cached KV) ----
 
-def _dec_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-                m_ref, l_ref, acc_ref, *, scale: float, kv_len: int,
-                block_k: int, quant: bool):
-    """Single/small-query attention over a cached K/V: one (bh) row per
-    grid slot, K/V streamed in block_k chunks with online softmax. Query
-    row i sits at absolute position pos+i and may see keys <= pos+i
-    (pos >= kv_len disables the positional mask — cross-attention)."""
-    ik = pl.program_id(1)
-    nk = pl.num_programs(1)
-    tq = q_ref.shape[1]
+def _dec_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *,
+                scale: float, kv_len: int, quant: bool):
+    """Small-query attention over one (b, head)'s whole cached K/V.
 
-    @pl.when(ik == 0)
-    def _init():
-        m_ref[:] = jnp.full(m_ref.shape, _NEG, jnp.float32)
-        l_ref[:] = jnp.zeros(l_ref.shape, jnp.float32)
-        acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
-
+    The entire [S, D] K and V live in VMEM for the grid slot (decode
+    caches are small: large-v3 cross KV is 96 KB int8 per head), so no
+    inter-block softmax state is needed. Int8 scales fold into the score
+    ([Tq, S] * [1, S]) and prob rows — lane-aligned broadcasts, never a
+    [S, 1] column fetch (whose physical tile would 8x the KV traffic).
+    Query row i sits at absolute position pos+i and may see keys
+    <= pos+i (pos >= kv_len disables the mask — cross-attention)."""
+    tq, s_len = q_ref.shape[1], k_ref.shape[1]
     pos = pos_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    if quant:
-        k = (k.astype(jnp.float32) * ks_ref[0]).astype(q_ref.dtype)
-        v = (v.astype(jnp.float32) * vs_ref[0]).astype(q_ref.dtype)
-    s = jax.lax.dot_general(q_ref[0], k, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(q_ref[0], k_ref[0].astype(q_ref.dtype),
+                            (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (tq, block_k), 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tq, block_k), 0)
+    if quant:
+        s = s * ks_ref[0]                          # [Tq, S] * [1, S]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tq, s_len), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tq, s_len), 0)
     valid = jnp.logical_and(cols < kv_len, cols <= pos + rows)
     s = jnp.where(valid, s, _NEG)
-    m_prev = m_ref[:, :1]
-    l_prev = l_ref[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-    l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-    pv = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    @pl.when(ik == nk - 1)
-    def _finish():
-        l = l_ref[:, :1]
-        o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)
-                    ).astype(o_ref.dtype)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.where(valid, jnp.exp(s - m), 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    if quant:
+        p = p * vs_ref[0]
+    pv = jnp.dot(p.astype(q_ref.dtype), v_ref[0].astype(q_ref.dtype),
+                 preferred_element_type=jnp.float32)
+    o_ref[0] = (pv / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
 
 
 def decode_attention(q: jax.Array, kv, *, pos=None,
@@ -494,53 +480,157 @@ def decode_attention(q: jax.Array, kv, *, pos=None,
 
     posv = jnp.asarray(s_len if pos is None else pos,
                        jnp.int32).reshape(1)
-    bk = min(block_k, _pad_to(s_len, 128))
-    s_p = _pad_to(s_len, bk)
-    tq_p = _pad_to(tq, 16)
+    tq_p = _pad_to(tq, 8)
     q3 = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0))
                  ).reshape(b * h, tq_p, d)
-    pad_s = ((0, 0), (0, 0), (0, s_p - s_len), (0, 0))
-    k3 = jnp.pad(k, pad_s).reshape(b * hkv, s_p, d)
-    v3 = jnp.pad(v, pad_s).reshape(b * hkv, s_p, d)
+    # no S padding/copies: whole-KV blocks (block dim == array dim is
+    # always legal), reshape to [B*Hkv, S, D] is a free bitcast
+    k3 = k.reshape(b * hkv, s_len, d)
+    v3 = v.reshape(b * hkv, s_len, d)
     if quant:
-        ks3 = jnp.pad(ks, ((0, 0), (0, 0), (0, s_p - s_len))
-                      ).reshape(b * hkv, s_p, 1)
-        vs3 = jnp.pad(vs, ((0, 0), (0, 0), (0, s_p - s_len))
-                      ).reshape(b * hkv, s_p, 1)
+        ks3 = ks.reshape(b * hkv, 1, s_len)
+        vs3 = vs.reshape(b * hkv, 1, s_len)
     else:  # dummy minimal operands keep one kernel signature
         ks3 = jnp.zeros((b * hkv, 1, 1), jnp.float32)
         vs3 = ks3
-    nb = s_p // bk
-    smap = ((lambda bh, j: (bh // group, j, 0)) if quant
-            else (lambda bh, j: (bh // group, 0, 0)))
-    sblk = (1, bk, 1) if quant else (1, 1, 1)
+    sblk = (1, 1, s_len) if quant else (1, 1, 1)
     out = pl.pallas_call(
         functools.partial(_dec_kernel, scale=scale, kv_len=s_len,
-                          block_k=bk, quant=quant),
-        grid=(b * h, nb),
+                          quant=quant),
+        grid=(b * h,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tq_p, d), lambda bh, j: (bh, 0, 0),
+            pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bh, j: (bh // group, j, 0),
+            pl.BlockSpec((1, s_len, d), lambda bh: (bh // group, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bh, j: (bh // group, j, 0),
+            pl.BlockSpec((1, s_len, d), lambda bh: (bh // group, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(sblk, smap, memory_space=pltpu.VMEM),
-            pl.BlockSpec(sblk, smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(sblk, lambda bh: (bh // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sblk, lambda bh: (bh // group, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tq_p, d), lambda bh, j: (bh, 0, 0),
+        out_specs=pl.BlockSpec((1, tq_p, d), lambda bh: (bh, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tq_p, 128), jnp.float32),
-            pltpu.VMEM((tq_p, 128), jnp.float32),
-            pltpu.VMEM((tq_p, d), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(posv, q3, k3, v3, ks3, vs3)
+    return out.reshape(b, h, tq_p, d)[:, :, :tq]
+
+
+def _dec_kernel_stacked(layer_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref,
+                        vs_ref, o_ref, *, scale: float, kv_len: int,
+                        quant: bool):
+    """_dec_kernel over a layer-STACKED cache: the [L, B, H, S, D] cache
+    block is selected by the scalar-prefetched layer index in the
+    BlockSpec index maps, so the per-layer slice is a DMA straight out of
+    the stacked buffer — XLA never materialises a sliced copy (which cost
+    as much as the attention itself when pallas operands forced it)."""
+    tq, s_len = q_ref.shape[1], k_ref.shape[3]
+    pos = pos_ref[0]
+    k = k_ref[0, 0, 0]
+    v = v_ref[0, 0, 0]
+    s = jax.lax.dot_general(q_ref[0], k.astype(q_ref.dtype),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    if quant:
+        s = s * ks_ref[0, 0, 0]                    # [Tq, S] * [1, S]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tq, s_len), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tq, s_len), 0)
+    valid = jnp.logical_and(cols < kv_len, cols <= pos + rows)
+    s = jnp.where(valid, s, _NEG)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.where(valid, jnp.exp(s - m), 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    if quant:
+        p = p * vs_ref[0, 0, 0]
+    pv = jnp.dot(p.astype(q_ref.dtype), v.astype(q_ref.dtype),
+                 preferred_element_type=jnp.float32)
+    o_ref[0] = (pv / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
+def decode_attention_stacked(q: jax.Array, kv, layer, *, pos=None,
+                             scale: Optional[float] = None,
+                             backend: Optional[str] = None,
+                             interpret: bool = False) -> jax.Array:
+    """``decode_attention`` against the full layer-stacked decode cache.
+
+    q [B, H, Tq, D]; ``kv`` float (k, v) [L, B, Hkv, S, D] or the int8
+    4-tuple with [L, B, Hkv, S] scales; ``layer`` scalar int32 selects
+    the layer INSIDE the kernel's index maps (scalar prefetch) — the hot
+    decode loop never materialises a per-layer slice of the cache."""
+    quant = len(kv) == 4
+    if quant:
+        k, ks, v, vs = kv
+    else:
+        k, v = kv
+        ks = vs = None
+    b, h, tq, d = q.shape
+    hkv = k.shape[2]
+    group = h // hkv
+    s_len = k.shape[3]
+    scale = float(scale if scale is not None else d ** -0.5)
+    backend = backend or _ENV_BACKEND or ("pallas" if _on_tpu() else "xla")
+    if backend != "pallas":
+        sl = lambda x: (jax.lax.dynamic_index_in_dim(x, layer, 0,
+                                                     keepdims=False)
+                        if x is not None else None)
+        return _decode_attention_xla(q, sl(k), sl(v), sl(ks), sl(vs),
+                                     pos=pos, scale=scale)
+
+    layv = jnp.asarray(layer, jnp.int32).reshape(1)
+    posv = jnp.asarray(s_len if pos is None else pos,
+                       jnp.int32).reshape(1)
+    tq_p = _pad_to(tq, 8)
+    q3 = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0))
+                 ).reshape(b * h, tq_p, d)
+    if quant:
+        # free singleton axis keeps the scale block's trailing dims legal:
+        # (1, S) with both equal to the array dims
+        ks4 = ks.reshape(*ks.shape[:3], 1, s_len)
+        vs4 = vs.reshape(*vs.shape[:3], 1, s_len)
+    else:
+        ks4 = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+        vs4 = ks4
+    sblk = ((1, 1, 1, 1, s_len) if quant else (1, 1, 1, 1, 1))
+
+    def kvmap(bh, lref, pref):
+        return (lref[0], bh // h, (bh % h) // group, 0, 0)
+
+    def smap(bh, lref, pref):
+        if quant:
+            return (lref[0], bh // h, (bh % h) // group, 0, 0)
+        return (0, 0, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, tq_p, d), lambda bh, lref, pref: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s_len, d), kvmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s_len, d), kvmap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sblk, smap, memory_space=pltpu.VMEM),
+            pl.BlockSpec(sblk, smap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq_p, d),
+                               lambda bh, lref, pref: (bh, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_dec_kernel_stacked, scale=scale, kv_len=s_len,
+                          quant=quant),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(layv, posv, q3, k, v, ks4, vs4)
     return out.reshape(b, h, tq_p, d)[:, :, :tq]
 
 

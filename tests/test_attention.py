@@ -167,3 +167,25 @@ def test_decode_attention_gqa(rng):
                            interpret=True, block_k=8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("quant,gqa,tq", [(False, 1, 1), (False, 2, 8),
+                                          (True, 1, 4)])
+def test_decode_attention_stacked(rng, quant, gqa, tq):
+    """Layer-stacked cache variant: pallas (scalar-prefetch layer index)
+    vs the XLA twin, per layer."""
+    from audax.models.whisper import quantize_kv
+    from audax.ops.attention import decode_attention_stacked
+    L, b, h, s, d = 3, 2, 4, 24, 32
+    q = _rand(rng, b, h, tq, d)
+    k = _rand(rng, L, b, h // gqa, s, d)
+    v = _rand(rng, L, b, h // gqa, s, d)
+    kv = quantize_kv(k, v) if quant else (k, v)
+    for li in range(L):
+        ref = decode_attention_stacked(q, kv, jnp.int32(li), pos=10,
+                                       backend="xla")
+        out = decode_attention_stacked(q, kv, jnp.int32(li), pos=10,
+                                       backend="pallas", interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5,
+                                   err_msg=f"layer {li}")

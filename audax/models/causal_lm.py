@@ -133,10 +133,15 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 
 def _attn_block(layer, cfg: CausalLMConfig, x, positions, mask,
-                kv_cache=None, cache_pos=None, causal=False):
+                kv_cache=None, cache_pos=None, causal=False,
+                layer_idx=None):
     """Returns (out, (k_all, v_all)). ``causal`` + optional key-padding
     ``mask`` [B or 1, 1, 1 or Tq, Tk]; the maskless-causal case dispatches
-    to the fused GQA flash kernel on TPU (ops/attention.py)."""
+    to the fused GQA flash kernel on TPU (ops/attention.py).
+
+    Decode: ``kv_cache`` is the full LAYER-STACKED (k, v)
+    [L, B, kvH, S, hd] with ``layer_idx`` selecting the layer inside the
+    fused kernel (scalar prefetch — no per-layer cache slice copies)."""
     b, t, _ = x.shape
     hd = cfg.head_dim
     h = rms_norm(layer["attn_norm"], x, cfg.rms_eps)
@@ -150,11 +155,14 @@ def _attn_block(layer, cfg: CausalLMConfig, x, positions, mask,
     k = _rope(k, positions, cfg.rope_theta)
     if kv_cache is not None:
         k_cache, v_cache = kv_cache
-        k = lax.dynamic_update_slice(k_cache, k, (0, 0, cache_pos, 0))
-        v = lax.dynamic_update_slice(v_cache, v, (0, 0, cache_pos, 0))
+        k = lax.dynamic_update_slice(k_cache, k[None],
+                                     (layer_idx, 0, 0, cache_pos, 0))
+        v = lax.dynamic_update_slice(v_cache, v[None],
+                                     (layer_idx, 0, 0, cache_pos, 0))
         # decode fast path: fused cached-KV kernel with GQA + position mask
-        from audax.ops.attention import decode_attention
-        out = decode_attention(q, (k, v), pos=cache_pos, scale=hd ** -0.5)
+        from audax.ops.attention import decode_attention_stacked
+        out = decode_attention_stacked(q, (k, v), layer_idx, pos=cache_pos,
+                                       scale=hd ** -0.5)
     else:
         from audax.ops.attention import dot_product_attention
         out = dot_product_attention(q, k, v, causal=causal, mask=mask,
@@ -246,16 +254,21 @@ def lm_decode_step(params: Params, cfg: CausalLMConfig,
     valid = (jnp.arange(max_len) <= pos)[None, None, None, :]
     positions = pos[None] if pos.ndim == 0 else pos
 
-    def body(x, scanned):
-        layer, k_cache, v_cache = scanned
-        attn, (k_all, v_all) = _attn_block(
+    # stacked caches ride the scan CARRY; the kernel layer-indexes them
+    # via scalar prefetch (no per-layer slice materialisation)
+    def body(carry, scanned):
+        x, kc, vc = carry
+        layer, li = scanned
+        attn, (kc, vc) = _attn_block(
             layer, cfg, x, positions, valid,
-            kv_cache=(k_cache, v_cache), cache_pos=pos)
+            kv_cache=(kc, vc), cache_pos=pos, layer_idx=li)
         x = x + attn
         x = x + _mlp_block(layer, cfg, x)
-        return x, (k_all, v_all)
+        return (x, kc, vc), None
 
-    x, (new_k, new_v) = lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    (x, new_k, new_v), _ = lax.scan(
+        body, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(cfg.layers)))
     hidden = rms_norm(params["norm"], x, cfg.rms_eps)
     logits = lm_logits(params, cfg, hidden)[:, 0]
     return logits, LMKVCache(new_k, new_v)

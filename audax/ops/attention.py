@@ -449,19 +449,22 @@ def _dec_kernel(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, *,
 
 
 def decode_attention(q: jax.Array, kv, *, pos=None,
-                     scale: Optional[float] = None, block_k: int = 512,
+                     scale: Optional[float] = None,
                      backend: Optional[str] = None,
                      interpret: bool = False) -> jax.Array:
     """Attention for the KV-cached decode path (Tq of 1..~16).
 
     q [B, H, Tq, D]; ``kv`` either float (k, v) [B, H, S, D] or the int8
     4-tuple (k_q, k_scale, v_q, v_scale) with [B, H, S] per-vector scales
-    (models/whisper.py:QuantKV fields). ``pos``: scalar int32 — query row
-    i may attend keys <= pos+i (None = every key; cross-attention).
+    (models/whisper.py:QuantKV fields, GQA via Hkv < H). ``pos``: scalar
+    int32 — query row i may attend keys <= pos+i (None = every key;
+    cross-attention).
 
-    The Pallas path fuses dequant + scores + online softmax + PV with K/V
-    streamed through VMEM once; the profiled XLA decode spent ~30% of
-    large-v3 per-token time in these two matvecs at 140-213 GB/s.
+    The Pallas path fuses scores + softmax + PV over the whole cached KV
+    in VMEM with int8 scales folded along lanes; the profiled XLA decode
+    spent ~30% of large-v3 per-token time in these two matvecs at
+    140-213 GB/s. Prefer ``decode_attention_stacked`` inside layer scans
+    (no per-layer cache slice materialisation).
     """
     quant = len(kv) == 4
     if quant:

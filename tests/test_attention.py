@@ -124,7 +124,7 @@ def test_decode_attention_float_matches_xla(rng, tq, pos):
     v = _rand(rng, 2, 4, 40, 64)
     ref = decode_attention(q, (k, v), pos=pos, backend="xla")
     out = decode_attention(q, (k, v), pos=pos, backend="pallas",
-                           interpret=True, block_k=16)
+                           interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
 
@@ -136,7 +136,7 @@ def test_decode_attention_quant_matches_xla(rng, tq, pos):
     qkv, _ = _quant_kv(rng, 1, 2, 24, 32)
     ref = decode_attention(q, qkv, pos=pos, backend="xla")
     out = decode_attention(q, qkv, pos=pos, backend="pallas",
-                           interpret=True, block_k=16)
+                           interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
 
@@ -148,11 +148,11 @@ def test_decode_attention_pos_masks_future(rng):
     k = _rand(rng, 1, 2, 20, 32)
     v = _rand(rng, 1, 2, 20, 32)
     base = decode_attention(q, (k, v), pos=7, backend="pallas",
-                            interpret=True, block_k=8)
+                            interpret=True)
     k2 = k.at[:, :, 8:].set(99.0)
     v2 = v.at[:, :, 8:].set(-99.0)
     pert = decode_attention(q, (k2, v2), pos=7, backend="pallas",
-                            interpret=True, block_k=8)
+                            interpret=True)
     np.testing.assert_allclose(np.asarray(pert), np.asarray(base),
                                atol=1e-6)
 
@@ -164,7 +164,7 @@ def test_decode_attention_gqa(rng):
     v = _rand(rng, 2, 2, 24, 32)
     ref = decode_attention(q, (k, v), pos=10, backend="xla")
     out = decode_attention(q, (k, v), pos=10, backend="pallas",
-                           interpret=True, block_k=8)
+                           interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
 

@@ -244,10 +244,11 @@ def cmd_convert_hf(argv) -> int:
     p.add_argument("--hf-dir", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--kind", default="whisper", choices=["whisper", "causal-lm"])
-    p.add_argument("--quantize", action="store_true",
-                   help="save int8 weight-only serving weights "
-                   "(models/quantize.py; ~3-4x smaller checkpoint, loads "
-                   "straight into Transcriber/generate)")
+    p.add_argument("--quantize", nargs="?", const="int8", default=None,
+                   choices=["int8", "int4"],
+                   help="save int8/int4 weight-only serving weights "
+                   "(models/quantize.py + ops/int4_matmul.py; 3-8x smaller "
+                   "checkpoint, loads straight into Transcriber/generate)")
     args = p.parse_args(argv)
     from audax.train.checkpoints import save_pytree
     if args.kind == "whisper":
@@ -264,7 +265,8 @@ def cmd_convert_hf(argv) -> int:
         params, cfg = port_causal_lm_from_hf(hf)
     if args.quantize:
         from audax.models.quantize import quantize_tree
-        params = quantize_tree(params)
+        params = quantize_tree(params, bits=4 if args.quantize == "int4"
+                               else 8)
     save_pytree(args.out, params)
     import json
     with open(args.out + ".config.json", "w") as fh:
@@ -540,8 +542,10 @@ def cmd_bench_rtf(argv) -> int:
     p.add_argument("--batch-chunks", type=int, default=4)
     p.add_argument("--max-new-tokens", type=int, default=224)
     p.add_argument("--runs", type=int, default=3)
-    p.add_argument("--quantize", action="store_true",
-                   help="int8 weight-only serving (models/quantize.py)")
+    p.add_argument("--quantize", nargs="?", const="int8", default=None,
+                   choices=["int8", "int4"],
+                   help="int8/int4 weight-only serving (models/quantize.py"
+                   " / ops/int4_matmul.py)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 self+cross KV caches (whisper.QuantKV)")
     p.add_argument("--no-fallback", action="store_true",
@@ -574,7 +578,7 @@ def cmd_bench_rtf(argv) -> int:
     rtf = min(tr.transcribe(audio, batch_chunks=args.batch_chunks).rtf
               for _ in range(args.runs))
     print(json.dumps({"metric": "whisper_rtf", "size": args.size,
-                      "dtype": args.dtype + ("+int8" if args.quantize else "")
+                      "dtype": args.dtype + ("+" + args.quantize if args.quantize else "")
                       + ("+int8kv" if args.kv_quant else ""),
                       "fallback_ladder": not args.no_fallback,
                       "seconds": args.seconds,
@@ -598,7 +602,8 @@ def cmd_bench_streaming(argv) -> int:
                    help="30 s windows fed per stream")
     p.add_argument("--batch-slots", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=224)
-    p.add_argument("--quantize", action="store_true")
+    p.add_argument("--quantize", nargs="?", const="int8", default=None,
+                   choices=["int8", "int4"])
     p.add_argument("--kv-quant", action="store_true")
     args = p.parse_args(argv)
 
@@ -615,7 +620,8 @@ def cmd_bench_streaming(argv) -> int:
     params, cfg, tok = _load_whisper(args.size, "", "")
     if args.quantize:
         from audax.models.quantize import quantize_tree
-        params = quantize_tree(params)
+        params = quantize_tree(params, bits=4 if args.quantize == "int4"
+                               else 8)
     st = StreamingTranscriber(
         params, cfg, tok, batch_slots=args.batch_slots,
         max_new_tokens=args.max_new_tokens, kv_quant=args.kv_quant,
@@ -640,7 +646,7 @@ def cmd_bench_streaming(argv) -> int:
     capacity = audio_s / wall
     print(json.dumps({
         "metric": "streaming_realtime_streams_per_chip", "size": args.size,
-        "dtype": args.dtype + ("+int8" if args.quantize else "")
+        "dtype": args.dtype + ("+" + args.quantize if args.quantize else "")
         + ("+int8kv" if args.kv_quant else ""),
         "batch_slots": args.batch_slots, "streams": args.streams,
         "value": round(capacity, 2), "audio_seconds": audio_s,
@@ -664,8 +670,9 @@ def cmd_bench_speculative(argv) -> int:
     p.add_argument("--spec-tokens", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=224)
     p.add_argument("--kv-quant", action="store_true")
-    p.add_argument("--quantize", action="store_true",
-                   help="int8 weight-only target (draft stays float)")
+    p.add_argument("--quantize", nargs="?", const="int8", default=None,
+                   choices=["int8", "int4"],
+                   help="int8/int4 weight-only target (draft stays float)")
     args = p.parse_args(argv)
 
     import json
@@ -684,7 +691,8 @@ def cmd_bench_speculative(argv) -> int:
     params, cfg, tok = _load_whisper(args.size, "", "")
     if args.quantize:
         from audax.models.quantize import quantize_tree
-        params = quantize_tree(params)
+        params = quantize_tree(params, bits=4 if args.quantize == "int4"
+                               else 8)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     import dataclasses
 
@@ -750,7 +758,7 @@ def cmd_bench_speculative(argv) -> int:
     print(json.dumps({
         "metric": "speculative_decode_ms_per_token", "size": args.size,
         "draft": args.draft_size,
-        "dtype": args.dtype + ("+int8" if args.quantize else "")
+        "dtype": args.dtype + ("+" + args.quantize if args.quantize else "")
         + ("+int8kv" if args.kv_quant else ""),
         "spec_tokens": args.spec_tokens, "tokens": n,
         "plain": round(tok_plain * 1e3, 3),

@@ -117,16 +117,19 @@ class Transcriber:
                  word_timestamps: bool = False,
                  beam_width: int = 1,
                  dtype=jnp.float32, backend: Optional[str] = None,
-                 quantize: bool = False, kv_quant: bool = False,
+                 quantize=False, kv_quant: bool = False,
                  draft=None, spec_tokens: int = 8):
         #: int8 self+cross KV caches in decode (whisper.QuantKV) — halves
         #: the per-token cache read bytes and per-stream cache memory
         self.kv_quant = kv_quant
         if quantize:
-            # int8 weight-only serving (models/quantize.py): decode reads
-            # 4x fewer weight bytes vs f32 — pair with dtype=bfloat16
+            # weight-only serving (models/quantize.py): decode reads 4x
+            # (int8) / 8x (int4 pallas kernel, ops/int4_matmul.py) fewer
+            # weight bytes vs f32 — pair with dtype=bfloat16.
+            # ``quantize``: True/8/"int8" -> int8; 4/"int4" -> int4.
             from audax.models.quantize import quantize_tree
-            params = quantize_tree(params)
+            bits = 4 if str(quantize) in ("4", "int4") else 8
+            params = quantize_tree(params, bits=bits)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

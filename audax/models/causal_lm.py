@@ -106,7 +106,7 @@ def rms_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _dense_fwd(p, x):
-    if "kernel_q" in p:                  # int8 weight-only serving path
+    if "kernel_q" in p or "kernel_q4" in p:  # int8/int4 weight-only serving
         from audax.models.quantize import dequant_dense
         return dequant_dense(p, x)
     y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype))
@@ -255,20 +255,39 @@ def lm_decode_step(params: Params, cfg: CausalLMConfig,
     positions = pos[None] if pos.ndim == 0 else pos
 
     # stacked caches ride the scan CARRY; the kernel layer-indexes them
-    # via scalar prefetch (no per-layer slice materialisation)
-    def body(carry, scanned):
-        x, kc, vc = carry
-        layer, li = scanned
+    # via scalar prefetch (no per-layer slice materialisation). Int4
+    # weights get the same treatment via stacked_layer_view: the packed
+    # [L, N, K/2] tensors pass through whole and the int4 kernel selects
+    # the layer in its index maps (models/quantize.py).
+    def step(x, kc, vc, li, layer):
         attn, (kc, vc) = _attn_block(
             layer, cfg, x, positions, valid,
             kv_cache=(kc, vc), cache_pos=pos, layer_idx=li)
         x = x + attn
         x = x + _mlp_block(layer, cfg, x)
-        return (x, kc, vc), None
+        return x, kc, vc
 
-    (x, new_k, new_v), _ = lax.scan(
-        body, (x, cache.k, cache.v),
-        (params["layers"], jnp.arange(cfg.layers)))
+    if "kernel_q4" in params["layers"]["q"]:
+        from audax.models.quantize import stacked_layer_view
+
+        def body(carry, li):
+            x, kc, vc = carry
+            x, kc, vc = step(x, kc, vc, li,
+                             stacked_layer_view(params["layers"], li))
+            return (x, kc, vc), None
+
+        (x, new_k, new_v), _ = lax.scan(body, (x, cache.k, cache.v),
+                                        jnp.arange(cfg.layers))
+    else:
+        def body(carry, scanned):
+            x, kc, vc = carry
+            layer, li = scanned
+            x, kc, vc = step(x, kc, vc, li, layer)
+            return (x, kc, vc), None
+
+        (x, new_k, new_v), _ = lax.scan(
+            body, (x, cache.k, cache.v),
+            (params["layers"], jnp.arange(cfg.layers)))
     hidden = rms_norm(params["norm"], x, cfg.rms_eps)
     logits = lm_logits(params, cfg, hidden)[:, 0]
     return logits, LMKVCache(new_k, new_v)

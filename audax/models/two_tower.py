@@ -70,7 +70,7 @@ def _ln(p, x, eps=1e-5):
 
 
 def _fwd(p, x):
-    if "kernel_q" in p:                  # int8 weight-only serving path
+    if "kernel_q" in p or "kernel_q4" in p:  # int8/int4 weight-only serving
         from audax.models.quantize import dequant_dense
         return dequant_dense(p, x)
     return jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype)) \

@@ -144,7 +144,7 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if "kernel_q" in p:                  # int8 weight-only serving path
+    if "kernel_q" in p or "kernel_q4" in p:  # int8/int4 weight-only serving
         from audax.models.quantize import dequant_dense
         return dequant_dense(p, x)
     y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype))
@@ -390,12 +390,13 @@ def decode_span(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
     # the stacked [L, ...] caches are scan CARRY (not xs): the attention
     # kernel layer-indexes them via scalar prefetch, so the hot loop never
     # materialises a per-layer cache slice (ops/attention.py:
-    # decode_attention_stacked)
+    # decode_attention_stacked). Int4 weights get the same treatment: the
+    # scan carries only the layer index and the int4 matmul kernel selects
+    # the layer inside its index maps (ops/int4_matmul.py), so neither
+    # caches nor weights are ever sliced into per-layer copies.
     from audax.ops.attention import decode_attention_stacked
 
-    def body(carry, scanned):
-        x, c = carry
-        layer, li = scanned
+    def step(x, c, li, layer):
         h = layer_norm(layer["attn_ln"], x)
         q = _split_heads(dense(layer["attn"]["q"], h), cfg.heads)
         k1 = _split_heads(dense(layer["attn"]["k"], h), cfg.heads)
@@ -426,10 +427,27 @@ def decode_span(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
         x = x + dense(layer["cross_attn"]["out"], _merge_heads(co))
         h = layer_norm(layer["mlp_ln"], x)
         x = x + _mlp(layer, h)
-        return (x, c), None
+        return x, c
 
-    (x, new_cache), _ = lax.scan(
-        body, (x, cache),
-        (p["layers"], jnp.arange(cfg.decoder_layers)))
+    if "kernel_q4" in p["layers"]["attn"]["q"]:
+        from audax.models.quantize import stacked_layer_view
+
+        def body(carry, li):
+            x, c = carry
+            x, c = step(x, c, li, stacked_layer_view(p["layers"], li))
+            return (x, c), None
+
+        (x, new_cache), _ = lax.scan(body, (x, cache),
+                                     jnp.arange(cfg.decoder_layers))
+    else:
+        def body(carry, scanned):
+            x, c = carry
+            layer, li = scanned
+            x, c = step(x, c, li, layer)
+            return (x, c), None
+
+        (x, new_cache), _ = lax.scan(
+            body, (x, cache),
+            (p["layers"], jnp.arange(cfg.decoder_layers)))
     x = layer_norm(p["ln"], x)
     return embed_logits(p, x), new_cache

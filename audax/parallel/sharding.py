@@ -23,6 +23,12 @@ __all__ = ["WHISPER_TP_RULES", "CAUSAL_LM_TP_RULES", "spec_for_path",
 # (path regex, spec). First match wins. Stacked-layer params carry a leading
 # layer axis -> specs start with None for it.
 WHISPER_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    # int4 leaves ([L, K/2, N] packed + [L, G, N] scales) feed an opaque
+    # pallas call that GSPMD cannot partition — keep them replicated
+    # (first match wins; int4 is the single-chip capacity tier). int8
+    # kernel_q shares the float kernel's layout and einsum path and
+    # inherits its TP rules by suffix match.
+    (r"_q4$|_scale4$", P()),
     # attention / mlp column-parallel (split output features)
     (r"layers/(attn|cross_attn)/(q|k|v)/kernel", P(None, None, "model")),
     (r"layers/(attn|cross_attn)/(q|k|v)/bias", P(None, "model")),
@@ -41,6 +47,7 @@ WHISPER_TP_RULES: Tuple[Tuple[str, P], ...] = (
 # one all-reduce per block. GQA note: k/v shard over kv_heads; shard_params
 # falls back to replication when kv_heads doesn't divide the model axis.
 CAUSAL_LM_TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r"_q4$|_scale4$", P()),             # transposed int4 layout: replicate
     (r"layers/(q|k|v|gate|up)/kernel", P(None, None, "model")),
     (r"layers/(q|k|v|gate|up)/bias", P(None, "model")),
     (r"layers/(o|down)/kernel", P(None, "model", None)),

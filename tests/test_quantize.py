@@ -254,3 +254,242 @@ def test_transcriber_kv_quant(wparams):
                      quantize=True, kv_quant=True, dtype=jnp.bfloat16)
     res = tr.transcribe(np.zeros(16000, np.float32))
     assert isinstance(res.text, str)
+
+
+# ------------------------------------------------- int4 (nibble-packed) ----
+def test_int4_quantize_roundtrip(rng):
+    from audax.ops.int4_matmul import (dequantize_int4, fit_group,
+                                       quantize_int4)
+
+    for (k_dim, n, g) in [(64, 96, 128), (256, 130, 64)]:
+        w = jnp.asarray(rng.standard_normal((k_dim, n)), jnp.float32)
+        packed, scales = quantize_int4(w, group=g)
+        gf = fit_group(k_dim, g)
+        assert packed.dtype == jnp.uint8
+        assert packed.shape == (k_dim // 2, n)
+        assert scales.shape == (k_dim // gf, n)
+        deq = np.asarray(dequantize_int4(packed, scales))    # [K, N]
+        err = np.abs(deq - np.asarray(w))
+        wg = np.asarray(w).reshape(k_dim // gf, gf, n)
+        bound = np.repeat(np.abs(wg).max(1) / 7.0, gf, axis=0) / 2
+        assert (err <= bound + 1e-6).all()
+
+
+def test_int4_matmul_xla_oracle(rng):
+    from audax.ops.int4_matmul import (dequantize_int4, int4_matmul,
+                                       quantize_int4)
+
+    x = jnp.asarray(rng.standard_normal((5, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((128, 96)), jnp.float32)
+    packed, scales = quantize_int4(w, group=32)
+    ref = np.asarray(x) @ np.asarray(dequantize_int4(packed, scales))
+    out = np.asarray(int4_matmul(x, packed, scales, backend="xla"))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("m,k_dim,n,blk", [(3, 256, 384, 256),
+                                           (1, 256, 130, 128),
+                                           (9, 128, 300, 256)])
+def test_int4_matmul_pallas_matches_xla(rng, m, k_dim, n, blk):
+    from audax.ops.int4_matmul import int4_matmul, quantize_int4
+
+    x = jnp.asarray(rng.standard_normal((m, k_dim)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k_dim, n)), jnp.float32)
+    packed, scales = quantize_int4(w, group=64)
+    ref = np.asarray(int4_matmul(x, packed, scales, backend="xla"))
+    out = np.asarray(int4_matmul(x, packed, scales, backend="pallas",
+                                 block_n=blk, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_int4_matmul_stacked_layer_select(rng):
+    from audax.ops.int4_matmul import int4_matmul, quantize_int4
+
+    ws = jnp.asarray(rng.standard_normal((3, 128, 200)), jnp.float32)
+    packed, scales = quantize_int4(ws, group=32)
+    x = jnp.asarray(rng.standard_normal((2, 128)), jnp.float32)
+    for li in range(3):
+        ref = np.asarray(int4_matmul(x, packed, scales, layer=li,
+                                     backend="xla"))
+        out = np.asarray(int4_matmul(x, packed, scales, layer=li,
+                                     backend="pallas", block_n=128,
+                                     interpret=True))
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_int4_tree_structure_and_bytes(wparams):
+    qp8 = quantize_tree(wparams)
+    qp4 = quantize_tree(wparams, bits=4)
+    enc = qp4["encoder"]["layers"]["attn"]["q"]
+    assert enc["kernel_q4"].dtype == jnp.uint8
+    assert enc["kernel_q4"].shape == (CFG.encoder_layers,
+                                      CFG.d_model // 2, CFG.d_model)
+    assert "bias" in enc and "kernel" not in enc
+    assert "kernel" in qp4["encoder"]["conv1"]     # convs stay float
+    dec = qp4["decoder"]
+    assert dec["embed_q4"].shape == (CFG.d_model // 2, CFG.vocab_size)
+    # packed weight leaves are exactly half their int8 twins; whole-tree
+    # ratio is looser at these toy dims (f32 LN/pos/conv + group scales
+    # are a fixed overhead that vanishes at real d_model)
+    assert enc["kernel_q4"].nbytes == qp8["encoder"]["layers"]["attn"][
+        "q"]["kernel_q"].nbytes // 2
+    assert dec["embed_q4"].nbytes == dec_q8_bytes(qp8) // 2
+    assert tree_bytes(qp4) < 0.75 * tree_bytes(qp8)
+
+
+def dec_q8_bytes(qp8):
+    return qp8["decoder"]["embed_q"].nbytes
+
+
+def test_int4_embed_helpers_match_dequant(wparams, rng):
+    from audax.ops.int4_matmul import dequantize_int4
+
+    dec = wparams["decoder"]
+    qdec = quantize_tree(wparams, bits=4)["decoder"]
+    emb_deq = np.asarray(dequantize_int4(qdec["embed_q4"],
+                                         qdec["embed_scale4"])).T  # [V, d]
+    idx = jnp.asarray(rng.integers(0, CFG.vocab_size, (3, 5)), jnp.int32)
+    lq = np.asarray(embed_lookup(qdec, idx, jnp.float32))
+    np.testing.assert_allclose(lq, emb_deq[np.asarray(idx)], atol=1e-5)
+    x = jnp.asarray(rng.standard_normal((2, 4, CFG.d_model)), jnp.float32)
+    gq = np.asarray(embed_logits(qdec, x))
+    np.testing.assert_allclose(gq, np.asarray(x) @ emb_deq.T,
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_whisper_int4_forward_close(wparams, rng):
+    mel = jnp.asarray(rng.standard_normal((2, 2 * CFG.n_audio_ctx,
+                                           CFG.n_mels)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 8)), jnp.int32)
+    lf = whisper_forward(wparams, CFG, mel, toks)
+    lq = whisper_forward(quantize_tree(wparams, bits=4), CFG, mel, toks)
+    pf = jax.nn.softmax(lf, -1)
+    pq = jax.nn.softmax(lq, -1)
+    kl = (pf * (jnp.log(pf + 1e-9) - jnp.log(pq + 1e-9))).sum(-1)
+    assert float(kl.max()) < 0.12        # group-wise int4: looser than int8
+
+
+def test_whisper_int4_decode_matches_dequantized_twin(wparams, rng):
+    """decode_span through the stacked-int4 scan body vs the SAME weights
+    explicitly dequantized to float: the only difference allowed is dot
+    ordering (group partials), so logits must agree tightly."""
+    from audax.models.whisper import (decode_span, encode, init_kv_cache,
+                                      precompute_cross_kv)
+    from audax.ops.int4_matmul import dequantize_int4
+
+    p4 = quantize_tree(wparams, bits=4)
+
+    def dequant_twin(node):
+        if isinstance(node, dict):
+            out = {}
+            for k in list(node):
+                if k.endswith("_q4"):
+                    base = k[:-3]
+                    w_kn = dequantize_int4(node[k], node[base + "_scale4"])
+                    out[base] = (w_kn if base == "kernel"
+                                 else jnp.swapaxes(w_kn, -1, -2))
+                elif k.endswith("_scale4"):
+                    pass
+                else:
+                    out[k] = dequant_twin(node[k])
+            return out
+        return node
+
+    pf = dequant_twin(p4)
+    mel = jnp.asarray(rng.standard_normal((1, 2 * CFG.n_audio_ctx,
+                                           CFG.n_mels)), jnp.float32)
+    enc = encode(p4, cfg=CFG, mel=mel) if False else encode(p4, CFG, mel)
+    toks = jnp.asarray([[3, 5, 7]], jnp.int32)
+    l4, _ = decode_span(p4, CFG, toks, 0, init_kv_cache(CFG, 1, 8),
+                        precompute_cross_kv(p4, CFG, enc))
+    lf, _ = decode_span(pf, CFG, toks, 0, init_kv_cache(CFG, 1, 8),
+                        precompute_cross_kv(pf, CFG, enc))
+    np.testing.assert_allclose(np.asarray(l4), np.asarray(lf),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_whisper_int4_generate_runs(wparams, rng):
+    from audax.infer.decode import generate
+    from audax.models.whisper import encode
+
+    qp = quantize_tree(wparams, bits=4)
+    mel = jnp.asarray(rng.standard_normal((1, 2 * CFG.n_audio_ctx,
+                                           CFG.n_mels)), jnp.float32)
+    out = generate(qp, CFG, encode(qp, CFG, mel),
+                   jnp.asarray([[1, 2]], jnp.int32), max_len=10, eos_id=0,
+                   kv_quant=True)
+    assert out.tokens.shape == (1, 10)
+    assert bool(jnp.isfinite(out.sum_logprob).all())
+
+
+def test_causal_lm_int4_close(rng):
+    cfg = CausalLMConfig(vocab_size=96, d_model=64, layers=2, heads=4,
+                         kv_heads=2, ffn_dim=128, tie_embeddings=True,
+                         rope_theta=1e4)
+    params = init_causal_lm(cfg, jax.random.key(1))
+    toks = jnp.asarray(rng.integers(0, 96, (2, 10)), jnp.int32)
+    lf = lm_forward(params, cfg, toks)
+    lq = lm_forward(quantize_tree(params, bits=4), cfg, toks)
+    pf = jax.nn.softmax(lf, -1)
+    pq = jax.nn.softmax(lq, -1)
+    kl = (pf * (jnp.log(pf + 1e-9) - jnp.log(pq + 1e-9))).sum(-1)
+    assert float(kl.max()) < 0.12
+
+
+def test_causal_lm_int4_decode_matches_dequantized_twin(rng):
+    """lm_decode_step through the stacked-int4 scan body vs the same
+    weights explicitly dequantized: only dot ordering may differ."""
+    from audax.models.causal_lm import (embed_tokens, init_lm_cache,
+                                        lm_decode_step)
+    from audax.ops.int4_matmul import dequantize_int4
+
+    cfg = CausalLMConfig(vocab_size=96, d_model=64, layers=2, heads=4,
+                         kv_heads=2, ffn_dim=128, tie_embeddings=True,
+                         rope_theta=1e4)
+    params = init_causal_lm(cfg, jax.random.key(5))
+    p4 = quantize_tree(params, bits=4)
+
+    def dequant_twin(node):
+        if isinstance(node, dict):
+            out = {}
+            for k in list(node):
+                if k.endswith("_q4"):
+                    base = k[:-3]
+                    w_kn = dequantize_int4(node[k], node[base + "_scale4"])
+                    out[base] = (w_kn if base == "kernel"
+                                 else jnp.swapaxes(w_kn, -1, -2))
+                elif k.endswith("_scale4"):
+                    pass
+                else:
+                    out[k] = dequant_twin(node[k])
+            return out
+        return node
+
+    pf = dequant_twin(p4)
+    tok = jnp.asarray([7, 11], jnp.int32)
+    pos = jnp.int32(0)
+    l4, _ = lm_decode_step(p4, cfg, embed_tokens(p4, tok), pos,
+                           init_lm_cache(cfg, 2, 8))
+    lf, _ = lm_decode_step(pf, cfg, embed_tokens(pf, tok), pos,
+                           init_lm_cache(cfg, 2, 8))
+    np.testing.assert_allclose(np.asarray(l4), np.asarray(lf),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_transcriber_int4(wparams):
+    from audax.infer.transcribe import Transcriber
+    from audax.symbolic.bpe import train_bpe
+    from audax.symbolic.tokenizer import WhisperTokenizer
+    from audax.core.config import WhisperConfig
+    from audax.models.whisper import init_whisper_params
+
+    tok = WhisperTokenizer(train_bpe(["x y z"], vocab_size=280))
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=100, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=32)
+    params = init_whisper_params(cfg, jax.random.key(3))
+    tr = Transcriber(params, cfg, tok, max_new_tokens=6,
+                     temperature_fallback=False, chunk_seconds=2.0,
+                     quantize="int4", kv_quant=True, dtype=jnp.bfloat16)
+    res = tr.transcribe(np.zeros(16000, np.float32))
+    assert isinstance(res.text, str)

@@ -195,3 +195,35 @@ def test_convert_hf_quantized_roundtrip(hf_pair, rng, tmp_path):
     pq = jax.nn.softmax(lq, -1)
     kl = (pf * (jnp.log(pf + 1e-9) - jnp.log(pq + 1e-9))).sum(-1)
     assert float(kl.max()) < 0.05
+
+
+def test_convert_hf_int4_roundtrip(hf_pair, rng, tmp_path):
+    """convert-hf --quantize int4 saves the nibble-packed serving tree;
+    restore yields kernel_q4/embed_q4 leaves that still decode close."""
+    pytest.importorskip("torch")
+    hf, params = hf_pair
+    hf_dir = str(tmp_path / "hf_ckpt4")
+    hf.save_pretrained(hf_dir)
+
+    out = str(tmp_path / "ported_q4")
+    from audax.cli.main import _COMMANDS
+    rc = _COMMANDS["convert-hf"](["--hf-dir", hf_dir, "--out", out,
+                                  "--kind", "whisper", "--quantize", "int4"])
+    assert rc == 0
+
+    from audax.train.checkpoints import load_pytree
+    restored = load_pytree(out)
+    assert restored["decoder"]["layers"]["attn"]["q"]["kernel_q4"].dtype \
+        == jnp.uint8
+
+    from audax.models.quantize import tree_bytes
+    assert tree_bytes(restored) < 0.3 * tree_bytes(params)
+
+    mel = _mel(rng)
+    toks = jnp.asarray(rng.integers(0, TINY.vocab_size, (2, 6)), jnp.int32)
+    lf = whisper_forward(params, TINY, jnp.asarray(mel), toks)
+    lq = whisper_forward(restored, TINY, jnp.asarray(mel), toks)
+    pf = jax.nn.softmax(lf, -1)
+    pq = jax.nn.softmax(lq, -1)
+    kl = (pf * (jnp.log(pf + 1e-9) - jnp.log(pq + 1e-9))).sum(-1)
+    assert float(kl.max()) < 0.12

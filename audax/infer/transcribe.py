@@ -128,6 +128,9 @@ class Transcriber:
             # weight bytes vs f32 — pair with dtype=bfloat16.
             # ``quantize``: True/8/"int8" -> int8; 4/"int4" -> int4.
             from audax.models.quantize import quantize_tree
+            if str(quantize) not in ("True", "8", "int8", "4", "int4"):
+                raise ValueError(f"quantize={quantize!r}: expected True/8/"
+                                 f"'int8' or 4/'int4'")
             bits = 4 if str(quantize) in ("4", "int4") else 8
             params = quantize_tree(params, bits=bits)
         self.params = params

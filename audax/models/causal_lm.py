@@ -257,7 +257,7 @@ def lm_decode_step(params: Params, cfg: CausalLMConfig,
     # stacked caches ride the scan CARRY; the kernel layer-indexes them
     # via scalar prefetch (no per-layer slice materialisation). Int4
     # weights get the same treatment via stacked_layer_view: the packed
-    # [L, N, K/2] tensors pass through whole and the int4 kernel selects
+    # [L, K/2, N] tensors pass through whole and the int4 kernel selects
     # the layer in its index maps (models/quantize.py).
     def step(x, kc, vc, li, layer):
         attn, (kc, vc) = _attn_block(

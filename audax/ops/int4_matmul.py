@@ -29,9 +29,9 @@ pattern as ops/attention.py:decode_attention_stacked), so a scan-stacked
 decoder never materialises a per-layer weight slice.
 
 This is a serving capability with no reference equivalent (the reference
-serves f32 torch checkpoints, /root/reference/.charles/music2midi/
-inference.py); it exists because the rebuild targets production TPU
-serving (models/quantize.py holds the int8 tier and the tree walker).
+serves f32 torch checkpoints, .charles/music2midi/inference.py:300-369);
+it exists because the rebuild targets production TPU serving
+(models/quantize.py holds the int8 tier and the tree walker).
 """
 
 from __future__ import annotations
@@ -58,8 +58,10 @@ def _on_tpu() -> bool:
 
 
 def fit_group(k_dim: int, group: int = 128) -> int:
-    """Largest power-of-two group <= ``group`` dividing ``k_dim // 2``
-    (split-half packing requires groups not to straddle the boundary)."""
+    """Largest divisor of ``k_dim // 2`` that is <= ``group``, found by
+    halving (so it is ``group`` itself when that divides, else possibly
+    non-power-of-two, e.g. fit_group(160) == 80). Split-half packing
+    requires groups not to straddle the half boundary."""
     if k_dim % 2:
         raise ValueError(f"int4 packing needs an even contraction dim, "
                          f"got {k_dim}")
@@ -163,7 +165,7 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,
                 *, layer=None, block_n: int = 1024,
                 backend: Optional[str] = None,
                 interpret: bool = False) -> jnp.ndarray:
-    """``x @ dequant(packed, scales)^T`` -> [..., N].
+    """``x @ dequant(packed, scales)`` -> [..., N] (dequant is [K, N]).
 
     x [..., K] (leading dims flattened to M); ``packed``/``scales`` as
     produced by ``quantize_int4``, optionally with ONE leading stacked

@@ -74,13 +74,32 @@ def spec_for_path(path: str, rules: Sequence[Tuple[str, P]], ndim: int) -> P:
     return P()
 
 
+def _int4_dense_prefixes(params: Any) -> Tuple[str, ...]:
+    """Paths of dense dicts holding int4 weights: the WHOLE dict (packed,
+    scales, bias) must stay replicated together — a model-sharded bias
+    next to a replicated pallas matmul output would force a reshard on
+    every decode-step add."""
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    out = []
+    for path, _ in flat:
+        s = _path_str(path)
+        if s.endswith("/kernel_q4"):
+            out.append(s[: -len("/kernel_q4")])
+    return tuple(out)
+
+
 def param_specs(params: Any, rules: Sequence[Tuple[str, P]] = WHISPER_TP_RULES
                 ) -> Any:
     """Pytree of PartitionSpecs matching ``params``."""
+    int4 = _int4_dense_prefixes(params)
     flat = jax.tree_util.tree_leaves_with_path(params)
     specs = {}
     for path, leaf in flat:
-        specs[_path_str(path)] = spec_for_path(_path_str(path), rules, leaf.ndim)
+        s = _path_str(path)
+        if any(s == pre or s.startswith(pre + "/") for pre in int4):
+            specs[s] = P()
+        else:
+            specs[s] = spec_for_path(s, rules, leaf.ndim)
     # rebuild tree
     return jax.tree_util.tree_map_with_path(
         lambda p, leaf: specs[_path_str(p)], params)
@@ -90,8 +109,14 @@ def shard_params(params: Any, mesh: Mesh,
                  rules: Sequence[Tuple[str, P]] = WHISPER_TP_RULES) -> Any:
     """device_put every param with its rule-derived NamedSharding. Dims not
     divisible by the mesh axis fall back to replication for that param."""
+    int4 = _int4_dense_prefixes(params)
+
     def put(path, leaf):
-        spec = spec_for_path(_path_str(path), rules, leaf.ndim)
+        s = _path_str(path)
+        if any(s == pre or s.startswith(pre + "/") for pre in int4):
+            spec = P()
+        else:
+            spec = spec_for_path(s, rules, leaf.ndim)
         for dim, axis in enumerate(spec):
             if axis is not None and leaf.shape[dim] % mesh.shape[axis] != 0:
                 spec = P()

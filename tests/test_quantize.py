@@ -257,6 +257,28 @@ def test_transcriber_kv_quant(wparams):
 
 
 # ------------------------------------------------- int4 (nibble-packed) ----
+def _dequant_int4_twin(node):
+    """Float twin of an int4-quantized tree: every packed leaf explicitly
+    dequantized back, so decode-path tests isolate kernel math from
+    quantization error."""
+    from audax.ops.int4_matmul import dequantize_int4
+
+    if isinstance(node, dict):
+        out = {}
+        for k in list(node):
+            if k.endswith("_q4"):
+                base = k[:-3]
+                w_kn = dequantize_int4(node[k], node[base + "_scale4"])
+                out[base] = (w_kn if base == "kernel"
+                             else jnp.swapaxes(w_kn, -1, -2))
+            elif k.endswith("_scale4"):
+                pass
+            else:
+                out[k] = _dequant_int4_twin(node[k])
+        return out
+    return node
+
+
 def test_int4_quantize_roundtrip(rng):
     from audax.ops.int4_matmul import (dequantize_int4, fit_group,
                                        quantize_int4)
@@ -379,26 +401,10 @@ def test_whisper_int4_decode_matches_dequantized_twin(wparams, rng):
 
     p4 = quantize_tree(wparams, bits=4)
 
-    def dequant_twin(node):
-        if isinstance(node, dict):
-            out = {}
-            for k in list(node):
-                if k.endswith("_q4"):
-                    base = k[:-3]
-                    w_kn = dequantize_int4(node[k], node[base + "_scale4"])
-                    out[base] = (w_kn if base == "kernel"
-                                 else jnp.swapaxes(w_kn, -1, -2))
-                elif k.endswith("_scale4"):
-                    pass
-                else:
-                    out[k] = dequant_twin(node[k])
-            return out
-        return node
-
-    pf = dequant_twin(p4)
+    pf = _dequant_int4_twin(p4)
     mel = jnp.asarray(rng.standard_normal((1, 2 * CFG.n_audio_ctx,
                                            CFG.n_mels)), jnp.float32)
-    enc = encode(p4, cfg=CFG, mel=mel) if False else encode(p4, CFG, mel)
+    enc = encode(p4, CFG, mel)
     toks = jnp.asarray([[3, 5, 7]], jnp.int32)
     l4, _ = decode_span(p4, CFG, toks, 0, init_kv_cache(CFG, 1, 8),
                         precompute_cross_kv(p4, CFG, enc))
@@ -449,23 +455,7 @@ def test_causal_lm_int4_decode_matches_dequantized_twin(rng):
     params = init_causal_lm(cfg, jax.random.key(5))
     p4 = quantize_tree(params, bits=4)
 
-    def dequant_twin(node):
-        if isinstance(node, dict):
-            out = {}
-            for k in list(node):
-                if k.endswith("_q4"):
-                    base = k[:-3]
-                    w_kn = dequantize_int4(node[k], node[base + "_scale4"])
-                    out[base] = (w_kn if base == "kernel"
-                                 else jnp.swapaxes(w_kn, -1, -2))
-                elif k.endswith("_scale4"):
-                    pass
-                else:
-                    out[k] = dequant_twin(node[k])
-            return out
-        return node
-
-    pf = dequant_twin(p4)
+    pf = _dequant_int4_twin(p4)
     tok = jnp.asarray([7, 11], jnp.int32)
     pos = jnp.int32(0)
     l4, _ = lm_decode_step(p4, cfg, embed_tokens(p4, tok), pos,
@@ -493,3 +483,21 @@ def test_transcriber_int4(wparams):
                      quantize="int4", kv_quant=True, dtype=jnp.bfloat16)
     res = tr.transcribe(np.zeros(16000, np.float32))
     assert isinstance(res.text, str)
+
+
+def test_int4_tp_rules_replicate_whole_dense(wparams):
+    """Every leaf of an int4 dense dict (packed, scales, AND bias) gets an
+    empty PartitionSpec — a model-sharded bias next to the replicated
+    pallas matmul output would reshard on every decode step."""
+    from jax.sharding import PartitionSpec as P
+    from audax.parallel.sharding import WHISPER_TP_RULES, param_specs
+
+    qp4 = quantize_tree(wparams, bits=4)
+    specs = param_specs(qp4, WHISPER_TP_RULES)
+    q = specs["decoder"]["layers"]["attn"]["q"]
+    assert q["kernel_q4"] == P() and q["kernel_scale4"] == P()
+    assert q["bias"] == P()
+    # the float tree still shards the same bias over 'model'
+    specs_f = param_specs(wparams, WHISPER_TP_RULES)
+    assert specs_f["decoder"]["layers"]["attn"]["q"]["bias"] == P(
+        None, "model")

@@ -654,6 +654,102 @@ def cmd_bench_streaming(argv) -> int:
     return 0
 
 
+@command("bench-continuous")
+def cmd_bench_continuous(argv) -> int:
+    """Continuous-batching vs convoy scheduling on one variable-length
+    workload (per-request max_tokens drawn uniformly — the shape of real
+    transcript-length traffic). Convoy = the fixed-batch schedule (admit a
+    full batch, drain it completely, repeat: every slot waits for the
+    slowest, infer/decode.py:generate's model); continuous = slot refill
+    mid-decode (infer/continuous.py). Both run the SAME compiled chunk
+    program, so the speedup is pure scheduling."""
+    p = argparse.ArgumentParser(prog="audax bench-continuous")
+    p.add_argument("--size", default="base")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--requests", type=int, default=32)
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--max-new-tokens", type=int, default=224)
+    p.add_argument("--min-new-tokens", type=int, default=16)
+    p.add_argument("--steps-per-sync", type=int, default=32)
+    p.add_argument("--kv-quant", action="store_true")
+    p.add_argument("--quantize", nargs="?", const="int8", default=None,
+                   choices=["int8", "int4"])
+    args = p.parse_args(argv)
+
+    import json
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audax.core.runtime import setup
+    from audax.infer.continuous import ContinuousBatcher
+
+    setup()
+    params, cfg, tok = _load_whisper(args.size, "", "")
+    if args.quantize:
+        from audax.models.quantize import quantize_tree
+        params = quantize_tree(params, bits=4 if args.quantize == "int4"
+                               else 8)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    rng = np.random.default_rng(0)
+    budgets = rng.integers(args.min_new_tokens, args.max_new_tokens + 1,
+                           args.requests)
+    audio = [(0.1 * rng.standard_normal(16000)).astype(np.float32)
+             for _ in range(args.requests)]
+
+    def make():
+        return ContinuousBatcher(
+            params, cfg, tok, slots=args.slots,
+            max_new_tokens=args.max_new_tokens,
+            steps_per_sync=args.steps_per_sync, dtype=dtype,
+            kv_quant=args.kv_quant)
+
+    def continuous(cb):
+        for i in range(args.requests):
+            cb.submit(f"r{i}", audio[i], max_new_tokens=int(budgets[i]))
+        return cb.run()
+
+    def convoy(cb):
+        out = []
+        for lo in range(0, args.requests, args.slots):
+            for i in range(lo, min(lo + args.slots, args.requests)):
+                cb.submit(f"r{i}", audio[i], max_new_tokens=int(budgets[i]))
+            out.extend(cb.run())          # barrier: drain the whole batch
+        return out
+
+    cb = make()
+    cb.warmup()                           # compile admit + chunk programs
+    results = {}
+    for name, fn in (("continuous", continuous), ("convoy", convoy)):
+        steps0 = cb.steps_run
+        t0 = time.perf_counter()
+        got = fn(cb)
+        wall = time.perf_counter() - t0
+        assert len(got) == args.requests
+        toks = sum(len(r.tokens) for r in got)
+        steps = cb.steps_run - steps0
+        results[name] = {"wall_s": round(wall, 3),
+                         "tokens_per_s": round(toks / wall, 1),
+                         "decode_steps": steps,
+                         # useful tokens per slot-step — the scheduling
+                         # quality metric, independent of tunnel latency
+                         "slot_efficiency": round(
+                             toks / (steps * args.slots), 3)}
+    speedup = (results["convoy"]["wall_s"] /
+               results["continuous"]["wall_s"])
+    print(json.dumps({
+        "metric": "continuous_batching_speedup_vs_convoy",
+        "size": args.size, "slots": args.slots,
+        "requests": args.requests,
+        "budget_range": [args.min_new_tokens, args.max_new_tokens],
+        "dtype": args.dtype + ("+" + args.quantize if args.quantize else "")
+        + ("+int8kv" if args.kv_quant else ""),
+        "value": round(speedup, 3), **results}))
+    return 0
+
+
 @command("bench-speculative")
 def cmd_bench_speculative(argv) -> int:
     """Speculative-decoding latency bench (single 30 s chunk, greedy).

@@ -1,0 +1,310 @@
+"""Continuous batching: slot-refill serving over a ragged decode batch.
+
+The fixed-batch paths (infer/decode.py:generate, infer/streaming.py) convoy
+every request behind the slowest one in the batch — a slot that emits EOS at
+token 12 idles until the longest slot finishes all ~224. Here the decode
+loop runs in short compiled chunks over PER-SLOT positions
+(models/whisper.py:decode_step_ragged), and between chunks the host refills
+finished slots with queued requests mid-flight — the vLLM-style serving
+schedule, built TPU-first:
+
+  * everything device-side is fixed-shape: [slots] caches, [slots] position
+    vector, one compiled chunk program reused forever (no recompiles as
+    requests come and go);
+  * a refill touches only its slot: new cross-KV rows are
+    ``dynamic_update_slice``d in, the slot's position resets to 0, and the
+    self-attention cache needs NO clearing — stale entries beyond the new
+    position are unreachable under the per-slot causal mask
+    (ops/attention.py:decode_attention_stacked ``pos`` vector);
+  * chunked host sync: ``steps_per_sync`` decode steps run per device call
+    (early-exiting when every live slot is done), so the axon tunnel's
+    dispatch latency is amortised over many tokens.
+
+The reference serves one file per ``model.transcribe`` call with no
+batching at all (reference: AB/wavToWhisper.py:10-13); this engine is the
+capability its serving story was missing.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from audax.core.config import WhisperConfig
+from audax.core.logging import get_logger
+from audax.frontend import LogMelFrontend
+from audax.models.whisper import (decode_step_ragged, encode, init_kv_cache,
+                                  precompute_cross_kv)
+from audax.symbolic.tokenizer import WhisperTokenizer
+
+log = get_logger("audax.continuous")
+
+__all__ = ["ContinuousBatcher", "Result"]
+
+
+@dataclass
+class Result:
+    request_id: str
+    text: str
+    tokens: List[int]
+    avg_logprob: float
+    audio_seconds: float
+
+
+class _ServeState(NamedTuple):
+    """Fixed-shape device state threaded through the chunk program."""
+    cache: object          # self-attn KV [L, B, H, max_len, hd] (or QuantKV)
+    cross_kv: object       # cross-attn KV [L, B, H, S, hd] (or QuantKV)
+    tokens: jnp.ndarray    # [B, max_len] int32
+    pos: jnp.ndarray       # [B] int32 — per-slot decode depth
+    done: jnp.ndarray      # [B] bool — free OR finished (host refills)
+    lengths: jnp.ndarray   # [B] int32 valid length incl. prompt + EOS
+    sum_logprob: jnp.ndarray   # [B] f32
+    gen_count: jnp.ndarray     # [B] int32
+    budget: jnp.ndarray        # [B] int32 per-request max generated tokens
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "p_len", "eos_id", "n_steps", "dtype"))
+def _decode_chunk(params, cfg: WhisperConfig, state: _ServeState,
+                  suppress, *, p_len: int, eos_id: int, n_steps: int,
+                  dtype) -> _ServeState:
+    """Run up to ``n_steps`` ragged decode steps; early-exit when every
+    slot is done. Mirrors infer/decode.py:generate's body, with every
+    position/flag a per-slot vector."""
+    b, max_len = state.tokens.shape
+    bidx = jnp.arange(b)
+    neg_inf = jnp.finfo(jnp.float32).min
+
+    def cond(c):
+        i, st = c
+        return jnp.logical_and(i < n_steps, ~jnp.all(st.done))
+
+    def body(c):
+        i, st = c
+        tok = st.tokens[bidx, st.pos]
+        logits, cache = decode_step_ragged(params, cfg, tok, st.pos,
+                                           st.cache, st.cross_kv, dtype)
+        logits = logits.astype(jnp.float32)
+        if suppress is not None and suppress.size:
+            logits = logits.at[:, suppress].set(neg_inf)
+        in_prompt = st.pos + 1 < p_len                      # [B]
+        nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        nxt = jnp.where(in_prompt, st.tokens[bidx, st.pos + 1], nxt)
+        nxt = jnp.where(st.done, eos_id, nxt)
+        # done slots are frozen at their final pos — masking the write
+        # keeps them from clobbering their own last real token with EOS
+        # while neighbours still decode
+        tokens = st.tokens.at[bidx, st.pos + 1].set(
+            jnp.where(st.done, st.tokens[bidx, st.pos + 1], nxt))
+
+        logprobs = jax.nn.log_softmax(logits, -1)
+        chosen = jnp.take_along_axis(logprobs, nxt[:, None], -1)[:, 0]
+        score = jnp.logical_and(~in_prompt, ~st.done)
+        sum_logprob = st.sum_logprob + jnp.where(score, chosen, 0.0)
+        gen_count = st.gen_count + score.astype(jnp.int32)
+
+        newly = jnp.logical_and(
+            ~st.done,
+            jnp.logical_or(
+                jnp.logical_and(~in_prompt, nxt == eos_id),
+                jnp.logical_or(st.pos + 2 >= max_len,
+                               gen_count >= st.budget)))
+        done = jnp.logical_or(st.done, newly)
+        lengths = jnp.where(newly, st.pos + 2, st.lengths)
+        # done slots freeze: pos never runs past max_len, cache writes stay
+        # in-range, and a later refill resets the slot wholesale
+        pos = jnp.where(done, st.pos, st.pos + 1)
+        return i + 1, _ServeState(cache, st.cross_kv, tokens, pos, done,
+                                  lengths, sum_logprob, gen_count,
+                                  st.budget)
+
+    _, final = lax.while_loop(cond, body, (jnp.int32(0), state))
+    return final
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "dtype", "kv_quant"))
+def _admit(params, cfg: WhisperConfig, state: _ServeState, mel1, prompt_row,
+           slot, budget, *, dtype, kv_quant: bool) -> _ServeState:
+    """Encode one request and install it into ``slot``: cross-KV rows are
+    sliced in, position/flags reset. The self-attn cache is NOT cleared —
+    entries at positions >= 0 written by the previous occupant are
+    unreachable under the refilled slot's causal mask."""
+    enc = encode(params, cfg, mel1, dtype)
+    one = precompute_cross_kv(params, cfg, enc, quant=kv_quant)
+    cross_kv = jax.tree.map(
+        lambda full, new: lax.dynamic_update_slice(
+            full, new.astype(full.dtype),
+            (0, slot) + (0,) * (full.ndim - 2)),
+        state.cross_kv, one)
+    tokens = lax.dynamic_update_slice(state.tokens, prompt_row[None],
+                                      (slot, 0))
+    max_len = state.tokens.shape[1]
+    return _ServeState(
+        state.cache, cross_kv, tokens,
+        state.pos.at[slot].set(0),
+        state.done.at[slot].set(False),
+        state.lengths.at[slot].set(max_len),
+        state.sum_logprob.at[slot].set(0.0),
+        state.gen_count.at[slot].set(0),
+        state.budget.at[slot].set(budget))
+
+
+class ContinuousBatcher:
+    """Slot-refill batched transcription.
+
+    Usage::
+
+        cb = ContinuousBatcher(params, cfg, tokenizer, slots=8)
+        cb.submit("req-1", samples)          # any number, any time
+        for r in cb.step():                  # admit + decode chunk + harvest
+            print(r.request_id, r.text)
+        results = cb.run()                   # drain everything
+    """
+
+    def __init__(self, params, cfg: WhisperConfig,
+                 tokenizer: WhisperTokenizer, *,
+                 slots: int = 8, window_seconds: float = 30.0,
+                 lang: str = "en", max_new_tokens: int = 224,
+                 steps_per_sync: int = 64, dtype=jnp.float32,
+                 backend: Optional[str] = None, kv_quant: bool = False):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.slots = slots
+        self.dtype = dtype
+        self.kv_quant = kv_quant
+        self.steps_per_sync = steps_per_sync
+        self.params = params
+        self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
+        self.window = int(window_seconds * self.frontend.cfg.sample_rate)
+        prompt = tokenizer.sot_sequence(lang=lang)
+        self._p_len = len(prompt)
+        self._max_len = min(self._p_len + max_new_tokens, cfg.n_text_ctx)
+        row = np.zeros(self._max_len, np.int32)
+        row[: self._p_len] = prompt
+        self._prompt_row = jnp.asarray(row)
+        self._suppress = jnp.asarray(
+            [i for i in tokenizer.special_ids() if i != tokenizer.eot],
+            np.int32)
+        self._queue: List[tuple] = []          # (request_id, samples)
+        self._slot_req: List[Optional[str]] = [None] * slots
+        self._state = self._init_state()
+        #: decode steps actually run (telemetry for bench-continuous)
+        self.steps_run = 0
+        self.chunks_run = 0
+
+    def _init_state(self) -> _ServeState:
+        cfg, b = self.cfg, self.slots
+        hd = cfg.d_model // cfg.heads
+        s = cfg.n_audio_ctx
+        cache = init_kv_cache(cfg, b, self._max_len, self.dtype,
+                              quant=self.kv_quant)
+        shape = (cfg.decoder_layers, b, cfg.heads, s, hd)
+        if self.kv_quant:
+            from audax.models.whisper import QuantKV
+            cross = QuantKV(jnp.zeros(shape, jnp.int8),
+                            jnp.ones(shape[:-1], jnp.float32),
+                            jnp.zeros(shape, jnp.int8),
+                            jnp.ones(shape[:-1], jnp.float32))
+        else:
+            cross = (jnp.zeros(shape, self.dtype),
+                     jnp.zeros(shape, self.dtype))
+        return _ServeState(
+            cache, cross,
+            jnp.zeros((b, self._max_len), jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+            jnp.ones((b,), bool),                  # all slots free
+            jnp.full((b,), self._max_len, jnp.int32),
+            jnp.zeros((b,), jnp.float32),
+            jnp.zeros((b,), jnp.int32),
+            jnp.full((b,), self._max_len, jnp.int32))
+
+    # ---------------------------------------------------------- intake ----
+    def submit(self, request_id: str, samples: np.ndarray,
+               max_new_tokens: Optional[int] = None) -> None:
+        """Queue one utterance (padded/trimmed to the 30 s window).
+        ``max_new_tokens`` caps THIS request's generation (serving-API
+        max_tokens semantics); the engine-level cap still applies."""
+        x = np.zeros(self.window, np.float32)
+        s = np.asarray(samples, np.float32).reshape(-1)[: self.window]
+        x[: len(s)] = s
+        budget = self._max_len - self._p_len
+        if max_new_tokens is not None:
+            budget = min(budget, max(int(max_new_tokens), 1))
+        self._queue.append((request_id, x, budget))
+
+    def pending(self) -> int:
+        return len(self._queue)
+
+    def live(self) -> int:
+        return sum(r is not None for r in self._slot_req)
+
+    # ----------------------------------------------------------- serve ----
+    def _admit_waiting(self) -> None:
+        for slot in range(self.slots):
+            if self._slot_req[slot] is not None or not self._queue:
+                continue
+            rid, samples, budget = self._queue.pop(0)
+            mel = self.frontend(jnp.asarray(samples[None]))
+            self._state = _admit(self.params, self.cfg, self._state, mel,
+                                 self._prompt_row, jnp.int32(slot),
+                                 jnp.int32(budget),
+                                 dtype=self.dtype, kv_quant=self.kv_quant)
+            self._slot_req[slot] = rid
+
+    def _harvest(self) -> List[Result]:
+        done = np.asarray(self._state.done)
+        out: List[Result] = []
+        finished = [i for i in range(self.slots)
+                    if self._slot_req[i] is not None and done[i]]
+        if not finished:
+            return out
+        tokens = np.asarray(self._state.tokens)
+        lengths = np.asarray(self._state.lengths)
+        slp = np.asarray(self._state.sum_logprob)
+        cnt = np.asarray(self._state.gen_count)
+        for i in finished:
+            ids = [int(t) for t in tokens[i, self._p_len: lengths[i]]
+                   if t != self.tokenizer.eot]
+            out.append(Result(
+                self._slot_req[i], self.tokenizer.decode(ids), ids,
+                float(slp[i] / max(int(cnt[i]), 1)),
+                self.window / self.frontend.cfg.sample_rate))
+            self._slot_req[i] = None
+        return out
+
+    def step(self) -> List[Result]:
+        """One serving iteration: refill free slots from the queue, run one
+        compiled chunk of ragged decode steps, harvest finished requests."""
+        self._admit_waiting()
+        if self.live() == 0:
+            return []
+        self._state = _decode_chunk(
+            self.params, self.cfg, self._state, self._suppress,
+            p_len=self._p_len, eos_id=self.tokenizer.eot,
+            n_steps=self.steps_per_sync, dtype=self.dtype)
+        self.steps_run += self.steps_per_sync
+        self.chunks_run += 1
+        return self._harvest()
+
+    def run(self) -> List[Result]:
+        """Serve until the queue is empty and every slot has drained."""
+        out: List[Result] = []
+        while self._queue or self.live():
+            out.extend(self.step())
+        return out
+
+    def warmup(self) -> None:
+        """Compile both programs (admit at slot shape, chunk at slot shape)
+        before the first real request."""
+        self.submit("__warmup__", np.zeros(16000, np.float32))
+        self.run()
+        self.steps_run = self.chunks_run = 0

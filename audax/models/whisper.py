@@ -42,6 +42,7 @@ Params = Dict[str, Any]
 __all__ = [
     "init_whisper_params", "encode", "decode_train", "whisper_forward",
     "init_kv_cache", "precompute_cross_kv", "decode_step", "decode_span",
+    "decode_step_ragged",
     "sinusoidal_positions", "KVCache", "QuantKV", "quantize_kv",
 ]
 
@@ -451,3 +452,83 @@ def decode_span(params: Params, cfg: WhisperConfig, tokens: jnp.ndarray,
             (p["layers"], jnp.arange(cfg.decoder_layers)))
     x = layer_norm(p["ln"], x)
     return embed_logits(p, x), new_cache
+
+
+def decode_step_ragged(params: Params, cfg: WhisperConfig,
+                       token: jnp.ndarray, pos: jnp.ndarray, cache,
+                       cross_kv, dtype=jnp.float32):
+    """``decode_step`` with PER-SLOT positions: token [B], pos [B] int32.
+
+    Slot b writes its new K/V at ``pos[b]`` and attends cached keys
+    ``<= pos[b]`` — the primitive that makes continuous batching possible
+    (infer/continuous.py): serving slots sit at *different* decode depths,
+    so a finished slot can be refilled with a new request mid-flight while
+    its neighbours keep decoding. The reference's serving story has no
+    batching at all (one `model.transcribe` per file,
+    AB/wavToWhisper.py:10-13); fixed-batch decode (infer/decode.py:generate)
+    convoys every slot behind the slowest.
+
+    Returns (logits [B, vocab], updated cache). The per-slot cache write is
+    an advanced-index scatter (rows land at different S offsets); the
+    attention mask rides decode_attention_stacked's per-slot ``pos`` vector.
+    """
+    from audax.models.quantize import embed_logits, embed_lookup
+    from audax.ops.attention import decode_attention_stacked
+    p = params["decoder"]
+    b = token.shape[0]
+    bidx = jnp.arange(b)
+    x = embed_lookup(p, token[:, None], dtype) + \
+        p["pos"][pos][:, None].astype(dtype)            # [B, 1, d]
+    quant_self = isinstance(cache, QuantKV)
+
+    def step(x, c, li, layer):
+        h = layer_norm(layer["attn_ln"], x)
+        q = _split_heads(dense(layer["attn"]["q"], h), cfg.heads)
+        k1 = _split_heads(dense(layer["attn"]["k"], h), cfg.heads)
+        v1 = _split_heads(dense(layer["attn"]["v"], h), cfg.heads)
+        scale = q.shape[-1] ** -0.5
+        # per-slot scatter: row b of the new K/V lands at (li, b, :, pos[b])
+        if quant_self:
+            new = quantize_kv(k1, v1)          # [B, H, 1, hd] / [B, H, 1]
+            c = QuantKV(
+                c.k_q.at[li, bidx, :, pos].set(new.k_q[:, :, 0]),
+                c.k_scale.at[li, bidx, :, pos].set(new.k_scale[:, :, 0]),
+                c.v_q.at[li, bidx, :, pos].set(new.v_q[:, :, 0]),
+                c.v_scale.at[li, bidx, :, pos].set(new.v_scale[:, :, 0]))
+        else:
+            c = KVCache(c.k.at[li, bidx, :, pos].set(k1[:, :, 0]),
+                        c.v.at[li, bidx, :, pos].set(v1[:, :, 0]))
+        attn_out = decode_attention_stacked(q, c, li, pos=pos, scale=scale)
+        x = x + dense(layer["attn"]["out"], _merge_heads(attn_out))
+
+        h = layer_norm(layer["cross_ln"], x)
+        qc = _split_heads(dense(layer["cross_attn"]["q"], h), cfg.heads)
+        co = decode_attention_stacked(qc, cross_kv, li,
+                                      scale=qc.shape[-1] ** -0.5)
+        x = x + dense(layer["cross_attn"]["out"], _merge_heads(co))
+        h = layer_norm(layer["mlp_ln"], x)
+        x = x + _mlp(layer, h)
+        return x, c
+
+    if "kernel_q4" in p["layers"]["attn"]["q"]:
+        from audax.models.quantize import stacked_layer_view
+
+        def body(carry, li):
+            x, c = carry
+            x, c = step(x, c, li, stacked_layer_view(p["layers"], li))
+            return (x, c), None
+
+        (x, new_cache), _ = lax.scan(body, (x, cache),
+                                     jnp.arange(cfg.decoder_layers))
+    else:
+        def body(carry, scanned):
+            x, c = carry
+            layer, li = scanned
+            x, c = step(x, c, li, layer)
+            return (x, c), None
+
+        (x, new_cache), _ = lax.scan(
+            body, (x, cache),
+            (p["layers"], jnp.arange(cfg.decoder_layers)))
+    x = layer_norm(p["ln"], x)
+    return embed_logits(p, x)[:, 0], new_cache

@@ -526,14 +526,16 @@ def decode_attention(q: jax.Array, kv, *, pos=None,
 
 def _dec_kernel_stacked(layer_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref,
                         vs_ref, o_ref, *, scale: float, kv_len: int,
-                        quant: bool):
+                        quant: bool, heads: int):
     """_dec_kernel over a layer-STACKED cache: the [L, B, H, S, D] cache
     block is selected by the scalar-prefetched layer index in the
     BlockSpec index maps, so the per-layer slice is a DMA straight out of
     the stacked buffer — XLA never materialises a sliced copy (which cost
-    as much as the attention itself when pallas operands forced it)."""
+    as much as the attention itself when pallas operands forced it).
+    ``pos_ref`` is a prefetched [B] vector — per-slot decode depths for
+    continuous batching; the grid slot's batch index selects its entry."""
     tq, s_len = q_ref.shape[1], k_ref.shape[3]
-    pos = pos_ref[0]
+    pos = pos_ref[pl.program_id(0) // heads]
     k = k_ref[0, 0, 0]
     v = v_ref[0, 0, 0]
     s = jax.lax.dot_general(q_ref[0], k.astype(q_ref.dtype),
@@ -564,7 +566,10 @@ def decode_attention_stacked(q: jax.Array, kv, layer, *, pos=None,
     q [B, H, Tq, D]; ``kv`` float (k, v) [L, B, Hkv, S, D] or the int8
     4-tuple with [L, B, Hkv, S] scales; ``layer`` scalar int32 selects
     the layer INSIDE the kernel's index maps (scalar prefetch) — the hot
-    decode loop never materialises a per-layer slice of the cache."""
+    decode loop never materialises a per-layer slice of the cache.
+
+    ``pos`` may be a scalar or a per-slot [B] vector (continuous-batching
+    serving: slots sit at different decode depths; infer/continuous.py)."""
     quant = len(kv) == 4
     if quant:
         k, ks, v, vs = kv
@@ -585,8 +590,8 @@ def decode_attention_stacked(q: jax.Array, kv, layer, *, pos=None,
                                      pos=pos, scale=scale)
 
     layv = jnp.asarray(layer, jnp.int32).reshape(1)
-    posv = jnp.asarray(s_len if pos is None else pos,
-                       jnp.int32).reshape(1)
+    posv = jnp.broadcast_to(jnp.asarray(s_len if pos is None else pos,
+                                        jnp.int32), (b,))
     tq_p = _pad_to(tq, 8)
     q3 = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0))
                  ).reshape(b * h, tq_p, d)
@@ -627,7 +632,7 @@ def decode_attention_stacked(q: jax.Array, kv, layer, *, pos=None,
     )
     out = pl.pallas_call(
         functools.partial(_dec_kernel_stacked, scale=scale, kv_len=s_len,
-                          quant=quant),
+                          quant=quant, heads=h),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -657,8 +662,13 @@ def _decode_attention_xla(q, k, v, ks, vs, *, pos, scale):
         tq, s_len = s.shape[-2:]
         cols = jnp.arange(s_len)[None, :]
         rows = jnp.arange(tq)[:, None]
-        s = jnp.where((cols <= pos + rows)[None, None], s,
-                      jnp.finfo(s.dtype).min)
+        pos_b = jnp.asarray(pos, jnp.int32)
+        if pos_b.ndim == 0:
+            mask = (cols <= pos_b + rows)[None, None]
+        else:  # per-slot decode depths (continuous batching)
+            mask = (cols[None] <= pos_b[:, None, None] + rows[None]
+                    )[:, None]
+        s = jnp.where(mask, s, jnp.finfo(s.dtype).min)
     p = jax.nn.softmax(s.astype(jnp.float32), -1).astype(dt)
     if vs is not None:
         return jnp.einsum("bhqk,bhkd->bhqd",

@@ -189,3 +189,30 @@ def test_decode_attention_stacked(rng, quant, gqa, tq):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-5,
                                    err_msg=f"layer {li}")
+
+
+@pytest.mark.parametrize("quant,gqa", [(False, 2), (True, 1)])
+def test_decode_attention_stacked_per_slot_pos(rng, quant, gqa):
+    """pos as a [B] vector (continuous batching: slots at different decode
+    depths) must equal per-sample scalar-pos calls, on both backends."""
+    from audax.models.whisper import quantize_kv
+    from audax.ops.attention import decode_attention_stacked
+    L, b, h, s, d = 2, 4, 4, 24, 32
+    q = _rand(rng, b, h, 1, d)
+    k = _rand(rng, L, b, h // gqa, s, d)
+    v = _rand(rng, L, b, h // gqa, s, d)
+    kv = quantize_kv(k, v) if quant else (k, v)
+    pos = jnp.array([3, 17, 0, 11], jnp.int32)
+    for backend in ("xla", "pallas"):
+        out = decode_attention_stacked(q, kv, jnp.int32(1), pos=pos,
+                                       backend=backend, interpret=True)
+        for i in range(b):
+            sl = lambda x: x[:, i:i + 1]
+            kv_i = tuple(sl(x) for x in kv)
+            ref = decode_attention_stacked(q[i:i + 1], kv_i, jnp.int32(1),
+                                           pos=int(pos[i]),
+                                           backend=backend, interpret=True)
+            np.testing.assert_allclose(np.asarray(out[i:i + 1]),
+                                       np.asarray(ref),
+                                       atol=2e-5, rtol=1e-5,
+                                       err_msg=f"{backend} slot {i}")

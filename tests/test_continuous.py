@@ -1,0 +1,130 @@
+"""Continuous batching engine: slot refill mid-flight must reproduce the
+fixed-batch generate() result per request (greedy), including after a slot
+has been reused — stale self-KV from the previous occupant must be
+unreachable under the per-slot causal mask."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audax.core.config import WhisperConfig
+from audax.frontend import LogMelFrontend
+from audax.infer.continuous import ContinuousBatcher
+from audax.infer.decode import generate
+from audax.models.whisper import encode, init_whisper_params
+from audax.symbolic.bpe import train_bpe
+from audax.symbolic.tokenizer import WhisperTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tok = WhisperTokenizer(train_bpe(["hello world"] * 4, vocab_size=280))
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=1500, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=32)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    return params, cfg, tok
+
+
+def _reference_ids(params, cfg, tok, samples, *, max_new, budget=None,
+                   kv_quant=False):
+    """What generate() produces for one request on its own. ``budget``
+    truncates the generated stream to k tokens (incl. any EOT) WITHOUT
+    shrinking the KV cache — random-weight logits are near-uniform, so the
+    comparison must hold cache shapes fixed to keep argmax ties stable."""
+    fe = LogMelFrontend.whisper(cfg.n_mels)
+    window = 30 * fe.cfg.sample_rate
+    x = np.zeros(window, np.float32)
+    x[: len(samples)] = samples[: window]
+    mel = fe(jnp.asarray(x[None]))
+    enc = encode(params, cfg, mel)
+    prompt = jnp.asarray([tok.sot_sequence(lang="en")], jnp.int32)
+    suppress = jnp.asarray([i for i in tok.special_ids() if i != tok.eot],
+                           jnp.int32)
+    res = generate(params, cfg, enc, prompt,
+                   max_len=min(prompt.shape[1] + max_new, cfg.n_text_ctx),
+                   eos_id=tok.eot, suppress=suppress, kv_quant=kv_quant)
+    p = prompt.shape[1]
+    n = int(res.lengths[0])
+    raw = np.asarray(res.tokens)[0, p:n]
+    if budget is not None:
+        raw = raw[:budget]
+    return [int(t) for t in raw if t != tok.eot]
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_continuous_matches_generate(setup, rng, kv_quant):
+    """4 requests through 2 slots (forced refills) == per-request
+    generate(), token for token."""
+    params, cfg, tok = setup
+    sr = 16000
+    reqs = {f"r{i}": 0.01 * rng.standard_normal(sr).astype(np.float32)
+            for i in range(4)}
+    cb = ContinuousBatcher(params, cfg, tok, slots=2, max_new_tokens=6,
+                           steps_per_sync=4, kv_quant=kv_quant)
+    for rid, samples in reqs.items():
+        cb.submit(rid, samples)
+    results = {r.request_id: r for r in cb.run()}
+    assert set(results) == set(reqs)
+    assert cb.chunks_run >= 2           # refill really happened mid-flight
+    for rid, samples in reqs.items():
+        ref = _reference_ids(params, cfg, tok, samples, max_new=6,
+                             kv_quant=kv_quant)
+        assert results[rid].tokens == ref, rid
+        assert results[rid].text == tok.decode(ref)
+
+
+def test_submit_during_serving(setup, rng):
+    """Requests submitted while slots are mid-decode are admitted as slots
+    free up, not dropped."""
+    params, cfg, tok = setup
+    sr = 16000
+    cb = ContinuousBatcher(params, cfg, tok, slots=2, max_new_tokens=6,
+                           steps_per_sync=2)
+    cb.submit("a", 0.01 * rng.standard_normal(sr).astype(np.float32))
+    cb.submit("b", 0.01 * rng.standard_normal(sr).astype(np.float32))
+    got = list(cb.step())               # both admitted, decoding
+    cb.submit("c", 0.01 * rng.standard_normal(sr).astype(np.float32))
+    while cb.pending() or cb.live():
+        got.extend(cb.step())
+    assert {r.request_id for r in got} == {"a", "b", "c"}
+    for r in got:
+        assert np.isfinite(r.avg_logprob)
+
+
+def test_per_request_token_budget(setup, rng):
+    """submit(max_new_tokens=k) caps that request alone (serving-API
+    max_tokens semantics). Compared against an unbudgeted run of the SAME
+    engine at the same slot count: live rows of a fixed-shape batch compute
+    identically, so each budgeted result must be the k-truncation of the
+    unbudgeted one. (A B=1 generate() reference would differ in batch
+    numerics — random-weight logits are near-uniform, so argmax ties flip.)"""
+    params, cfg, tok = setup
+    sr = 16000
+    budgets = {"short": 2, "mid": 5, "long": 9}
+    audio = {rid: 0.01 * rng.standard_normal(sr).astype(np.float32)
+             for rid in budgets}
+
+    def serve(caps):
+        cb = ContinuousBatcher(params, cfg, tok, slots=3, max_new_tokens=12,
+                               steps_per_sync=3)
+        for rid in budgets:
+            cb.submit(rid, audio[rid], max_new_tokens=caps.get(rid))
+        return {r.request_id: r for r in cb.run()}
+
+    capped = serve(budgets)
+    free = serve({})
+    assert set(capped) == set(budgets)
+    for rid, k in budgets.items():
+        assert capped[rid].tokens == free[rid].tokens[:k], rid
+        assert len(capped[rid].tokens) <= k
+
+
+def test_warmup_resets_telemetry(setup):
+    params, cfg, tok = setup
+    cb = ContinuousBatcher(params, cfg, tok, slots=2, max_new_tokens=4,
+                           steps_per_sync=4)
+    cb.warmup()
+    assert cb.steps_run == 0 and cb.chunks_run == 0
+    assert cb.live() == 0 and cb.pending() == 0

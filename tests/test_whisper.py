@@ -89,6 +89,49 @@ def test_kv_cache_decode_matches_teacher_forced(rng):
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("quant", [False, True])
+def test_decode_step_ragged_matches_per_slot(rng, quant):
+    """Per-slot-position step == independent B=1 decode_step runs at each
+    slot's own depth (the continuous-batching primitive)."""
+    from audax.models.whisper import decode_step_ragged
+    params = init_whisper_params(TINY, jax.random.key(0))
+    depths = [0, 3, 5]
+    b = len(depths)
+    max_len = 8
+    mel = jnp.asarray(_mel(rng, b=b))
+    enc = encode(params, TINY, mel)
+    tokens = jnp.asarray(rng.integers(0, TINY.vocab_size, (b, max_len)),
+                         jnp.int32)
+
+    # build each slot's cache independently at its own depth, collect the
+    # reference logits for one more step
+    caches, refs = [], []
+    for i, t in enumerate(depths):
+        ckv = precompute_cross_kv(params, TINY, enc[i:i + 1], quant=quant)
+        cache = init_kv_cache(TINY, batch=1, max_len=max_len, quant=quant)
+        for p in range(t):
+            _, cache = decode_step(params, TINY, tokens[i:i + 1, p],
+                                   jnp.int32(p), cache, ckv)
+        ref, _ = decode_step(params, TINY, tokens[i:i + 1, t], jnp.int32(t),
+                             cache, ckv)
+        caches.append(cache)
+        refs.append(ref)
+
+    batched_cache = jax.tree.map(lambda *xs: jnp.concatenate(xs, 1), *caches)
+    cross_kv = precompute_cross_kv(params, TINY, enc, quant=quant)
+    pos = jnp.asarray(depths, jnp.int32)
+    tok = tokens[jnp.arange(b), pos]
+    out, new_cache = decode_step_ragged(params, TINY, tok, pos,
+                                        batched_cache, cross_kv)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.concatenate([np.asarray(r) for r in refs]),
+                               atol=1e-4, rtol=1e-4)
+    # the scatter must have written each slot's new KV at its own position
+    k = new_cache.k_q if quant else new_cache.k
+    for i, t in enumerate(depths):
+        assert np.abs(np.asarray(k[:, i, :, t])).sum() > 0
+
+
 def test_decode_step_jits_under_while_loop(rng):
     """The step must run inside lax.while_loop (static shapes, traced pos)."""
     params = init_whisper_params(TINY, jax.random.key(0))

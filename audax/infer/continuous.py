@@ -11,10 +11,11 @@ schedule, built TPU-first:
   * everything device-side is fixed-shape: [slots] caches, [slots] position
     vector, one compiled chunk program reused forever (no recompiles as
     requests come and go);
-  * a refill touches only its slot: new cross-KV rows are
-    ``dynamic_update_slice``d in, the slot's position resets to 0, and the
-    self-attention cache needs NO clearing — stale entries beyond the new
-    position are unreachable under the per-slot causal mask
+  * admits are BATCHED: up to ``slots`` queued requests are featurized and
+    encoded in one device call (static power-of-two buckets), their
+    cross-KV rows scattered into their slots; the self-attention cache
+    needs NO clearing on refill — stale entries beyond the new position
+    are unreachable under the per-slot causal mask
     (ops/attention.py:decode_attention_stacked ``pos`` vector);
   * chunked host sync: ``steps_per_sync`` decode steps run per device call
     (early-exiting when every live slot is done), so the axon tunnel's
@@ -132,30 +133,45 @@ def _decode_chunk(params, cfg: WhisperConfig, state: _ServeState,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "dtype", "kv_quant"))
-def _admit(params, cfg: WhisperConfig, state: _ServeState, mel1, prompt_row,
-           slot, budget, *, dtype, kv_quant: bool) -> _ServeState:
-    """Encode one request and install it into ``slot``: cross-KV rows are
-    sliced in, position/flags reset. The self-attn cache is NOT cleared —
-    entries at positions >= 0 written by the previous occupant are
-    unreachable under the refilled slot's causal mask."""
-    enc = encode(params, cfg, mel1, dtype)
-    one = precompute_cross_kv(params, cfg, enc, quant=kv_quant)
-    cross_kv = jax.tree.map(
-        lambda full, new: lax.dynamic_update_slice(
-            full, new.astype(full.dtype),
-            (0, slot) + (0,) * (full.ndim - 2)),
-        state.cross_kv, one)
-    tokens = lax.dynamic_update_slice(state.tokens, prompt_row[None],
-                                      (slot, 0))
+def _admit_many(params, cfg: WhisperConfig, state: _ServeState, mels,
+                prompt_row, slot_ids, budgets, *, dtype,
+                kv_quant: bool) -> _ServeState:
+    """Encode K requests in ONE encoder pass and install each into its
+    slot: cross-KV rows gathered/selected in, position/flags reset.
+    Padding rows (the bucket is a static power of two) carry
+    ``slot_ids == slots``, which matches no slot in the one-hot and is
+    therefore inert. The self-attn cache is NOT cleared on refill —
+    entries written by the previous occupant sit at positions the new
+    request hasn't reached yet, unreachable under the refilled slot's
+    per-slot causal mask, and are overwritten as it advances."""
+    enc = encode(params, cfg, mels, dtype)
+    new = precompute_cross_kv(params, cfg, enc, quant=kv_quant)
+    # install via one-hot gather + select, NOT a scatter: XLA lowers a
+    # predicated scatter over the [L, B, H, S, hd] cross-KV to a slow
+    # serial loop on TPU (measured 1.4x wall on bench-continuous), while
+    # gather+where fuses into one bandwidth-bound pass
+    b = state.tokens.shape[0]
+    hit = slot_ids[None, :] == jnp.arange(b)[:, None]      # [B, K]
+    fresh = hit.any(1)                                      # [B]
+    src = jnp.argmax(hit, 1)                                # [B] admit row
+
+    def install(full, n):
+        picked = jnp.take(n.astype(full.dtype), src, axis=1)
+        mask = fresh.reshape((1, b) + (1,) * (full.ndim - 2))
+        return jnp.where(mask, picked, full)
+
+    cross_kv = jax.tree.map(install, state.cross_kv, new)
+    tokens = jnp.where(fresh[:, None], prompt_row[None], state.tokens)
     max_len = state.tokens.shape[1]
+    keep = ~fresh
     return _ServeState(
         state.cache, cross_kv, tokens,
-        state.pos.at[slot].set(0),
-        state.done.at[slot].set(False),
-        state.lengths.at[slot].set(max_len),
-        state.sum_logprob.at[slot].set(0.0),
-        state.gen_count.at[slot].set(0),
-        state.budget.at[slot].set(budget))
+        jnp.where(keep, state.pos, 0),
+        jnp.where(keep, state.done, False),
+        jnp.where(keep, state.lengths, max_len),
+        jnp.where(keep, state.sum_logprob, 0.0),
+        jnp.where(keep, state.gen_count, 0),
+        jnp.where(keep, state.budget, budgets[src]))
 
 
 class ContinuousBatcher:
@@ -248,16 +264,34 @@ class ContinuousBatcher:
         return sum(r is not None for r in self._slot_req)
 
     # ----------------------------------------------------------- serve ----
+    def _bucket(self, n: int) -> int:
+        """Static admit batch size: next power of two ≥ n, capped at the
+        slot count — ≤ log2(slots)+1 compiled (frontend, encode+install)
+        program pairs total, and at most 2× encoder over-compute."""
+        return min(1 << (n - 1).bit_length(), self.slots)
+
     def _admit_waiting(self) -> None:
-        for slot in range(self.slots):
-            if self._slot_req[slot] is not None or not self._queue:
-                continue
+        free = [i for i in range(self.slots) if self._slot_req[i] is None]
+        n = min(len(free), len(self._queue))
+        if not n:
+            return
+        k = self._bucket(n)
+        batch = np.zeros((k, self.window), np.float32)
+        slot_ids = np.full(k, self.slots, np.int32)    # pad rows: OOB, dropped
+        budgets = np.ones(k, np.int32)
+        admitted = []
+        for j in range(n):
             rid, samples, budget = self._queue.pop(0)
-            mel = self.frontend(jnp.asarray(samples[None]))
-            self._state = _admit(self.params, self.cfg, self._state, mel,
-                                 self._prompt_row, jnp.int32(slot),
-                                 jnp.int32(budget),
-                                 dtype=self.dtype, kv_quant=self.kv_quant)
+            batch[j] = samples
+            slot_ids[j] = free[j]
+            budgets[j] = budget
+            admitted.append((free[j], rid))
+        mels = self.frontend(jnp.asarray(batch))
+        self._state = _admit_many(
+            self.params, self.cfg, self._state, mels, self._prompt_row,
+            jnp.asarray(slot_ids), jnp.asarray(budgets),
+            dtype=self.dtype, kv_quant=self.kv_quant)
+        for slot, rid in admitted:
             self._slot_req[slot] = rid
 
     def _harvest(self) -> List[Result]:
@@ -302,9 +336,20 @@ class ContinuousBatcher:
             out.extend(self.step())
         return out
 
-    def warmup(self) -> None:
-        """Compile both programs (admit at slot shape, chunk at slot shape)
-        before the first real request."""
-        self.submit("__warmup__", np.zeros(16000, np.float32))
-        self.run()
+    def warmup(self, all_buckets: bool = True) -> None:
+        """Compile the serving programs before the first real request: the
+        chunk program plus the admit program at every bucket size (each
+        bucket is its own encoder batch shape; with ``all_buckets=False``
+        only the single-request bucket is compiled)."""
+        buckets = {1}
+        if all_buckets:
+            k = 1
+            while k < self.slots:
+                buckets.add(min(k * 2, self.slots))
+                k *= 2
+        for k in sorted(buckets):
+            for i in range(k):
+                self.submit(f"__warmup{k}_{i}__",
+                            np.zeros(16000, np.float32), max_new_tokens=1)
+            self.run()
         self.steps_run = self.chunks_run = 0

@@ -121,6 +121,29 @@ def test_per_request_token_budget(setup, rng):
         assert len(capped[rid].tokens) <= k
 
 
+def test_bucketed_admit_padding_is_inert(setup, rng):
+    """Admitting a non-power-of-two request count uses a padded bucket;
+    the padding rows (slot_id == slots, out of bounds) must not touch ANY
+    slot's state, and every real request must still complete."""
+    params, cfg, tok = setup
+    cb = ContinuousBatcher(params, cfg, tok, slots=4, max_new_tokens=5,
+                           steps_per_sync=8)
+    for i in range(3):                   # bucket rounds 3 -> 4: one pad row
+        cb.submit(f"r{i}",
+                  0.01 * rng.standard_normal(16000).astype(np.float32))
+    cb._admit_waiting()
+    assert cb.live() == 3
+    state = cb._state
+    # the never-admitted slot keeps its init state: free and zero cross-KV
+    assert bool(np.asarray(state.done)[3])
+    k = state.cross_kv[0] if isinstance(state.cross_kv, tuple) \
+        else state.cross_kv.k_q
+    assert np.abs(np.asarray(k[:, 3])).sum() == 0
+    assert np.abs(np.asarray(k[:, :3])).sum() > 0
+    results = cb.run()
+    assert {r.request_id for r in results} == {"r0", "r1", "r2"}
+
+
 def test_warmup_resets_telemetry(setup):
     params, cfg, tok = setup
     cb = ContinuousBatcher(params, cfg, tok, slots=2, max_new_tokens=4,

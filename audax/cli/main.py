@@ -1119,12 +1119,20 @@ def cmd_train_music(argv) -> int:
 def cmd_infer_music(argv) -> int:
     """Audio -> ABC generation (reference: music2midi/inference.py main)."""
     p = argparse.ArgumentParser(prog="audax infer-music")
-    p.add_argument("--wav", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--wav", help="one file (single fixed-batch generate)")
+    src.add_argument("--wav-dir", help="directory of .wav files served "
+                     "through the continuous-batching generator "
+                     "(slot refill; infer/continuous.py)")
     p.add_argument("--tokenizer-dir", required=True)
     p.add_argument("--ckpt", required=True)
     p.add_argument("--chunk-seconds", type=float, default=10.0)
     p.add_argument("--max-tokens", type=int, default=256)
     p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--seed", type=int, default=0,
+                   help="sampling seed (per-request reproducible streams)")
+    p.add_argument("--slots", type=int, default=4,
+                   help="concurrent decode slots (--wav-dir mode)")
     p.add_argument("--lm-size", default="small",
                    choices=["tiny", "small", "base"])
     args = p.parse_args(argv)
@@ -1153,19 +1161,43 @@ def cmd_infer_music(argv) -> int:
     model = build_two_tower(tt, audio_cfg, lm_cfg, len(bpe),
                             jax.random.key(0))
     model = load_trainable_checkpoint(args.ckpt, model)
-
-    x, rate = read_wav(args.wav)
-    x = to_mono(x)
+    start = bpe.vocab.get("<abc_start>", 0)
+    end = bpe.vocab.get("<abc_end>", 1)
     sr = 16000
-    if rate != sr:
-        x = resample(x, rate, sr)
-        log.warning("resampled %d -> %d Hz", rate, sr)
+
+    def load(path):
+        x, rate = read_wav(path)
+        x = to_mono(x)
+        if rate != sr:
+            x = resample(x, rate, sr)
+            log.warning("%s: resampled %d -> %d Hz", path, rate, sr)
+        return x
+
+    if args.wav_dir:
+        import os
+        from audax.infer.continuous import ContinuousGenerator
+        g = ContinuousGenerator(
+            model, bpe=bpe, start_id=start, end_id=end, slots=args.slots,
+            window_seconds=args.chunk_seconds,
+            max_new_tokens=args.max_tokens - 1,
+            temperature=args.temperature)
+        names = sorted(f for f in os.listdir(args.wav_dir)
+                       if f.lower().endswith(".wav"))
+        for i, name in enumerate(names):
+            g.submit(name, load(os.path.join(args.wav_dir, name)),
+                     seed=args.seed + i)
+        results = {r.request_id: r for r in g.run()}
+        for name in names:                    # stable file order
+            r = results[name]
+            print(f"== {r.request_id} (avg_logprob {r.avg_logprob:.3f})")
+            print(r.text)
+        return 0
+
+    x = load(args.wav)
     frontend = LogMelFrontend.whisper(audio_cfg.n_mels)
     n = int(args.chunk_seconds * sr)
     mel = frontend(pad_or_trim(jnp.asarray(x[:n]), n)[None])
     enc = model.encode_audio(mel)
-    start = bpe.vocab.get("<abc_start>", 0)
-    end = bpe.vocab.get("<abc_end>", 1)
     tokens, lengths = model.generate(
         model.params, enc, start_id=start, end_id=end,
         max_len=args.max_tokens, temperature=args.temperature,

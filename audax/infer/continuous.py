@@ -4,33 +4,44 @@ The fixed-batch paths (infer/decode.py:generate, infer/streaming.py) convoy
 every request behind the slowest one in the batch — a slot that emits EOS at
 token 12 idles until the longest slot finishes all ~224. Here the decode
 loop runs in short compiled chunks over PER-SLOT positions
-(models/whisper.py:decode_step_ragged), and between chunks the host refills
-finished slots with queued requests mid-flight — the vLLM-style serving
-schedule, built TPU-first:
+(models/whisper.py:decode_step_ragged, models/causal_lm.py:lm_decode_step
+with a [B] ``pos``), and between chunks the host refills finished slots
+with queued requests mid-flight — the vLLM-style serving schedule, built
+TPU-first:
 
   * everything device-side is fixed-shape: [slots] caches, [slots] position
     vector, one compiled chunk program reused forever (no recompiles as
     requests come and go);
   * admits are BATCHED: up to ``slots`` queued requests are featurized and
     encoded in one device call (static power-of-two buckets), their
-    cross-KV rows scattered into their slots; the self-attention cache
-    needs NO clearing on refill — stale entries beyond the new position
-    are unreachable under the per-slot causal mask
-    (ops/attention.py:decode_attention_stacked ``pos`` vector);
+    cross-KV rows installed via one-hot gather+select (a predicated
+    scatter over the big cross-KV lowered to a serial TPU loop — measured
+    1.4× wall, reverted); the self-attention cache needs NO clearing on
+    refill — stale entries beyond the new position are unreachable under
+    the per-slot causal mask (ops/attention.py:decode_attention_stacked
+    ``pos`` vector);
   * chunked host sync: ``steps_per_sync`` decode steps run per device call
     (early-exiting when every live slot is done), so the axon tunnel's
     dispatch latency is amortised over many tokens.
 
+Two engines share the scheduling shell (``_SlotEngine``):
+
+  * ``ContinuousBatcher`` — Whisper ASR (greedy, logprob-scored);
+  * ``ContinuousGenerator`` — two-tower audio→ABC transcription
+    (per-request reproducible temperature sampling).
+
 The reference serves one file per ``model.transcribe`` call with no
-batching at all (reference: AB/wavToWhisper.py:10-13); this engine is the
-capability its serving story was missing.
+batching at all (reference: AB/wavToWhisper.py:10-13) and its music2midi
+generation loop is single-sample with no KV cache (reference:
+.charles/music2midi/model.py:293-344); this engine is the capability its
+serving story was missing.
 """
 
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Dict, List, NamedTuple, Optional
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +57,7 @@ from audax.symbolic.tokenizer import WhisperTokenizer
 
 log = get_logger("audax.continuous")
 
-__all__ = ["ContinuousBatcher", "Result"]
+__all__ = ["ContinuousBatcher", "ContinuousGenerator", "Result"]
 
 
 @dataclass
@@ -71,6 +82,43 @@ class _ServeState(NamedTuple):
     budget: jnp.ndarray        # [B] int32 per-request max generated tokens
 
 
+def _advance(st, nxt, logits, *, p_len: int, eos_id: int, bidx):
+    """Shared post-logits bookkeeping for one ragged decode step: write
+    the chosen token, accumulate its logprob, flip ``done`` on
+    EOS/budget/overflow, freeze finished slots. ``st`` is any state with
+    the common fields (tokens/pos/done/lengths/sum_logprob/gen_count/
+    budget); returns the updated common fields as kwargs for
+    ``st._replace``."""
+    max_len = st.tokens.shape[1]
+    in_prompt = st.pos + 1 < p_len                      # [B]
+    nxt = jnp.where(st.done, eos_id, nxt)
+    # done slots are frozen at their final pos — masking the write
+    # keeps them from clobbering their own last real token with EOS
+    # while neighbours still decode
+    tokens = st.tokens.at[bidx, st.pos + 1].set(
+        jnp.where(st.done, st.tokens[bidx, st.pos + 1], nxt))
+
+    logprobs = jax.nn.log_softmax(logits, -1)
+    chosen = jnp.take_along_axis(logprobs, nxt[:, None], -1)[:, 0]
+    score = jnp.logical_and(~in_prompt, ~st.done)
+    sum_logprob = st.sum_logprob + jnp.where(score, chosen, 0.0)
+    gen_count = st.gen_count + score.astype(jnp.int32)
+
+    newly = jnp.logical_and(
+        ~st.done,
+        jnp.logical_or(
+            jnp.logical_and(~in_prompt, nxt == eos_id),
+            jnp.logical_or(st.pos + 2 >= max_len,
+                           gen_count >= st.budget)))
+    done = jnp.logical_or(st.done, newly)
+    lengths = jnp.where(newly, st.pos + 2, st.lengths)
+    # done slots freeze: pos never runs past max_len, cache writes stay
+    # in-range, and a later refill resets the slot wholesale
+    pos = jnp.where(done, st.pos, st.pos + 1)
+    return dict(tokens=tokens, pos=pos, done=done, lengths=lengths,
+                sum_logprob=sum_logprob, gen_count=gen_count)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "p_len", "eos_id", "n_steps", "dtype"))
@@ -80,7 +128,7 @@ def _decode_chunk(params, cfg: WhisperConfig, state: _ServeState,
     """Run up to ``n_steps`` ragged decode steps; early-exit when every
     slot is done. Mirrors infer/decode.py:generate's body, with every
     position/flag a per-slot vector."""
-    b, max_len = state.tokens.shape
+    b, _ = state.tokens.shape
     bidx = jnp.arange(b)
     neg_inf = jnp.finfo(jnp.float32).min
 
@@ -99,36 +147,27 @@ def _decode_chunk(params, cfg: WhisperConfig, state: _ServeState,
         in_prompt = st.pos + 1 < p_len                      # [B]
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
         nxt = jnp.where(in_prompt, st.tokens[bidx, st.pos + 1], nxt)
-        nxt = jnp.where(st.done, eos_id, nxt)
-        # done slots are frozen at their final pos — masking the write
-        # keeps them from clobbering their own last real token with EOS
-        # while neighbours still decode
-        tokens = st.tokens.at[bidx, st.pos + 1].set(
-            jnp.where(st.done, st.tokens[bidx, st.pos + 1], nxt))
-
-        logprobs = jax.nn.log_softmax(logits, -1)
-        chosen = jnp.take_along_axis(logprobs, nxt[:, None], -1)[:, 0]
-        score = jnp.logical_and(~in_prompt, ~st.done)
-        sum_logprob = st.sum_logprob + jnp.where(score, chosen, 0.0)
-        gen_count = st.gen_count + score.astype(jnp.int32)
-
-        newly = jnp.logical_and(
-            ~st.done,
-            jnp.logical_or(
-                jnp.logical_and(~in_prompt, nxt == eos_id),
-                jnp.logical_or(st.pos + 2 >= max_len,
-                               gen_count >= st.budget)))
-        done = jnp.logical_or(st.done, newly)
-        lengths = jnp.where(newly, st.pos + 2, st.lengths)
-        # done slots freeze: pos never runs past max_len, cache writes stay
-        # in-range, and a later refill resets the slot wholesale
-        pos = jnp.where(done, st.pos, st.pos + 1)
-        return i + 1, _ServeState(cache, st.cross_kv, tokens, pos, done,
-                                  lengths, sum_logprob, gen_count,
-                                  st.budget)
+        upd = _advance(st, nxt, logits, p_len=p_len, eos_id=eos_id,
+                       bidx=bidx)
+        return i + 1, st._replace(cache=cache, **upd)
 
     _, final = lax.while_loop(cond, body, (jnp.int32(0), state))
     return final
+
+
+def _onehot_select(slot_ids, b):
+    """[B] masks for installing K admit rows: (fresh slots, source row)."""
+    hit = slot_ids[None, :] == jnp.arange(b)[:, None]      # [B, K]
+    return hit.any(1), jnp.argmax(hit, 1)
+
+
+def _select_rows(fresh, src, full, new, axis=1):
+    """full[:, b] <- new[:, src[b]] where fresh[b] (gather+where, no
+    scatter; ``axis`` is the slot axis of ``full``)."""
+    picked = jnp.take(new.astype(full.dtype), src, axis=axis)
+    shape = [1] * full.ndim
+    shape[axis] = fresh.shape[0]
+    return jnp.where(fresh.reshape(shape), picked, full)
 
 
 @functools.partial(jax.jit,
@@ -146,21 +185,10 @@ def _admit_many(params, cfg: WhisperConfig, state: _ServeState, mels,
     per-slot causal mask, and are overwritten as it advances."""
     enc = encode(params, cfg, mels, dtype)
     new = precompute_cross_kv(params, cfg, enc, quant=kv_quant)
-    # install via one-hot gather + select, NOT a scatter: XLA lowers a
-    # predicated scatter over the [L, B, H, S, hd] cross-KV to a slow
-    # serial loop on TPU (measured 1.4x wall on bench-continuous), while
-    # gather+where fuses into one bandwidth-bound pass
     b = state.tokens.shape[0]
-    hit = slot_ids[None, :] == jnp.arange(b)[:, None]      # [B, K]
-    fresh = hit.any(1)                                      # [B]
-    src = jnp.argmax(hit, 1)                                # [B] admit row
-
-    def install(full, n):
-        picked = jnp.take(n.astype(full.dtype), src, axis=1)
-        mask = fresh.reshape((1, b) + (1,) * (full.ndim - 2))
-        return jnp.where(mask, picked, full)
-
-    cross_kv = jax.tree.map(install, state.cross_kv, new)
+    fresh, src = _onehot_select(slot_ids, b)
+    cross_kv = jax.tree.map(
+        functools.partial(_select_rows, fresh, src), state.cross_kv, new)
     tokens = jnp.where(fresh[:, None], prompt_row[None], state.tokens)
     max_len = state.tokens.shape[1]
     keep = ~fresh
@@ -174,88 +202,48 @@ def _admit_many(params, cfg: WhisperConfig, state: _ServeState, mels,
         jnp.where(keep, state.budget, budgets[src]))
 
 
-class ContinuousBatcher:
-    """Slot-refill batched transcription.
+# ------------------------------------------------------------ shell -------
+class _SlotEngine:
+    """Host-side slot-refill scheduling shell shared by both engines:
+    request queue, power-of-two admit buckets, chunked decode, harvest.
 
-    Usage::
+    Subclass contract: set ``window``, ``sample_rate``, ``slots``,
+    ``steps_per_sync``, ``_p_len``, ``_max_len``, ``_stop_id``, and
+    ``_state``; implement ``_install(batch, slot_ids, budgets)`` (one
+    device call admitting a bucket) and ``_chunk()`` (one compiled chunk
+    of ragged decode steps), and ``_text(ids)``."""
 
-        cb = ContinuousBatcher(params, cfg, tokenizer, slots=8)
-        cb.submit("req-1", samples)          # any number, any time
-        for r in cb.step():                  # admit + decode chunk + harvest
-            print(r.request_id, r.text)
-        results = cb.run()                   # drain everything
-    """
+    window: int
+    sample_rate: int
+    slots: int
+    steps_per_sync: int
+    _p_len: int
+    _max_len: int
+    _stop_id: int
 
-    def __init__(self, params, cfg: WhisperConfig,
-                 tokenizer: WhisperTokenizer, *,
-                 slots: int = 8, window_seconds: float = 30.0,
-                 lang: str = "en", max_new_tokens: int = 224,
-                 steps_per_sync: int = 64, dtype=jnp.float32,
-                 backend: Optional[str] = None, kv_quant: bool = False):
-        self.cfg = cfg
-        self.tokenizer = tokenizer
-        self.slots = slots
-        self.dtype = dtype
-        self.kv_quant = kv_quant
-        self.steps_per_sync = steps_per_sync
-        self.params = params
-        self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
-        self.window = int(window_seconds * self.frontend.cfg.sample_rate)
-        prompt = tokenizer.sot_sequence(lang=lang)
-        self._p_len = len(prompt)
-        self._max_len = min(self._p_len + max_new_tokens, cfg.n_text_ctx)
-        row = np.zeros(self._max_len, np.int32)
-        row[: self._p_len] = prompt
-        self._prompt_row = jnp.asarray(row)
-        self._suppress = jnp.asarray(
-            [i for i in tokenizer.special_ids() if i != tokenizer.eot],
-            np.int32)
-        self._queue: List[tuple] = []          # (request_id, samples)
-        self._slot_req: List[Optional[str]] = [None] * slots
-        self._state = self._init_state()
-        #: decode steps actually run (telemetry for bench-continuous)
+    def _init_shell(self) -> None:
+        self._queue: List[tuple] = []   # (request_id, samples, budget, extra)
+        self._slot_req: List[Optional[str]] = [None] * self.slots
+        #: decode steps enqueued (telemetry for bench-continuous)
         self.steps_run = 0
         self.chunks_run = 0
 
-    def _init_state(self) -> _ServeState:
-        cfg, b = self.cfg, self.slots
-        hd = cfg.d_model // cfg.heads
-        s = cfg.n_audio_ctx
-        cache = init_kv_cache(cfg, b, self._max_len, self.dtype,
-                              quant=self.kv_quant)
-        shape = (cfg.decoder_layers, b, cfg.heads, s, hd)
-        if self.kv_quant:
-            from audax.models.whisper import QuantKV
-            cross = QuantKV(jnp.zeros(shape, jnp.int8),
-                            jnp.ones(shape[:-1], jnp.float32),
-                            jnp.zeros(shape, jnp.int8),
-                            jnp.ones(shape[:-1], jnp.float32))
-        else:
-            cross = (jnp.zeros(shape, self.dtype),
-                     jnp.zeros(shape, self.dtype))
-        return _ServeState(
-            cache, cross,
-            jnp.zeros((b, self._max_len), jnp.int32),
-            jnp.zeros((b,), jnp.int32),
-            jnp.ones((b,), bool),                  # all slots free
-            jnp.full((b,), self._max_len, jnp.int32),
-            jnp.zeros((b,), jnp.float32),
-            jnp.zeros((b,), jnp.int32),
-            jnp.full((b,), self._max_len, jnp.int32))
-
     # ---------------------------------------------------------- intake ----
     def submit(self, request_id: str, samples: np.ndarray,
-               max_new_tokens: Optional[int] = None) -> None:
-        """Queue one utterance (padded/trimmed to the 30 s window).
+               max_new_tokens: Optional[int] = None,
+               extra: tuple = ()) -> None:
+        """Queue one utterance (padded/trimmed to the window).
         ``max_new_tokens`` caps THIS request's generation (serving-API
-        max_tokens semantics); the engine-level cap still applies."""
+        max_tokens semantics); the engine-level cap still applies.
+        ``extra`` is an opaque per-request tuple handed back to
+        ``_install`` (e.g. the generator's sampling seed)."""
         x = np.zeros(self.window, np.float32)
         s = np.asarray(samples, np.float32).reshape(-1)[: self.window]
         x[: len(s)] = s
         budget = self._max_len - self._p_len
         if max_new_tokens is not None:
             budget = min(budget, max(int(max_new_tokens), 1))
-        self._queue.append((request_id, x, budget))
+        self._queue.append((request_id, x, budget, extra))
 
     def pending(self) -> int:
         return len(self._queue)
@@ -277,20 +265,18 @@ class ContinuousBatcher:
             return
         k = self._bucket(n)
         batch = np.zeros((k, self.window), np.float32)
-        slot_ids = np.full(k, self.slots, np.int32)    # pad rows: OOB, dropped
+        slot_ids = np.full(k, self.slots, np.int32)   # pad rows: no slot
         budgets = np.ones(k, np.int32)
+        extras: List[tuple] = [()] * k
         admitted = []
         for j in range(n):
-            rid, samples, budget = self._queue.pop(0)
+            rid, samples, budget, extra = self._queue.pop(0)
             batch[j] = samples
             slot_ids[j] = free[j]
             budgets[j] = budget
+            extras[j] = extra
             admitted.append((free[j], rid))
-        mels = self.frontend(jnp.asarray(batch))
-        self._state = _admit_many(
-            self.params, self.cfg, self._state, mels, self._prompt_row,
-            jnp.asarray(slot_ids), jnp.asarray(budgets),
-            dtype=self.dtype, kv_quant=self.kv_quant)
+        self._install(batch, slot_ids, budgets, extras)
         for slot, rid in admitted:
             self._slot_req[slot] = rid
 
@@ -307,11 +293,11 @@ class ContinuousBatcher:
         cnt = np.asarray(self._state.gen_count)
         for i in finished:
             ids = [int(t) for t in tokens[i, self._p_len: lengths[i]]
-                   if t != self.tokenizer.eot]
+                   if t != self._stop_id]
             out.append(Result(
-                self._slot_req[i], self.tokenizer.decode(ids), ids,
+                self._slot_req[i], self._text(ids), ids,
                 float(slp[i] / max(int(cnt[i]), 1)),
-                self.window / self.frontend.cfg.sample_rate))
+                self.window / self.sample_rate))
             self._slot_req[i] = None
         return out
 
@@ -321,10 +307,7 @@ class ContinuousBatcher:
         self._admit_waiting()
         if self.live() == 0:
             return []
-        self._state = _decode_chunk(
-            self.params, self.cfg, self._state, self._suppress,
-            p_len=self._p_len, eos_id=self.tokenizer.eot,
-            n_steps=self.steps_per_sync, dtype=self.dtype)
+        self._chunk()
         self.steps_run += self.steps_per_sync
         self.chunks_run += 1
         return self._harvest()
@@ -353,3 +336,282 @@ class ContinuousBatcher:
                             np.zeros(16000, np.float32), max_new_tokens=1)
             self.run()
         self.steps_run = self.chunks_run = 0
+
+    # -- subclass hooks ---------------------------------------------------
+    def _install(self, batch: np.ndarray, slot_ids: np.ndarray,
+                 budgets: np.ndarray, extras: List[tuple]) -> None:
+        raise NotImplementedError
+
+    def _chunk(self) -> None:
+        raise NotImplementedError
+
+    def _text(self, ids: List[int]) -> str:
+        raise NotImplementedError
+
+
+# ----------------------------------------------------- whisper engine -----
+class ContinuousBatcher(_SlotEngine):
+    """Slot-refill batched Whisper transcription (greedy).
+
+    Usage::
+
+        cb = ContinuousBatcher(params, cfg, tokenizer, slots=8)
+        cb.submit("req-1", samples)          # any number, any time
+        for r in cb.step():                  # admit + decode chunk + harvest
+            print(r.request_id, r.text)
+        results = cb.run()                   # drain everything
+    """
+
+    def __init__(self, params, cfg: WhisperConfig,
+                 tokenizer: WhisperTokenizer, *,
+                 slots: int = 8, window_seconds: float = 30.0,
+                 lang: str = "en", max_new_tokens: int = 224,
+                 steps_per_sync: int = 64, dtype=jnp.float32,
+                 backend: Optional[str] = None, kv_quant: bool = False):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.slots = slots
+        self.dtype = dtype
+        self.kv_quant = kv_quant
+        self.steps_per_sync = steps_per_sync
+        self.params = params
+        self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
+        self.sample_rate = self.frontend.cfg.sample_rate
+        self.window = int(window_seconds * self.sample_rate)
+        prompt = tokenizer.sot_sequence(lang=lang)
+        self._p_len = len(prompt)
+        self._max_len = min(self._p_len + max_new_tokens, cfg.n_text_ctx)
+        self._stop_id = tokenizer.eot
+        row = np.zeros(self._max_len, np.int32)
+        row[: self._p_len] = prompt
+        self._prompt_row = jnp.asarray(row)
+        self._suppress = jnp.asarray(
+            [i for i in tokenizer.special_ids() if i != tokenizer.eot],
+            np.int32)
+        self._state = self._init_state()
+        self._init_shell()
+
+    def _init_state(self) -> _ServeState:
+        cfg, b = self.cfg, self.slots
+        hd = cfg.d_model // cfg.heads
+        s = cfg.n_audio_ctx
+        cache = init_kv_cache(cfg, b, self._max_len, self.dtype,
+                              quant=self.kv_quant)
+        shape = (cfg.decoder_layers, b, cfg.heads, s, hd)
+        if self.kv_quant:
+            from audax.models.whisper import QuantKV
+            cross = QuantKV(jnp.zeros(shape, jnp.int8),
+                            jnp.ones(shape[:-1], jnp.float32),
+                            jnp.zeros(shape, jnp.int8),
+                            jnp.ones(shape[:-1], jnp.float32))
+        else:
+            cross = (jnp.zeros(shape, self.dtype),
+                     jnp.zeros(shape, self.dtype))
+        return _ServeState(
+            cache, cross,
+            jnp.zeros((b, self._max_len), jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+            jnp.ones((b,), bool),                  # all slots free
+            jnp.full((b,), self._max_len, jnp.int32),
+            jnp.zeros((b,), jnp.float32),
+            jnp.zeros((b,), jnp.int32),
+            jnp.full((b,), self._max_len, jnp.int32))
+
+    def _install(self, batch, slot_ids, budgets, extras) -> None:
+        mels = self.frontend(jnp.asarray(batch))
+        self._state = _admit_many(
+            self.params, self.cfg, self._state, mels, self._prompt_row,
+            jnp.asarray(slot_ids), jnp.asarray(budgets),
+            dtype=self.dtype, kv_quant=self.kv_quant)
+
+    def _chunk(self) -> None:
+        self._state = _decode_chunk(
+            self.params, self.cfg, self._state, self._suppress,
+            p_len=self._p_len, eos_id=self._stop_id,
+            n_steps=self.steps_per_sync, dtype=self.dtype)
+
+    def _text(self, ids) -> str:
+        return self.tokenizer.decode(ids)
+
+
+# ---------------------------------------------------- two-tower engine ----
+class _GenState(NamedTuple):
+    """Fixed-shape device state for the two-tower generator: instead of
+    precomputed cross-KV the adapter re-reads the raw encoder states every
+    step (adapter cross-attention is position-independent in T), so the
+    per-slot audio context is the encoder output itself."""
+    cache: object          # LM self-attn KV [L, B, kvH, max_len, hd]
+    enc: jnp.ndarray       # [B, S, d_audio] frozen encoder states
+    tokens: jnp.ndarray    # [B, max_len] int32
+    pos: jnp.ndarray       # [B] int32
+    done: jnp.ndarray      # [B] bool
+    lengths: jnp.ndarray   # [B] int32
+    sum_logprob: jnp.ndarray
+    gen_count: jnp.ndarray
+    budget: jnp.ndarray
+    seed: jnp.ndarray      # [B] int32 per-request sampling seed
+
+
+@functools.partial(jax.jit, static_argnames=("audio_cfg", "dtype"))
+def _gen_admit(audio_params, state: _GenState, mels,
+               prompt_row, slot_ids, budgets, seeds, *, audio_cfg,
+               dtype) -> _GenState:
+    """Encode K clips in ONE frozen-encoder pass and install each into its
+    slot (same inert-padding one-hot scheme as ``_admit_many``; the LM
+    self-attn cache again needs no clearing — per-slot causal mask)."""
+    enc = encode(audio_params, audio_cfg, mels, dtype)
+    b = state.tokens.shape[0]
+    max_len = state.tokens.shape[1]
+    fresh, src = _onehot_select(slot_ids, b)
+    keep = ~fresh
+    return _GenState(
+        state.cache,
+        _select_rows(fresh, src, state.enc, enc, axis=0),
+        jnp.where(fresh[:, None], prompt_row[None], state.tokens),
+        jnp.where(keep, state.pos, 0),
+        jnp.where(keep, state.done, False),
+        jnp.where(keep, state.lengths, max_len),
+        jnp.where(keep, state.sum_logprob, 0.0),
+        jnp.where(keep, state.gen_count, 0),
+        jnp.where(keep, state.budget, budgets[src]),
+        jnp.where(keep, state.seed, seeds[src]))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lm_cfg", "heads", "eos_id", "n_steps", "dtype",
+                     "temperature"))
+def _gen_chunk(params, lm_cfg, state: _GenState, *, heads: int,
+               eos_id: int, n_steps: int, dtype,
+               temperature: float) -> _GenState:
+    """Ragged two-tower decode chunk: embed → adapter-fuse → LM step →
+    sample. Sampling keys are ``fold_in(fold_in(base, seed[b]), pos[b])``
+    — a function of the REQUEST (seed) and its own depth only, so a
+    request's sampled tokens are bit-identical regardless of which slot
+    it lands in or what its neighbours are doing."""
+    from audax.models.causal_lm import embed_tokens, lm_decode_step
+    from audax.models.two_tower import adapter_apply
+
+    b, _ = state.tokens.shape
+    bidx = jnp.arange(b)
+
+    def cond(c):
+        i, st = c
+        return jnp.logical_and(i < n_steps, ~jnp.all(st.done))
+
+    def body(c):
+        i, st = c
+        tok = st.tokens[bidx, st.pos]
+        text = embed_tokens(params["lm"], tok[:, None], dtype)
+        emb = adapter_apply(params["adapter"], text,
+                            st.enc.astype(dtype), heads)[:, 0]
+        logits, cache = lm_decode_step(params["lm"], lm_cfg, emb, st.pos,
+                                       st.cache, dtype)
+        logits = logits.astype(jnp.float32)
+        if temperature == 0.0:
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        else:
+            base = jax.random.key(0)
+            keys = jax.vmap(
+                lambda s, p: jax.random.fold_in(jax.random.fold_in(base, s),
+                                                p))(st.seed, st.pos)
+            nxt = jax.vmap(jax.random.categorical)(
+                keys, logits / temperature).astype(jnp.int32)
+        upd = _advance(st, nxt, logits, p_len=1, eos_id=eos_id, bidx=bidx)
+        return i + 1, st._replace(cache=cache, **upd)
+
+    _, final = lax.while_loop(cond, body, (jnp.int32(0), state))
+    return final
+
+
+class ContinuousGenerator(_SlotEngine):
+    """Slot-refill two-tower audio→ABC generation with per-request
+    reproducible temperature sampling.
+
+    The reference's generation loop is single-sample, recomputes the full
+    prefix per token, and has no batching (reference:
+    .charles/music2midi/model.py:293-344); this engine serves many clips
+    concurrently off one compiled chunk program. Usage::
+
+        g = ContinuousGenerator(model, bpe=bpe, start_id=s, end_id=e)
+        g.submit("req-1", samples, seed=7)
+        results = g.run()
+    """
+
+    def __init__(self, model, *, bpe=None, start_id: int, end_id: int,
+                 params=None, slots: int = 4, window_seconds: float = 10.0,
+                 max_new_tokens: int = 256, temperature: float = 0.7,
+                 steps_per_sync: int = 32, dtype=jnp.float32,
+                 backend: Optional[str] = None):
+        self.model = model
+        self.params = params if params is not None else model.params
+        self.bpe = bpe
+        self.slots = slots
+        self.dtype = dtype
+        self.temperature = float(temperature)
+        self.steps_per_sync = steps_per_sync
+        self.frontend = LogMelFrontend.whisper(model.audio_cfg.n_mels,
+                                               backend=backend)
+        self.sample_rate = self.frontend.cfg.sample_rate
+        self.window = int(window_seconds * self.sample_rate)
+        self._p_len = 1
+        self._max_len = 1 + max_new_tokens
+        self._stop_id = end_id
+        row = np.zeros(self._max_len, np.int32)
+        row[0] = start_id
+        self._prompt_row = jnp.asarray(row)
+        self._seed_counter = 0
+        # encoder output shape for this window (conv stack halves frames)
+        s = self.frontend.num_frames(self.window) // 2
+        self._state = self._init_state(s, model.audio_cfg.d_model)
+        self._init_shell()
+
+    def _init_state(self, s: int, d_audio: int) -> _GenState:
+        from audax.models.causal_lm import init_lm_cache
+        b = self.slots
+        return _GenState(
+            init_lm_cache(self.model.lm_cfg, b, self._max_len, self.dtype),
+            jnp.zeros((b, s, d_audio), self.dtype),
+            jnp.zeros((b, self._max_len), jnp.int32),
+            jnp.zeros((b,), jnp.int32),
+            jnp.ones((b,), bool),                  # all slots free
+            jnp.full((b,), self._max_len, jnp.int32),
+            jnp.zeros((b,), jnp.float32),
+            jnp.zeros((b,), jnp.int32),
+            jnp.full((b,), self._max_len, jnp.int32),
+            jnp.zeros((b,), jnp.int32))
+
+    def submit(self, request_id: str, samples: np.ndarray,
+               max_new_tokens: Optional[int] = None,
+               seed: Optional[int] = None, extra: tuple = ()) -> None:
+        """``seed`` pins this request's sampling stream (reproducible
+        replay); default is a fresh per-engine counter value."""
+        if seed is None:
+            seed = self._seed_counter
+            self._seed_counter += 1
+        super().submit(request_id, samples, max_new_tokens,
+                       extra=(int(seed),))
+
+    def _install(self, batch, slot_ids, budgets, extras) -> None:
+        seeds = np.zeros(len(extras), np.int32)
+        for j, e in enumerate(extras):
+            if e:
+                seeds[j] = e[0]
+        mels = self.frontend(jnp.asarray(batch))
+        self._state = _gen_admit(
+            self.model.audio_params, self._state, mels, self._prompt_row,
+            jnp.asarray(slot_ids), jnp.asarray(budgets),
+            jnp.asarray(seeds), audio_cfg=self.model.audio_cfg,
+            dtype=self.dtype)
+
+    def _chunk(self) -> None:
+        self._state = _gen_chunk(
+            self.params, self.model.lm_cfg, self._state,
+            heads=self.model.cfg.adapter_heads, eos_id=self._stop_id,
+            n_steps=self.steps_per_sync, dtype=self.dtype,
+            temperature=self.temperature)
+
+    def _text(self, ids) -> str:
+        if self.bpe is None:
+            return ""
+        return self.bpe.decode(ids, skip_specials=True)

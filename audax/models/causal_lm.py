@@ -155,10 +155,17 @@ def _attn_block(layer, cfg: CausalLMConfig, x, positions, mask,
     k = _rope(k, positions, cfg.rope_theta)
     if kv_cache is not None:
         k_cache, v_cache = kv_cache
-        k = lax.dynamic_update_slice(k_cache, k[None],
-                                     (layer_idx, 0, 0, cache_pos, 0))
-        v = lax.dynamic_update_slice(v_cache, v[None],
-                                     (layer_idx, 0, 0, cache_pos, 0))
+        if jnp.ndim(cache_pos) == 0:
+            k = lax.dynamic_update_slice(k_cache, k[None],
+                                         (layer_idx, 0, 0, cache_pos, 0))
+            v = lax.dynamic_update_slice(v_cache, v[None],
+                                         (layer_idx, 0, 0, cache_pos, 0))
+        else:
+            # per-slot decode depths (continuous batching): row b's new
+            # K/V lands at (layer_idx, b, :, cache_pos[b])
+            bidx = jnp.arange(b)
+            k = k_cache.at[layer_idx, bidx, :, cache_pos].set(k[:, :, 0])
+            v = v_cache.at[layer_idx, bidx, :, cache_pos].set(v[:, :, 0])
         # decode fast path: fused cached-KV kernel with GQA + position mask
         from audax.ops.attention import decode_attention_stacked
         out = decode_attention_stacked(q, (k, v), layer_idx, pos=cache_pos,
@@ -244,15 +251,21 @@ def init_lm_cache(cfg: CausalLMConfig, batch: int, max_len: int,
 
 def lm_decode_step(params: Params, cfg: CausalLMConfig,
                    embed: jnp.ndarray,          # [B, d] current-token embed
-                   pos: jnp.ndarray,            # scalar int32
+                   pos: jnp.ndarray,            # scalar int32, or [B] int32
                    cache: LMKVCache,
                    dtype=jnp.float32) -> Tuple[jnp.ndarray, LMKVCache]:
     """One autoregressive step from an input *embedding* (so the two-tower
-    prefix fusion reuses it). Returns (logits [B, V], cache)."""
+    prefix fusion reuses it). Returns (logits [B, V], cache).
+
+    ``pos`` may be a per-slot [B] vector: each row writes its K/V at its
+    own cache depth and attends keys ``<= pos[b]`` — the ragged-batch
+    primitive continuous batching needs (infer/continuous.py), mirroring
+    whisper's decode_step_ragged."""
     x = embed.astype(dtype)[:, None, :]
     max_len = cache.k.shape[3]
-    valid = (jnp.arange(max_len) <= pos)[None, None, None, :]
-    positions = pos[None] if pos.ndim == 0 else pos
+    valid = (jnp.arange(max_len) <= pos)[None, None, None, :] \
+        if pos.ndim == 0 else None
+    positions = pos[None] if pos.ndim == 0 else pos[:, None]
 
     # stacked caches ride the scan CARRY; the kernel layer-indexes them
     # via scalar prefetch (no per-layer slice materialisation). Int4

@@ -93,6 +93,45 @@ def test_kv_cache_decode_matches_full(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_ragged_decode_matches_scalar(rng):
+    """Per-slot [B] positions (continuous batching): a row decoding at its
+    own depth must produce the same logits as a B=1 scalar-pos decode of
+    that row alone — including a 'refilled' row whose cache still holds a
+    previous occupant's K/V beyond its position (masked + overwritten)."""
+    params = init_causal_lm(TINY, jax.random.key(0))
+    toks0 = rng.integers(0, TINY.vocab_size, 5).astype(np.int32)
+    toks1 = rng.integers(0, TINY.vocab_size, 3).astype(np.int32)
+
+    refs = []
+    for toks in (toks0, toks1):
+        cache = init_lm_cache(TINY, batch=1, max_len=8)
+        outs = []
+        for t in range(len(toks)):
+            emb = embed_tokens(params, jnp.asarray(toks[None, t]))
+            lg, cache = lm_decode_step(params, TINY, emb, jnp.int32(t),
+                                       cache)
+            outs.append(np.asarray(lg[0]))
+        refs.append(outs)
+
+    # ragged batch: row 1 joins 2 steps late (its early dummy writes at
+    # pos 0 are overwritten when it really starts — the refill scenario)
+    cache = init_lm_cache(TINY, batch=2, max_len=8)
+    got0, got1 = [], []
+    for i in range(5):
+        p0, p1 = i, max(i - 2, 0)
+        tok = jnp.asarray([toks0[p0], toks1[p1]], jnp.int32)
+        emb = embed_tokens(params, tok)
+        lg, cache = lm_decode_step(
+            params, TINY, emb, jnp.asarray([p0, p1], jnp.int32), cache)
+        got0.append(np.asarray(lg[0]))
+        if i >= 2:
+            got1.append(np.asarray(lg[1]))
+    np.testing.assert_allclose(np.stack(got0), np.stack(refs[0]),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.stack(got1), np.stack(refs[1]),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_forward_with_embeds_fusion_prefix(rng):
     """Audio-prefix fusion path: prepending non-token embeddings shifts
     positions correctly (two-tower usage)."""

@@ -151,3 +151,88 @@ def test_warmup_resets_telemetry(setup):
     cb.warmup()
     assert cb.steps_run == 0 and cb.chunks_run == 0
     assert cb.live() == 0 and cb.pending() == 0
+
+
+# ------------------------------------------------- two-tower generator ----
+from audax.core.config import TwoTowerConfig  # noqa: E402
+from audax.infer.continuous import ContinuousGenerator  # noqa: E402
+from audax.models.causal_lm import CausalLMConfig, init_causal_lm  # noqa: E402
+from audax.models.two_tower import TwoTowerModel, init_adapter  # noqa: E402
+
+START, END = 0, 1
+WIN_S = 0.64                        # 10240 samples -> 64 frames -> S=32
+
+
+@pytest.fixture(scope="module")
+def tt_model():
+    audio = WhisperConfig(n_mels=16, n_audio_ctx=32, d_model=24,
+                          encoder_layers=1, decoder_layers=1, heads=2,
+                          vocab_size=40, n_text_ctx=8)
+    lm = CausalLMConfig(vocab_size=64, d_model=32, layers=2, heads=4,
+                        kv_heads=2, ffn_dim=64, tie_embeddings=True,
+                        rope_theta=1e4)
+    tt = TwoTowerConfig(adapter_heads=4)
+    audio_params = init_whisper_params(audio, jax.random.key(0))
+    lm_params = init_causal_lm(lm, jax.random.key(1))
+    adapter = init_adapter(jax.random.key(2), audio.d_model, lm.d_model,
+                           heads=tt.adapter_heads)
+    return TwoTowerModel(audio_params, audio,
+                         {"adapter": adapter, "lm": lm_params}, lm, tt)
+
+
+def _gen_reference(model, samples, *, max_new):
+    """model.generate (fixed batch, B=1, greedy) on the same window."""
+    fe = LogMelFrontend.whisper(model.audio_cfg.n_mels)
+    window = int(WIN_S * fe.cfg.sample_rate)
+    x = np.zeros(window, np.float32)
+    x[: len(samples)] = samples[: window]
+    enc = model.encode_audio(fe(jnp.asarray(x[None])))
+    tokens, lengths = model.generate(model.params, enc, start_id=START,
+                                     end_id=END, max_len=1 + max_new,
+                                     temperature=0.0)
+    n = int(np.asarray(lengths)[0])
+    return [int(t) for t in np.asarray(tokens)[0, 1:n] if t != END]
+
+
+def test_generator_matches_generate(tt_model, rng):
+    """3 clips through 2 slots (forced refill) at temperature 0 == the
+    fixed-batch model.generate per clip, token for token."""
+    sr = 16000
+    reqs = {f"m{i}": 0.05 * rng.standard_normal(8000).astype(np.float32)
+            for i in range(3)}
+    g = ContinuousGenerator(tt_model, start_id=START, end_id=END, slots=2,
+                            window_seconds=WIN_S, max_new_tokens=6,
+                            temperature=0.0, steps_per_sync=3)
+    for rid, samples in reqs.items():
+        g.submit(rid, samples)
+    results = {r.request_id: r for r in g.run()}
+    assert set(results) == set(reqs)
+    assert g.chunks_run >= 2
+    for rid, samples in reqs.items():
+        assert results[rid].tokens == _gen_reference(tt_model, samples,
+                                                     max_new=6), rid
+
+
+def test_generator_seeded_sampling_is_slot_invariant(tt_model, rng):
+    """temperature>0: a request's sampled tokens depend only on its
+    (seed, position) stream — identical across arrival orders, slot
+    assignments, and admit bucket shapes."""
+    sr = 16000
+    audio = {f"m{i}": 0.05 * rng.standard_normal(sr).astype(np.float32)
+             for i in range(3)}
+    seeds = {"m0": 11, "m1": 23, "m2": 37}
+
+    def serve(order):
+        g = ContinuousGenerator(tt_model, start_id=START, end_id=END,
+                                slots=2, window_seconds=WIN_S,
+                                max_new_tokens=8, temperature=0.7,
+                                steps_per_sync=4)
+        for rid in order:
+            g.submit(rid, audio[rid], seed=seeds[rid])
+        return {r.request_id: r.tokens for r in g.run()}
+
+    a = serve(["m0", "m1", "m2"])
+    b = serve(["m2", "m0", "m1"])
+    assert a == b
+    # and the sampled streams are genuinely different across seeds
+    assert len({tuple(v) for v in a.values()}) > 1

@@ -1,0 +1,193 @@
+"""REST batch-ASR server over the continuous-batching engine (stdlib only).
+
+The reference's only serving surface was a record-then-transcribe Streamlit
+page calling ``model.transcribe`` one file at a time (reference:
+AB/UI/Asmo.py, AB/wavToWhisper.py:10-13). This is the production
+counterpart: a plain-HTTP transcription endpoint where every in-flight
+request shares ONE compiled ragged-decode program — requests become slots
+of the ContinuousBatcher, finished slots are refilled mid-decode
+(infer/continuous.py), and concurrency costs no extra compiles.
+
+Endpoints:
+  * ``POST /v1/audio/transcriptions[?format=m4a&max_tokens=64]`` — body is
+    the raw audio file bytes (wav native; m4a/AAC/mp3/ogg/flac through the
+    in-process C++ decoder). Response JSON:
+    ``{"text", "avg_logprob", "tokens", "audio_seconds"}``.
+  * ``GET /healthz`` — ``{"ok", "live", "pending"}``.
+
+Threading model: HTTP handler threads only enqueue audio and block on an
+event; a single scheduler thread owns the engine (submit/step/harvest), so
+device state is touched from exactly one thread and the engine needs no
+locking of its own.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from audax.core.logging import get_logger
+from audax.data.audio_io import read_audio, resample, to_mono
+
+log = get_logger("audax.http_server")
+
+__all__ = ["serve_http", "Scheduler"]
+
+_MAX_BODY = 512 << 20
+
+
+class Scheduler(threading.Thread):
+    """Single thread that owns the continuous-batching engine."""
+
+    def __init__(self, engine):
+        super().__init__(daemon=True, name="audax-serve-scheduler")
+        self.engine = engine
+        self._cv = threading.Condition()
+        self._inbox: List[Tuple[str, np.ndarray, Optional[int]]] = []
+        self._events = {}
+        self._results = {}
+        self._stop = False
+
+    # -- handler-thread API -----------------------------------------------
+    def submit(self, samples: np.ndarray,
+               max_tokens: Optional[int] = None) -> Tuple[str,
+                                                          threading.Event]:
+        rid = uuid.uuid4().hex
+        ev = threading.Event()
+        with self._cv:
+            self._events[rid] = ev
+            self._inbox.append((rid, samples, max_tokens))
+            self._cv.notify()
+        return rid, ev
+
+    def result(self, rid: str):
+        with self._cv:
+            return self._results.pop(rid)
+
+    def cancel(self, rid: str) -> None:
+        """Forget a timed-out request's delivery (its slot still drains)."""
+        with self._cv:
+            self._events.pop(rid, None)
+            self._results.pop(rid, None)
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+
+    # -- engine thread ----------------------------------------------------
+    def run(self) -> None:
+        while True:
+            with self._cv:
+                while (not self._stop and not self._inbox
+                       and self.engine.live() == 0
+                       and self.engine.pending() == 0):
+                    self._cv.wait()
+                if self._stop:
+                    return
+                inbox, self._inbox = self._inbox, []
+            for rid, samples, max_tokens in inbox:
+                self.engine.submit(rid, samples, max_new_tokens=max_tokens)
+            for r in self.engine.step():
+                with self._cv:
+                    ev = self._events.pop(r.request_id, None)
+                    if ev is not None:      # waiter still there (no timeout)
+                        self._results[r.request_id] = r
+                if ev is not None:
+                    ev.set()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "audax-serve/1"
+
+    def log_message(self, fmt, *args):            # route through our logger
+        log.debug("%s " + fmt, self.client_address[0], *args)
+
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if urlparse(self.path).path in ("/", "/healthz"):
+            e = self.server.scheduler.engine
+            self._json(200, {"ok": True, "live": e.live(),
+                             "pending": e.pending()})
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        if url.path != "/v1/audio/transcriptions":
+            self._json(404, {"error": "not found"})
+            return
+        q = parse_qs(url.query)
+        n = int(self.headers.get("Content-Length") or 0)
+        if n <= 0 or n > _MAX_BODY:
+            self._json(400, {"error": "missing or oversized body"})
+            return
+        body = self.rfile.read(n)
+        fmt = q.get("format", ["wav"])[0].lower()
+        if not fmt.isalnum():
+            self._json(400, {"error": "bad format"})
+            return
+        try:
+            fd, tmp = tempfile.mkstemp(suffix="." + fmt)
+            try:
+                with os.fdopen(fd, "wb") as fh:
+                    fh.write(body)
+                x, rate = read_audio(tmp)
+            finally:
+                os.unlink(tmp)
+            x = to_mono(x)
+            sr = self.server.scheduler.engine.sample_rate
+            if rate != sr:
+                x = resample(x, rate, sr)
+        except Exception as exc:  # noqa: BLE001 - report as client error
+            self._json(400, {"error": f"undecodable audio: {exc}"})
+            return
+        max_tokens = None
+        if "max_tokens" in q:
+            try:
+                max_tokens = int(q["max_tokens"][0])
+            except ValueError:
+                self._json(400, {"error": "bad max_tokens"})
+                return
+        sched = self.server.scheduler
+        rid, ev = sched.submit(np.asarray(x, np.float32), max_tokens)
+        if not ev.wait(timeout=self.server.request_timeout_s):
+            sched.cancel(rid)
+            self._json(504, {"error": "decode timed out"})
+            return
+        r = sched.result(rid)
+        self._json(200, {"text": r.text, "avg_logprob": r.avg_logprob,
+                         "tokens": r.tokens,
+                         "audio_seconds": r.audio_seconds})
+
+
+class _Server(ThreadingHTTPServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+
+def serve_http(engine, *, host: str = "127.0.0.1", port: int = 8080,
+               request_timeout_s: float = 600.0) -> _Server:
+    """Create (not start) the REST server over a ContinuousBatcher; call
+    ``serve_forever()`` on the result, or drive it from a thread (tests
+    do). The scheduler thread starts immediately."""
+    server = _Server((host, port), _Handler)
+    server.scheduler = Scheduler(engine)                    # type: ignore
+    server.request_timeout_s = request_timeout_s            # type: ignore
+    server.scheduler.start()
+    return server

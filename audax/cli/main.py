@@ -529,6 +529,56 @@ def cmd_stream_serve(argv) -> int:
     return 0
 
 
+@command("serve")
+def cmd_serve(argv) -> int:
+    """REST transcription server: every in-flight HTTP request is a slot of
+    ONE continuous-batching engine (slot refill mid-decode, one compiled
+    chunk program; infer/continuous.py, cli/http_server.py)."""
+    p = argparse.ArgumentParser(prog="audax serve")
+    p.add_argument("--size", default="base")
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--tokenizer-dir", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--lang", default="en")
+    p.add_argument("--max-tokens", type=int, default=224)
+    p.add_argument("--steps-per-sync", type=int, default=64)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV caches (serving capacity tier)")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the startup compile (first request pays it)")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from audax.cli.http_server import serve_http
+    from audax.core.runtime import setup
+    from audax.infer.continuous import ContinuousBatcher
+
+    setup()
+    params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
+    cb = ContinuousBatcher(
+        params, cfg, tok, slots=args.slots, lang=args.lang,
+        max_new_tokens=args.max_tokens, steps_per_sync=args.steps_per_sync,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        kv_quant=args.kv_quant)
+    if not args.no_warmup:
+        log.info("warming up (chunk + admit programs at every bucket)...")
+        cb.warmup()
+    server = serve_http(cb, host=args.host, port=args.port)
+    log.success("POST audio to http://%s:%d/v1/audio/transcriptions",
+                args.host, args.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.scheduler.shutdown()
+        server.shutdown()
+    return 0
+
+
 @command("bench-rtf")
 def cmd_bench_rtf(argv) -> int:
     """Serving real-time-factor benchmark: synthetic audio through the full

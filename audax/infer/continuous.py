@@ -121,7 +121,8 @@ def _advance(st, nxt, logits, *, p_len: int, eos_id: int, bidx):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "p_len", "eos_id", "n_steps", "dtype"))
+    static_argnames=("cfg", "p_len", "eos_id", "n_steps", "dtype"),
+    donate_argnames=("state",))
 def _decode_chunk(params, cfg: WhisperConfig, state: _ServeState,
                   suppress, *, p_len: int, eos_id: int, n_steps: int,
                   dtype) -> _ServeState:
@@ -171,7 +172,8 @@ def _select_rows(fresh, src, full, new, axis=1):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "dtype", "kv_quant"))
+                   static_argnames=("cfg", "dtype", "kv_quant"),
+                   donate_argnames=("state",))
 def _admit_many(params, cfg: WhisperConfig, state: _ServeState, mels,
                 prompt_row, slot_ids, budgets, *, dtype,
                 kv_quant: bool) -> _ServeState:
@@ -452,7 +454,8 @@ class _GenState(NamedTuple):
     seed: jnp.ndarray      # [B] int32 per-request sampling seed
 
 
-@functools.partial(jax.jit, static_argnames=("audio_cfg", "dtype"))
+@functools.partial(jax.jit, static_argnames=("audio_cfg", "dtype"),
+                   donate_argnames=("state",))
 def _gen_admit(audio_params, state: _GenState, mels,
                prompt_row, slot_ids, budgets, seeds, *, audio_cfg,
                dtype) -> _GenState:
@@ -480,7 +483,8 @@ def _gen_admit(audio_params, state: _GenState, mels,
 @functools.partial(
     jax.jit,
     static_argnames=("lm_cfg", "heads", "eos_id", "n_steps", "dtype",
-                     "temperature"))
+                     "temperature"),
+    donate_argnames=("state",))
 def _gen_chunk(params, lm_cfg, state: _GenState, *, heads: int,
                eos_id: int, n_steps: int, dtype,
                temperature: float) -> _GenState:

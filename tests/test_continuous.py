@@ -180,16 +180,16 @@ def tt_model():
                          {"adapter": adapter, "lm": lm_params}, lm, tt)
 
 
-def _gen_reference(model, samples, *, max_new):
+def _gen_reference(model, samples, *, max_new, params=None):
     """model.generate (fixed batch, B=1, greedy) on the same window."""
     fe = LogMelFrontend.whisper(model.audio_cfg.n_mels)
     window = int(WIN_S * fe.cfg.sample_rate)
     x = np.zeros(window, np.float32)
     x[: len(samples)] = samples[: window]
     enc = model.encode_audio(fe(jnp.asarray(x[None])))
-    tokens, lengths = model.generate(model.params, enc, start_id=START,
-                                     end_id=END, max_len=1 + max_new,
-                                     temperature=0.0)
+    tokens, lengths = model.generate(
+        model.params if params is None else params, enc, start_id=START,
+        end_id=END, max_len=1 + max_new, temperature=0.0)
     n = int(np.asarray(lengths)[0])
     return [int(t) for t in np.asarray(tokens)[0, 1:n] if t != END]
 
@@ -236,3 +236,20 @@ def test_generator_seeded_sampling_is_slot_invariant(tt_model, rng):
     assert a == b
     # and the sampled streams are genuinely different across seeds
     assert len({tuple(v) for v in a.values()}) > 1
+
+
+def test_generator_quantized_params_drop_in(tt_model, rng):
+    """int8 weight-only params serve unchanged through the engine (dense
+    dispatch on kernel_q; embed_lookup on embed_q) and match the
+    fixed-batch generate() run on the SAME quantized tree."""
+    from audax.models.quantize import quantize_tree
+    qp = quantize_tree(tt_model.params)
+    samples = 0.05 * rng.standard_normal(8000).astype(np.float32)
+    g = ContinuousGenerator(tt_model, params=qp, start_id=START,
+                            end_id=END, slots=2, window_seconds=WIN_S,
+                            max_new_tokens=5, temperature=0.0,
+                            steps_per_sync=4)
+    g.submit("q", samples)
+    res = {r.request_id: r for r in g.run()}
+    ref = _gen_reference(tt_model, samples, max_new=5, params=qp)
+    assert res["q"].tokens == ref

@@ -1,0 +1,103 @@
+"""REST batch-ASR server: endpoint contract over a live socket, concurrent
+requests sharing one continuous-batching engine (slots < clients forces a
+mid-decode refill), error paths."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from audax.cli.http_server import serve_http
+from audax.core.config import WhisperConfig
+from audax.data.audio_io import write_wav
+from audax.infer.continuous import ContinuousBatcher
+from audax.models.whisper import init_whisper_params
+from audax.symbolic.bpe import train_bpe
+from audax.symbolic.tokenizer import WhisperTokenizer
+
+
+@pytest.fixture(scope="module")
+def server():
+    tok = WhisperTokenizer(train_bpe(["hello world"] * 3, vocab_size=280))
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=50, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=32)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    cb = ContinuousBatcher(params, cfg, tok, slots=2, window_seconds=1.0,
+                           max_new_tokens=6, steps_per_sync=4)
+    srv = serve_http(cb, port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv, srv.server_address[1]
+    srv.scheduler.shutdown()
+    srv.shutdown()
+
+
+def _url(port, path):
+    return f"http://127.0.0.1:{port}{path}"
+
+
+def test_healthz(server):
+    _, port = server
+    # generous timeout: first XLA compiles share a loaded box under -n 4
+    with urllib.request.urlopen(_url(port, "/healthz"), timeout=300) as r:
+        h = json.load(r)
+    assert h["ok"] and h["live"] == 0
+
+
+def test_concurrent_transcriptions_share_engine(server, rng, tmp_path):
+    srv, port = server
+    wav = tmp_path / "clip.wav"
+    write_wav(str(wav), 0.01 * rng.standard_normal(16000).astype(np.float32),
+              16000)
+    body = wav.read_bytes()
+    results, errors = {}, []
+
+    def post(name):
+        try:
+            req = urllib.request.Request(
+                _url(port, "/v1/audio/transcriptions?max_tokens=4"),
+                data=body, method="POST")
+            with urllib.request.urlopen(req, timeout=300) as r:
+                results[name] = json.load(r)
+        except Exception as exc:  # noqa: BLE001 - surfaced via assert
+            errors.append((name, exc))
+
+    # 3 clients through 2 slots: the third request must be admitted by a
+    # mid-decode slot refill inside the shared engine
+    threads = [threading.Thread(target=post, args=(f"c{i}",))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert set(results) == {"c0", "c1", "c2"}
+    for r in results.values():
+        assert isinstance(r["text"], str)
+        assert len(r["tokens"]) <= 4
+        assert np.isfinite(r["avg_logprob"])
+    # identical audio + greedy decode -> identical tokens for every client
+    assert len({tuple(r["tokens"]) for r in results.values()}) == 1
+
+
+def test_error_paths(server):
+    _, port = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(_url(port, "/nope"), timeout=60)
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        req = urllib.request.Request(
+            _url(port, "/v1/audio/transcriptions"), data=b"", method="POST")
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        req = urllib.request.Request(
+            _url(port, "/v1/audio/transcriptions"),
+            data=b"not audio at all", method="POST")
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400

@@ -69,6 +69,25 @@ class Result:
     audio_seconds: float
 
 
+def _constrain_kv(mesh, heads: int, batch: int, tree, put: bool = False):
+    """Shard decode-state tensors [L, B, H, ...] over the mesh: heads on
+    'model' (matching the Megatron column/row split of the attention
+    projections, parallel/sharding.py), batch on 'data' — each only when
+    divisible (same policy as infer/decode.py:tp_shard_kv). ``put=True``
+    places eagerly (engine init); otherwise emits in-jit constraints."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    model_ok = heads % mesh.shape.get("model", 1) == 0
+    data_ok = batch % mesh.shape.get("data", 1) == 0
+    axes = ("data" if data_ok else None, "model" if model_ok else None)
+
+    def one(x):
+        ns = NamedSharding(mesh, P(None, *axes, *([None] * (x.ndim - 3))))
+        return (jax.device_put(x, ns) if put
+                else jax.lax.with_sharding_constraint(x, ns))
+
+    return jax.tree.map(one, tree)
+
+
 class _ServeState(NamedTuple):
     """Fixed-shape device state threaded through the chunk program."""
     cache: object          # self-attn KV [L, B, H, max_len, hd] (or QuantKV)
@@ -121,17 +140,22 @@ def _advance(st, nxt, logits, *, p_len: int, eos_id: int, bidx):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "p_len", "eos_id", "n_steps", "dtype"),
+    static_argnames=("cfg", "p_len", "eos_id", "n_steps", "dtype", "mesh"),
     donate_argnames=("state",))
 def _decode_chunk(params, cfg: WhisperConfig, state: _ServeState,
                   suppress, *, p_len: int, eos_id: int, n_steps: int,
-                  dtype) -> _ServeState:
+                  dtype, mesh=None) -> _ServeState:
     """Run up to ``n_steps`` ragged decode steps; early-exit when every
     slot is done. Mirrors infer/decode.py:generate's body, with every
-    position/flag a per-slot vector."""
+    position/flag a per-slot vector. With ``mesh``, KV state is
+    head-sharded on 'model' so the whole chunk runs tensor-parallel."""
     b, _ = state.tokens.shape
     bidx = jnp.arange(b)
     neg_inf = jnp.finfo(jnp.float32).min
+    if mesh is not None:
+        state = state._replace(
+            cache=_constrain_kv(mesh, cfg.heads, b, state.cache),
+            cross_kv=_constrain_kv(mesh, cfg.heads, b, state.cross_kv))
 
     def cond(c):
         i, st = c
@@ -172,11 +196,11 @@ def _select_rows(fresh, src, full, new, axis=1):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "dtype", "kv_quant"),
+                   static_argnames=("cfg", "dtype", "kv_quant", "mesh"),
                    donate_argnames=("state",))
 def _admit_many(params, cfg: WhisperConfig, state: _ServeState, mels,
                 prompt_row, slot_ids, budgets, *, dtype,
-                kv_quant: bool) -> _ServeState:
+                kv_quant: bool, mesh=None) -> _ServeState:
     """Encode K requests in ONE encoder pass and install each into its
     slot: cross-KV rows gathered/selected in, position/flags reset.
     Padding rows (the bucket is a static power of two) carry
@@ -191,6 +215,8 @@ def _admit_many(params, cfg: WhisperConfig, state: _ServeState, mels,
     fresh, src = _onehot_select(slot_ids, b)
     cross_kv = jax.tree.map(
         functools.partial(_select_rows, fresh, src), state.cross_kv, new)
+    if mesh is not None:
+        cross_kv = _constrain_kv(mesh, cfg.heads, b, cross_kv)
     tokens = jnp.where(fresh[:, None], prompt_row[None], state.tokens)
     max_len = state.tokens.shape[1]
     keep = ~fresh
@@ -369,7 +395,12 @@ class ContinuousBatcher(_SlotEngine):
                  slots: int = 8, window_seconds: float = 30.0,
                  lang: str = "en", max_new_tokens: int = 224,
                  steps_per_sync: int = 64, dtype=jnp.float32,
-                 backend: Optional[str] = None, kv_quant: bool = False):
+                 backend: Optional[str] = None, kv_quant: bool = False,
+                 mesh=None):
+        """``mesh`` (a jax.sharding.Mesh with 'data'/'model' axes) runs the
+        serving programs tensor-parallel: pass params already placed by
+        parallel/sharding.py:shard_params; the engine head-shards its KV
+        state to match, so every chunk scales with the mesh."""
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.slots = slots
@@ -377,6 +408,7 @@ class ContinuousBatcher(_SlotEngine):
         self.kv_quant = kv_quant
         self.steps_per_sync = steps_per_sync
         self.params = params
+        self.mesh = mesh
         self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
         self.sample_rate = self.frontend.cfg.sample_rate
         self.window = int(window_seconds * self.sample_rate)
@@ -409,6 +441,9 @@ class ContinuousBatcher(_SlotEngine):
         else:
             cross = (jnp.zeros(shape, self.dtype),
                      jnp.zeros(shape, self.dtype))
+        if self.mesh is not None:
+            cache = _constrain_kv(self.mesh, cfg.heads, b, cache, put=True)
+            cross = _constrain_kv(self.mesh, cfg.heads, b, cross, put=True)
         return _ServeState(
             cache, cross,
             jnp.zeros((b, self._max_len), jnp.int32),
@@ -424,13 +459,13 @@ class ContinuousBatcher(_SlotEngine):
         self._state = _admit_many(
             self.params, self.cfg, self._state, mels, self._prompt_row,
             jnp.asarray(slot_ids), jnp.asarray(budgets),
-            dtype=self.dtype, kv_quant=self.kv_quant)
+            dtype=self.dtype, kv_quant=self.kv_quant, mesh=self.mesh)
 
     def _chunk(self) -> None:
         self._state = _decode_chunk(
             self.params, self.cfg, self._state, self._suppress,
             p_len=self._p_len, eos_id=self._stop_id,
-            n_steps=self.steps_per_sync, dtype=self.dtype)
+            n_steps=self.steps_per_sync, dtype=self.dtype, mesh=self.mesh)
 
     def _text(self, ids) -> str:
         return self.tokenizer.decode(ids)
@@ -461,7 +496,9 @@ def _gen_admit(audio_params, state: _GenState, mels,
                dtype) -> _GenState:
     """Encode K clips in ONE frozen-encoder pass and install each into its
     slot (same inert-padding one-hot scheme as ``_admit_many``; the LM
-    self-attn cache again needs no clearing — per-slot causal mask)."""
+    self-attn cache again needs no clearing — per-slot causal mask).
+    enc stays replicated under TP: the adapter's cross-attention reads it
+    on every device; only the LM KV cache is worth sharding."""
     enc = encode(audio_params, audio_cfg, mels, dtype)
     b = state.tokens.shape[0]
     max_len = state.tokens.shape[1]
@@ -483,11 +520,11 @@ def _gen_admit(audio_params, state: _GenState, mels,
 @functools.partial(
     jax.jit,
     static_argnames=("lm_cfg", "heads", "eos_id", "n_steps", "dtype",
-                     "temperature"),
+                     "temperature", "mesh"),
     donate_argnames=("state",))
 def _gen_chunk(params, lm_cfg, state: _GenState, *, heads: int,
                eos_id: int, n_steps: int, dtype,
-               temperature: float) -> _GenState:
+               temperature: float, mesh=None) -> _GenState:
     """Ragged two-tower decode chunk: embed → adapter-fuse → LM step →
     sample. Sampling keys are ``fold_in(fold_in(base, seed[b]), pos[b])``
     — a function of the REQUEST (seed) and its own depth only, so a
@@ -498,6 +535,9 @@ def _gen_chunk(params, lm_cfg, state: _GenState, *, heads: int,
 
     b, _ = state.tokens.shape
     bidx = jnp.arange(b)
+    if mesh is not None:
+        state = state._replace(
+            cache=_constrain_kv(mesh, lm_cfg.kv_heads, b, state.cache))
 
     def cond(c):
         i, st = c
@@ -546,9 +586,10 @@ class ContinuousGenerator(_SlotEngine):
                  params=None, slots: int = 4, window_seconds: float = 10.0,
                  max_new_tokens: int = 256, temperature: float = 0.7,
                  steps_per_sync: int = 32, dtype=jnp.float32,
-                 backend: Optional[str] = None):
+                 backend: Optional[str] = None, mesh=None):
         self.model = model
         self.params = params if params is not None else model.params
+        self.mesh = mesh
         self.bpe = bpe
         self.slots = slots
         self.dtype = dtype
@@ -573,8 +614,13 @@ class ContinuousGenerator(_SlotEngine):
     def _init_state(self, s: int, d_audio: int) -> _GenState:
         from audax.models.causal_lm import init_lm_cache
         b = self.slots
+        cache = init_lm_cache(self.model.lm_cfg, b, self._max_len,
+                              self.dtype)
+        if self.mesh is not None:
+            cache = _constrain_kv(self.mesh, self.model.lm_cfg.kv_heads,
+                                  b, cache, put=True)
         return _GenState(
-            init_lm_cache(self.model.lm_cfg, b, self._max_len, self.dtype),
+            cache,
             jnp.zeros((b, s, d_audio), self.dtype),
             jnp.zeros((b, self._max_len), jnp.int32),
             jnp.zeros((b,), jnp.int32),
@@ -613,7 +659,7 @@ class ContinuousGenerator(_SlotEngine):
             self.params, self.model.lm_cfg, self._state,
             heads=self.model.cfg.adapter_heads, eos_id=self._stop_id,
             n_steps=self.steps_per_sync, dtype=self.dtype,
-            temperature=self.temperature)
+            temperature=self.temperature, mesh=self.mesh)
 
     def _text(self, ids) -> str:
         if self.bpe is None:

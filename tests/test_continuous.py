@@ -238,6 +238,63 @@ def test_generator_seeded_sampling_is_slot_invariant(tt_model, rng):
     assert len({tuple(v) for v in a.values()}) > 1
 
 
+def test_tp_continuous_matches_replicated(setup, rng):
+    """TP=2 serving: sharded params + head-sharded KV state through the
+    SAME chunk/admit programs must reproduce the replicated engine's
+    tokens across slot refills."""
+    from audax.core.config import MeshConfig
+    from audax.parallel.mesh import make_mesh
+    from audax.parallel.sharding import shard_params
+
+    params, cfg, tok = setup
+    mesh = make_mesh(MeshConfig(model=2))
+    reqs = {f"t{i}": 0.01 * rng.standard_normal(16000).astype(np.float32)
+            for i in range(3)}
+
+    def serve(p, m):
+        cb = ContinuousBatcher(p, cfg, tok, slots=2, max_new_tokens=6,
+                               steps_per_sync=4, mesh=m)
+        for rid, samples in reqs.items():
+            cb.submit(rid, samples)
+        return {r.request_id: r for r in cb.run()}
+
+    ref = serve(params, None)
+    tp = serve(shard_params(params, mesh), mesh)
+    assert set(tp) == set(ref)
+    for rid in reqs:
+        assert tp[rid].tokens == ref[rid].tokens, rid
+        np.testing.assert_allclose(tp[rid].avg_logprob, ref[rid].avg_logprob,
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_tp_generator_matches_replicated(tt_model, rng):
+    """TP=2 two-tower serving: LM params Megatron-sharded, LM KV cache
+    head-sharded; greedy tokens must equal the replicated engine's."""
+    from audax.core.config import MeshConfig
+    from audax.parallel.mesh import make_mesh
+    from audax.parallel.sharding import CAUSAL_LM_TP_RULES, shard_params
+
+    mesh = make_mesh(MeshConfig(model=2))
+    reqs = {f"g{i}": 0.05 * rng.standard_normal(8000).astype(np.float32)
+            for i in range(3)}
+
+    def serve(p, m):
+        g = ContinuousGenerator(tt_model, params=p, start_id=START,
+                                end_id=END, slots=2, window_seconds=WIN_S,
+                                max_new_tokens=6, temperature=0.0,
+                                steps_per_sync=3, mesh=m)
+        for rid, samples in reqs.items():
+            g.submit(rid, samples)
+        return {r.request_id: r.tokens for r in g.run()}
+
+    ref = serve(None, None)
+    tp_params = {"adapter": tt_model.params["adapter"],
+                 "lm": shard_params(tt_model.params["lm"], mesh,
+                                    CAUSAL_LM_TP_RULES)}
+    tp = serve(tp_params, mesh)
+    assert tp == ref
+
+
 def test_generator_quantized_params_drop_in(tt_model, rng):
     """int8 weight-only params serve unchanged through the engine (dense
     dispatch on kernel_q; embed_lookup on embed_q) and match the

@@ -58,13 +58,13 @@ class Scheduler(threading.Thread):
 
     # -- handler-thread API -----------------------------------------------
     def submit(self, samples: np.ndarray,
-               max_tokens: Optional[int] = None) -> Tuple[str,
-                                                          threading.Event]:
+               max_tokens: Optional[int] = None,
+               lang: Optional[str] = None) -> Tuple[str, threading.Event]:
         rid = uuid.uuid4().hex
         ev = threading.Event()
         with self._cv:
             self._events[rid] = ev
-            self._inbox.append((rid, samples, max_tokens))
+            self._inbox.append((rid, samples, max_tokens, lang))
             self._cv.notify()
         return rid, ev
 
@@ -94,8 +94,10 @@ class Scheduler(threading.Thread):
                 if self._stop:
                     return
                 inbox, self._inbox = self._inbox, []
-            for rid, samples, max_tokens in inbox:
-                self.engine.submit(rid, samples, max_new_tokens=max_tokens)
+            for rid, samples, max_tokens, lang in inbox:
+                kw = {"lang": lang} if lang else {}
+                self.engine.submit(rid, samples, max_new_tokens=max_tokens,
+                                   **kw)
             for r in self.engine.step():
                 with self._cv:
                     ev = self._events.pop(r.request_id, None)
@@ -165,7 +167,19 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(400, {"error": "bad max_tokens"})
                 return
         sched = self.server.scheduler
-        rid, ev = sched.submit(np.asarray(x, np.float32), max_tokens)
+        lang = q.get("lang", [None])[0]
+        if lang is not None:
+            # validate HERE: a bad language must 400 the request, not
+            # blow up the (shared) scheduler thread at engine.submit time
+            tok = getattr(sched.engine, "tokenizer", None)
+            try:
+                if tok is not None:
+                    tok.sot_sequence(lang=lang)
+            except Exception:  # noqa: BLE001 - any failure = client error
+                self._json(400, {"error": f"unknown language: {lang}"})
+                return
+        rid, ev = sched.submit(np.asarray(x, np.float32), max_tokens,
+                               lang=lang)
         if not ev.wait(timeout=self.server.request_timeout_s):
             sched.cancel(rid)
             self._json(504, {"error": "decode timed out"})

@@ -199,7 +199,7 @@ def _select_rows(fresh, src, full, new, axis=1):
                    static_argnames=("cfg", "dtype", "kv_quant", "mesh"),
                    donate_argnames=("state",))
 def _admit_many(params, cfg: WhisperConfig, state: _ServeState, mels,
-                prompt_row, slot_ids, budgets, *, dtype,
+                prompt_rows, slot_ids, budgets, *, dtype,
                 kv_quant: bool, mesh=None) -> _ServeState:
     """Encode K requests in ONE encoder pass and install each into its
     slot: cross-KV rows gathered/selected in, position/flags reset.
@@ -217,7 +217,8 @@ def _admit_many(params, cfg: WhisperConfig, state: _ServeState, mels,
         functools.partial(_select_rows, fresh, src), state.cross_kv, new)
     if mesh is not None:
         cross_kv = _constrain_kv(mesh, cfg.heads, b, cross_kv)
-    tokens = jnp.where(fresh[:, None], prompt_row[None], state.tokens)
+    # prompt_rows [K, max_len]: per-request prompts (e.g. language token)
+    tokens = jnp.where(fresh[:, None], prompt_rows[src], state.tokens)
     max_len = state.tokens.shape[1]
     keep = ~fresh
     return _ServeState(
@@ -416,9 +417,7 @@ class ContinuousBatcher(_SlotEngine):
         self._p_len = len(prompt)
         self._max_len = min(self._p_len + max_new_tokens, cfg.n_text_ctx)
         self._stop_id = tokenizer.eot
-        row = np.zeros(self._max_len, np.int32)
-        row[: self._p_len] = prompt
-        self._prompt_row = jnp.asarray(row)
+        self._default_row = self._prompt_for(lang)
         self._suppress = jnp.asarray(
             [i for i in tokenizer.special_ids() if i != tokenizer.eot],
             np.int32)
@@ -454,10 +453,30 @@ class ContinuousBatcher(_SlotEngine):
             jnp.zeros((b,), jnp.int32),
             jnp.full((b,), self._max_len, jnp.int32))
 
+    def _prompt_for(self, lang: str) -> np.ndarray:
+        """[max_len] token row opening with the sot sequence for ``lang``
+        (every language shares the sot-sequence length, so per-request
+        languages never change the compiled shapes)."""
+        prompt = self.tokenizer.sot_sequence(lang=lang)
+        assert len(prompt) == self._p_len, (lang, prompt)
+        row = np.zeros(self._max_len, np.int32)
+        row[: self._p_len] = prompt
+        return row
+
+    def submit(self, request_id: str, samples: np.ndarray,
+               max_new_tokens: Optional[int] = None,
+               lang: Optional[str] = None, extra: tuple = ()) -> None:
+        """``lang`` overrides the engine default for THIS request (the
+        serving-API language parameter): its slot decodes under that
+        language's sot prompt."""
+        row = self._default_row if lang is None else self._prompt_for(lang)
+        super().submit(request_id, samples, max_new_tokens, extra=(row,))
+
     def _install(self, batch, slot_ids, budgets, extras) -> None:
+        rows = np.stack([e[0] if e else self._default_row for e in extras])
         mels = self.frontend(jnp.asarray(batch))
         self._state = _admit_many(
-            self.params, self.cfg, self._state, mels, self._prompt_row,
+            self.params, self.cfg, self._state, mels, jnp.asarray(rows),
             jnp.asarray(slot_ids), jnp.asarray(budgets),
             dtype=self.dtype, kv_quant=self.kv_quant, mesh=self.mesh)
 

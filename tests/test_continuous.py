@@ -121,6 +121,28 @@ def test_per_request_token_budget(setup, rng):
         assert len(capped[rid].tokens) <= k
 
 
+def test_per_request_language(setup, rng):
+    """submit(lang=...) decodes THAT slot under the requested language's
+    sot prompt (serving-API language param): a 'de' request through an
+    'en'-default engine must equal the same clip through a 'de'-default
+    engine."""
+    params, cfg, tok = setup
+    clip = 0.01 * rng.standard_normal(16000).astype(np.float32)
+
+    en = ContinuousBatcher(params, cfg, tok, slots=2, max_new_tokens=5,
+                           steps_per_sync=4, lang="en")
+    en.submit("a", clip)
+    en.submit("b", clip, lang="de")
+    got = {r.request_id: r.tokens for r in en.run()}
+
+    de = ContinuousBatcher(params, cfg, tok, slots=2, max_new_tokens=5,
+                           steps_per_sync=4, lang="de")
+    de.submit("c", clip)
+    de.submit("d", clip)                 # same batch shape as the en run
+    ref = {r.request_id: r.tokens for r in de.run()}
+    assert got["b"] == ref["c"]
+
+
 def test_bucketed_admit_padding_is_inert(setup, rng):
     """Admitting a non-power-of-two request count uses a padded bucket;
     the padding rows (slot_id == slots, out of bounds) must not touch ANY

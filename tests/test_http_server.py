@@ -85,6 +85,26 @@ def test_concurrent_transcriptions_share_engine(server, rng, tmp_path):
     assert len({tuple(r["tokens"]) for r in results.values()}) == 1
 
 
+def test_lang_param(server, rng, tmp_path):
+    _, port = server
+    wav = tmp_path / "lang.wav"
+    write_wav(str(wav), 0.01 * rng.standard_normal(8000).astype(np.float32),
+              16000)
+    body = wav.read_bytes()
+    req = urllib.request.Request(
+        _url(port, "/v1/audio/transcriptions?max_tokens=3&lang=de"),
+        data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert "text" in json.load(r)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        req = urllib.request.Request(
+            _url(port, "/v1/audio/transcriptions?lang=zz"),
+            data=body, method="POST")
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+    assert "unknown language" in e.value.read().decode()
+
+
 def test_error_paths(server):
     _, port = server
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -357,6 +357,9 @@ def cmd_finetune(argv) -> int:
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--lora-rank", type=int, default=-1)
+    p.add_argument("--dtype", default="",
+                   choices=["", "float32", "bfloat16"],
+                   help="train-step compute dtype (bf16 ~1.4x on v5e)")
     p.add_argument("--compare-csv", default="",
                    help="write before/after transcription comparison CSV")
     args = p.parse_args(argv)
@@ -376,6 +379,8 @@ def cmd_finetune(argv) -> int:
         ft = replace(ft, batch_size=args.batch_size)
     if args.lora_rank >= 0:
         ft = replace(ft, lora_rank=args.lora_rank)
+    if args.dtype:
+        ft = replace(ft, dtype=args.dtype)
 
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
     mel_cfg = MelConfig.whisper(cfg.n_mels)
@@ -927,6 +932,10 @@ def cmd_bench_train(argv) -> int:
     p.add_argument("--lora-rank", type=int, default=8)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--label-len", type=int, default=32)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (master weights stay f32; the "
+                   "synthetic fine-tune proof validates bf16 WER parity)")
     args = p.parse_args(argv)
 
     import json
@@ -946,7 +955,9 @@ def cmd_bench_train(argv) -> int:
     ft = FineTuneConfig(learning_rate=1e-4, warmup_steps=1, max_steps=10,
                         lora_rank=args.lora_rank)
     state = init_finetune(params, ft)
-    step = make_finetune_step(cfg, remat=True)
+    step = make_finetune_step(
+        cfg, remat=True,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
 
     rng = np.random.default_rng(0)
     b = args.batch_size
@@ -972,7 +983,7 @@ def cmd_bench_train(argv) -> int:
     dt = (time.perf_counter() - t0) / args.steps
     print(json.dumps({
         "metric": "finetune_examples_per_sec", "size": args.size,
-        "lora_rank": args.lora_rank, "batch_size": b,
+        "lora_rank": args.lora_rank, "batch_size": b, "dtype": args.dtype,
         "value": round(b / dt, 2), "sec_per_step": round(dt, 4),
         "audio_seconds_per_sec": round(b * 30.0 / dt, 1)}))
     return 0

@@ -279,6 +279,10 @@ class FineTuneConfig(EnvConfig):
     lora_alpha: float = 16.0
     label_pad_id: int = -100
     seed: int = 0
+    # compute dtype for the train step ("float32" | "bfloat16"): master
+    # weights stay f32 either way; bf16 is ~1.4x step throughput on v5e
+    # (bench-train) and reaches the same WER in the synthetic proof
+    dtype: str = "float32"
 
 
 @dataclass(frozen=True)

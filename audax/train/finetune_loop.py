@@ -113,7 +113,9 @@ def finetune_whisper(
     mel_cfg = mel_cfg or MelConfig.whisper(model_cfg.n_mels)
     frontend = LogMelFrontend(mel_cfg, whisper_frames=True)
     state = init_finetune(params, cfg, lora_targets=lora_targets)
-    step_fn = make_finetune_step(model_cfg, remat=cfg.gradient_checkpointing)
+    step_fn = make_finetune_step(
+        model_cfg, remat=cfg.gradient_checkpointing,
+        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
 
     audio = np.stack([ex["audio"] for ex in examples])
     label_rows = [ex["labels"] for ex in examples]

@@ -73,9 +73,11 @@ def test_lora_init_is_identity_and_merge():
                                atol=1e-6)
 
 
-@pytest.mark.parametrize("lora_rank", [0, 2])
-def test_finetune_overfits_tiny(lora_rank):
-    """Both full fine-tune and LoRA must drive loss down on one batch."""
+@pytest.mark.parametrize("lora_rank,dtype",
+                         [(0, "float32"), (2, "float32"), (0, "bfloat16")])
+def test_finetune_overfits_tiny(lora_rank, dtype):
+    """Full fine-tune, LoRA, and bf16-compute (FineTuneConfig.dtype — f32
+    master weights) must all drive loss down on one batch."""
     params = init_whisper_params(TINY, jax.random.key(0))
     if lora_rank:
         # random-init embeddings are tiny (std 0.02); with them frozen+tied,
@@ -83,10 +85,13 @@ def test_finetune_overfits_tiny(lora_rank):
         # trained embeddings — emulate that so LoRA has headroom.
         params["decoder"]["embed"] = params["decoder"]["embed"] * 30.0
     cfg = FineTuneConfig(learning_rate=1e-2 if lora_rank else 5e-3,
-                         warmup_steps=2, max_steps=120, lora_rank=lora_rank)
+                         warmup_steps=2, max_steps=120, lora_rank=lora_rank,
+                         dtype=dtype)
     state = init_finetune(params, cfg,
                           lora_targets=("attn/q", "attn/v", "mlp_in", "mlp_out"))
-    step = make_finetune_step(TINY, remat=True)
+    step = make_finetune_step(
+        TINY, remat=True,
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
     rng = np.random.default_rng(0)
     mel = rng.standard_normal((2, 2 * TINY.n_audio_ctx, TINY.n_mels)).astype(np.float32)
     labels = collate_seq2seq([[4, 5, 6, 2], [8, 9, 2]], decoder_start_id=1)

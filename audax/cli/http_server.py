@@ -27,7 +27,9 @@ import json
 import os
 import tempfile
 import threading
+import time
 import uuid
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import List, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
@@ -51,10 +53,17 @@ class Scheduler(threading.Thread):
         super().__init__(daemon=True, name="audax-serve-scheduler")
         self.engine = engine
         self._cv = threading.Condition()
-        self._inbox: List[Tuple[str, np.ndarray, Optional[int]]] = []
+        self._inbox: List[tuple] = []
         self._events = {}
         self._results = {}
         self._stop = False
+        # -- serving telemetry (guarded by _cv) --
+        self._t_start = time.monotonic()
+        self._submitted_at = {}
+        self._latencies = deque(maxlen=512)     # recent end-to-end seconds
+        self._served = 0
+        self._tokens_out = 0
+        self._audio_seconds = 0.0
 
     # -- handler-thread API -----------------------------------------------
     def submit(self, samples: np.ndarray,
@@ -64,6 +73,7 @@ class Scheduler(threading.Thread):
         ev = threading.Event()
         with self._cv:
             self._events[rid] = ev
+            self._submitted_at[rid] = time.monotonic()
             self._inbox.append((rid, samples, max_tokens, lang))
             self._cv.notify()
         return rid, ev
@@ -77,6 +87,26 @@ class Scheduler(threading.Thread):
         with self._cv:
             self._events.pop(rid, None)
             self._results.pop(rid, None)
+            self._submitted_at.pop(rid, None)
+
+    def metrics(self) -> dict:
+        with self._cv:
+            lat = sorted(self._latencies)
+            pct = (lambda p: round(lat[int(p * (len(lat) - 1))], 4)) \
+                if lat else (lambda p: None)
+            return {
+                "uptime_s": round(time.monotonic() - self._t_start, 1),
+                "requests_served": self._served,
+                "tokens_generated": self._tokens_out,
+                "audio_seconds": round(self._audio_seconds, 1),
+                "live": self.engine.live(),
+                "pending": self.engine.pending(),
+                "latency_s": {"p50": pct(0.50), "p95": pct(0.95),
+                              "max": pct(1.0),
+                              "window": len(lat)},
+                "engine": {"decode_steps": self.engine.steps_run,
+                           "chunks": self.engine.chunks_run},
+            }
 
     def shutdown(self) -> None:
         with self._cv:
@@ -99,7 +129,14 @@ class Scheduler(threading.Thread):
                 self.engine.submit(rid, samples, max_new_tokens=max_tokens,
                                    **kw)
             for r in self.engine.step():
+                now = time.monotonic()
                 with self._cv:
+                    t0 = self._submitted_at.pop(r.request_id, None)
+                    if t0 is not None:
+                        self._latencies.append(now - t0)
+                    self._served += 1
+                    self._tokens_out += len(r.tokens)
+                    self._audio_seconds += r.audio_seconds
                     ev = self._events.pop(r.request_id, None)
                     if ev is not None:      # waiter still there (no timeout)
                         self._results[r.request_id] = r
@@ -122,10 +159,13 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
-        if urlparse(self.path).path in ("/", "/healthz"):
+        path = urlparse(self.path).path
+        if path in ("/", "/healthz"):
             e = self.server.scheduler.engine
             self._json(200, {"ok": True, "live": e.live(),
                              "pending": e.pending()})
+        elif path == "/metrics":
+            self._json(200, self.server.scheduler.metrics())
         else:
             self._json(404, {"error": "not found"})
 

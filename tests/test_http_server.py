@@ -105,6 +105,28 @@ def test_lang_param(server, rng, tmp_path):
     assert "unknown language" in e.value.read().decode()
 
 
+def test_metrics_endpoint(server, rng, tmp_path):
+    """/metrics reports served counts and latency percentiles (serves one
+    request itself — under xdist this test may run on a fresh worker)."""
+    _, port = server
+    wav = tmp_path / "m.wav"
+    write_wav(str(wav), 0.01 * rng.standard_normal(8000).astype(np.float32),
+              16000)
+    req = urllib.request.Request(
+        _url(port, "/v1/audio/transcriptions?max_tokens=2"),
+        data=wav.read_bytes(), method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        json.load(r)
+    with urllib.request.urlopen(_url(port, "/metrics"), timeout=60) as r:
+        m = json.load(r)
+    assert m["requests_served"] >= 1
+    assert m["tokens_generated"] >= 1
+    assert m["latency_s"]["p50"] is not None
+    assert m["latency_s"]["p95"] >= m["latency_s"]["p50"]
+    assert m["engine"]["decode_steps"] >= 1
+    assert m["uptime_s"] > 0
+
+
 def test_error_paths(server):
     _, port = server
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -57,6 +57,10 @@ class Scheduler(threading.Thread):
         self._events = {}
         self._results = {}
         self._stop = False
+        self._cancelled = set()
+        #: not None => the scheduler thread died with this error; serving
+        #: is down (healthz reports it, new requests 503 immediately)
+        self.dead: Optional[str] = None
         # -- serving telemetry (guarded by _cv) --
         self._t_start = time.monotonic()
         self._submitted_at = {}
@@ -83,11 +87,15 @@ class Scheduler(threading.Thread):
             return self._results.pop(rid)
 
     def cancel(self, rid: str) -> None:
-        """Forget a timed-out request's delivery (its slot still drains)."""
+        """Forget a timed-out request's delivery. If it is still queued
+        (not yet admitted to a slot), the scheduler thread also drops it
+        from its inbox and the engine queue so dead work never reaches
+        the device; an already-admitted request drains its slot."""
         with self._cv:
             self._events.pop(rid, None)
             self._results.pop(rid, None)
             self._submitted_at.pop(rid, None)
+            self._cancelled.add(rid)
 
     def metrics(self) -> dict:
         with self._cv:
@@ -104,7 +112,9 @@ class Scheduler(threading.Thread):
                 "latency_s": {"p50": pct(0.50), "p95": pct(0.95),
                               "max": pct(1.0),
                               "window": len(lat)},
-                "engine": {"decode_steps": self.engine.steps_run,
+                # enqueued = chunks x steps_per_sync; a tail chunk may
+                # early-exit device-side before running all of them
+                "engine": {"decode_steps_enqueued": self.engine.steps_run,
                            "chunks": self.engine.chunks_run},
             }
 
@@ -115,6 +125,18 @@ class Scheduler(threading.Thread):
 
     # -- engine thread ----------------------------------------------------
     def run(self) -> None:
+        try:
+            self._serve_loop()
+        except Exception as exc:  # noqa: BLE001 - fail loud, not hung
+            log.exception("scheduler thread died: %s", exc)
+            with self._cv:
+                self.dead = f"{type(exc).__name__}: {exc}"
+                events, self._events = self._events, {}
+                self._results.clear()
+            for ev in events.values():
+                ev.set()          # waiters find no result -> 503, not 504
+
+    def _serve_loop(self) -> None:
         while True:
             with self._cv:
                 while (not self._stop and not self._inbox
@@ -124,6 +146,10 @@ class Scheduler(threading.Thread):
                 if self._stop:
                     return
                 inbox, self._inbox = self._inbox, []
+                cancelled, self._cancelled = self._cancelled, set()
+            for rid in cancelled:  # timed-out before admission: drop
+                inbox = [e for e in inbox if e[0] != rid]
+                self.engine.cancel(rid)
             for rid, samples, max_tokens, lang in inbox:
                 kw = {"lang": lang} if lang else {}
                 self.engine.submit(rid, samples, max_new_tokens=max_tokens,
@@ -161,9 +187,11 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         path = urlparse(self.path).path
         if path in ("/", "/healthz"):
-            e = self.server.scheduler.engine
-            self._json(200, {"ok": True, "live": e.live(),
-                             "pending": e.pending()})
+            s = self.server.scheduler
+            e = s.engine
+            self._json(200 if s.dead is None else 503,
+                       {"ok": s.dead is None, "error": s.dead,
+                        "live": e.live(), "pending": e.pending()})
         elif path == "/metrics":
             self._json(200, self.server.scheduler.metrics())
         else:
@@ -207,6 +235,18 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(400, {"error": "bad max_tokens"})
                 return
         sched = self.server.scheduler
+        if sched.dead is not None:
+            self._json(503, {"error": f"serving is down: {sched.dead}"})
+            return
+        window = getattr(sched.engine, "window", None)
+        if window is not None and len(x) > window \
+                and q.get("truncate", ["0"])[0] != "1":
+            self._json(413, {"error": (
+                f"audio is {len(x) / sched.engine.sample_rate:.1f}s but the "
+                f"serving window is {window / sched.engine.sample_rate:.1f}s"
+                "; split the file (the Transcriber API chunks long audio) "
+                "or pass truncate=1 to transcribe the first window only")})
+            return
         lang = q.get("lang", [None])[0]
         if lang is not None:
             # validate HERE: a bad language must 400 the request, not
@@ -224,7 +264,11 @@ class _Handler(BaseHTTPRequestHandler):
             sched.cancel(rid)
             self._json(504, {"error": "decode timed out"})
             return
-        r = sched.result(rid)
+        try:
+            r = sched.result(rid)
+        except KeyError:         # scheduler died while we waited
+            self._json(503, {"error": f"serving is down: {sched.dead}"})
+            return
         self._json(200, {"text": r.text, "avg_logprob": r.avg_logprob,
                          "tokens": r.tokens,
                          "audio_seconds": r.audio_seconds})

@@ -69,23 +69,7 @@ class Result:
     audio_seconds: float
 
 
-def _constrain_kv(mesh, heads: int, batch: int, tree, put: bool = False):
-    """Shard decode-state tensors [L, B, H, ...] over the mesh: heads on
-    'model' (matching the Megatron column/row split of the attention
-    projections, parallel/sharding.py), batch on 'data' — each only when
-    divisible (same policy as infer/decode.py:tp_shard_kv). ``put=True``
-    places eagerly (engine init); otherwise emits in-jit constraints."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    model_ok = heads % mesh.shape.get("model", 1) == 0
-    data_ok = batch % mesh.shape.get("data", 1) == 0
-    axes = ("data" if data_ok else None, "model" if model_ok else None)
-
-    def one(x):
-        ns = NamedSharding(mesh, P(None, *axes, *([None] * (x.ndim - 3))))
-        return (jax.device_put(x, ns) if put
-                else jax.lax.with_sharding_constraint(x, ns))
-
-    return jax.tree.map(one, tree)
+from audax.parallel.sharding import constrain_kv as _constrain_kv  # noqa: E402
 
 
 class _ServeState(NamedTuple):
@@ -251,8 +235,10 @@ class _SlotEngine:
     _stop_id: int
 
     def _init_shell(self) -> None:
-        self._queue: List[tuple] = []   # (request_id, samples, budget, extra)
+        # queue entries: (request_id, samples, n_samples, budget, extra)
+        self._queue: List[tuple] = []
         self._slot_req: List[Optional[str]] = [None] * self.slots
+        self._slot_secs: List[float] = [0.0] * self.slots
         #: decode steps enqueued (telemetry for bench-continuous)
         self.steps_run = 0
         self.chunks_run = 0
@@ -272,7 +258,17 @@ class _SlotEngine:
         budget = self._max_len - self._p_len
         if max_new_tokens is not None:
             budget = min(budget, max(int(max_new_tokens), 1))
-        self._queue.append((request_id, x, budget, extra))
+        self._queue.append((request_id, x, len(s), budget, extra))
+
+    def cancel(self, request_id: str) -> bool:
+        """Drop a not-yet-admitted request from the queue (a request
+        already in a slot drains normally). True if something was
+        removed."""
+        for i, entry in enumerate(self._queue):
+            if entry[0] == request_id:
+                del self._queue[i]
+                return True
+        return False
 
     def pending(self) -> int:
         return len(self._queue)
@@ -299,15 +295,16 @@ class _SlotEngine:
         extras: List[tuple] = [()] * k
         admitted = []
         for j in range(n):
-            rid, samples, budget, extra = self._queue.pop(0)
+            rid, samples, n_samples, budget, extra = self._queue.pop(0)
             batch[j] = samples
             slot_ids[j] = free[j]
             budgets[j] = budget
             extras[j] = extra
-            admitted.append((free[j], rid))
+            admitted.append((free[j], rid, n_samples))
         self._install(batch, slot_ids, budgets, extras)
-        for slot, rid in admitted:
+        for slot, rid, n_samples in admitted:
             self._slot_req[slot] = rid
+            self._slot_secs[slot] = n_samples / self.sample_rate
 
     def _harvest(self) -> List[Result]:
         done = np.asarray(self._state.done)
@@ -326,7 +323,7 @@ class _SlotEngine:
             out.append(Result(
                 self._slot_req[i], self._text(ids), ids,
                 float(slp[i] / max(int(cnt[i]), 1)),
-                self.window / self.sample_rate))
+                self._slot_secs[i]))          # actual clip length, not window
             self._slot_req[i] = None
         return out
 

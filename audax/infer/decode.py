@@ -37,21 +37,13 @@ __all__ = ["generate", "GenerateResult", "TimestampRules",
 
 
 def tp_shard_kv(mesh, cfg: WhisperConfig, cross_kv, cache, batch: int):
-    """Sharding-constrain decode KV tensors [layers, B, H, len, hd] over the
-    mesh: heads on 'model' (Megatron split), batch on 'data' — each only when
-    divisible. One definition serves generate() and beam_search()."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    model_ok = cfg.heads % mesh.shape.get("model", 1) == 0
-    data_ok = batch % mesh.shape.get("data", 1) == 0
-    axes = ("data" if data_ok else None, "model" if model_ok else None)
-
-    def constrain(x):
-        # k/v are [layers, B, H, len, hd]; QuantKV scales are [layers, B,
-        # H, len] — shard the shared leading axes, replicate the rest
-        spec = P(None, *axes, *([None] * (x.ndim - 3)))
-        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
-
-    return jax.tree.map(constrain, cross_kv), jax.tree.map(constrain, cache)
+    """Sharding-constrain decode KV tensors [layers, B, H, len, hd] over
+    the mesh (policy lives in parallel/sharding.py:constrain_kv — heads on
+    'model', batch on 'data' when divisible; QuantKV scales [L, B, H, len]
+    shard the same leading axes). Serves generate() and beam_search()."""
+    from audax.parallel.sharding import constrain_kv
+    return (constrain_kv(mesh, cfg.heads, batch, cross_kv),
+            constrain_kv(mesh, cfg.heads, batch, cache))
 
 
 class TimestampRules(NamedTuple):

@@ -262,9 +262,6 @@ def lm_decode_step(params: Params, cfg: CausalLMConfig,
     primitive continuous batching needs (infer/continuous.py), mirroring
     whisper's decode_step_ragged."""
     x = embed.astype(dtype)[:, None, :]
-    max_len = cache.k.shape[3]
-    valid = (jnp.arange(max_len) <= pos)[None, None, None, :] \
-        if pos.ndim == 0 else None
     positions = pos[None] if pos.ndim == 0 else pos[:, None]
 
     # stacked caches ride the scan CARRY; the kernel layer-indexes them
@@ -273,8 +270,10 @@ def lm_decode_step(params: Params, cfg: CausalLMConfig,
     # [L, K/2, N] tensors pass through whole and the int4 kernel selects
     # the layer in its index maps (models/quantize.py).
     def step(x, kc, vc, li, layer):
+        # mask=None: the decode path masks via ``pos`` inside the fused
+        # cached-KV kernel (decode_attention_stacked), not via this arg
         attn, (kc, vc) = _attn_block(
-            layer, cfg, x, positions, valid,
+            layer, cfg, x, positions, None,
             kv_cache=(kc, vc), cache_pos=pos, layer_idx=li)
         x = x + attn
         x = x + _mlp_block(layer, cfg, x)

@@ -18,7 +18,28 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["WHISPER_TP_RULES", "CAUSAL_LM_TP_RULES", "spec_for_path",
-           "shard_params", "param_specs"]
+           "shard_params", "param_specs", "constrain_kv"]
+
+
+def constrain_kv(mesh: Mesh, heads: int, batch: int, tree,
+                 put: bool = False):
+    """Shard decode-state tensors [L, B, H, ...] over the mesh: heads on
+    'model' (matching the Megatron column/row split of the attention
+    projections below), batch on 'data' — each only when divisible. The
+    ONE definition of the decode-state sharding policy, shared by
+    fixed-batch decode (infer/decode.py:tp_shard_kv) and continuous
+    serving (infer/continuous.py). ``put=True`` places eagerly (engine
+    init); otherwise emits in-jit sharding constraints."""
+    model_ok = heads % mesh.shape.get("model", 1) == 0
+    data_ok = batch % mesh.shape.get("data", 1) == 0
+    axes = ("data" if data_ok else None, "model" if model_ok else None)
+
+    def one(x):
+        ns = NamedSharding(mesh, P(None, *axes, *([None] * (x.ndim - 3))))
+        return (jax.device_put(x, ns) if put
+                else jax.lax.with_sharding_constraint(x, ns))
+
+    return jax.tree.map(one, tree)
 
 # (path regex, spec). First match wins. Stacked-layer params carry a leading
 # layer axis -> specs start with None for it.

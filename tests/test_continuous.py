@@ -73,6 +73,7 @@ def test_continuous_matches_generate(setup, rng, kv_quant):
                              kv_quant=kv_quant)
         assert results[rid].tokens == ref, rid
         assert results[rid].text == tok.decode(ref)
+        assert results[rid].audio_seconds == 1.0   # actual clip, not window
 
 
 def test_submit_during_serving(setup, rng):

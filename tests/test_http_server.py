@@ -123,8 +123,31 @@ def test_metrics_endpoint(server, rng, tmp_path):
     assert m["tokens_generated"] >= 1
     assert m["latency_s"]["p50"] is not None
     assert m["latency_s"]["p95"] >= m["latency_s"]["p50"]
-    assert m["engine"]["decode_steps"] >= 1
+    assert m["engine"]["decode_steps_enqueued"] >= 1
     assert m["uptime_s"] > 0
+
+
+def test_long_audio_rejected_unless_truncate(server, rng, tmp_path):
+    """Audio beyond the serving window 413s (no silent half-transcripts);
+    ?truncate=1 opts into first-window-only."""
+    _, port = server
+    wav = tmp_path / "long.wav"                  # 2 s > 1 s window
+    write_wav(str(wav), 0.01 * rng.standard_normal(32000).astype(np.float32),
+              16000)
+    body = wav.read_bytes()
+    with pytest.raises(urllib.error.HTTPError) as e:
+        req = urllib.request.Request(
+            _url(port, "/v1/audio/transcriptions"), data=body,
+            method="POST")
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 413
+    assert "serving window" in e.value.read().decode()
+    req = urllib.request.Request(
+        _url(port, "/v1/audio/transcriptions?truncate=1&max_tokens=2"),
+        data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        out = json.load(r)
+    assert out["audio_seconds"] == 1.0           # the window that ran
 
 
 def test_error_paths(server):

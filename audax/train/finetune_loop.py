@@ -146,7 +146,10 @@ def finetune_whisper(
             record["wer"] = 100.0 * wer             # reference logs 100*wer
             if wer < best_wer:
                 best_wer = wer
-                best_params = jax.tree.map(lambda x: x, serving)
+                # deep copy: in the full-param path ``serving`` aliases
+                # state.trainable, whose buffers the next (donating) step
+                # consumes — a shallow tree copy would be deleted under us
+                best_params = jax.tree.map(jnp.copy, serving)
         if sink:
             sink.log(record, step=step)
         elif (step + 1) % 10 == 0:

@@ -10,6 +10,7 @@ LoRA (models/lora.py) or full fine-tune selected by config.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -108,10 +109,20 @@ def init_finetune(params, cfg: FineTuneConfig, *,
 
 
 def make_finetune_step(model_cfg: WhisperConfig,
-                       *, remat: bool = True, dtype=jnp.float32) -> Callable:
+                       *, remat: bool = True, dtype=jnp.float32,
+                       donate: bool = True) -> Callable:
     """Jitted fine-tune step: batch = {"mel": [B,T,M], "decoder_input_ids",
     "labels"}. Gradient checkpointing over the full forward mirrors the
-    reference's gradient_checkpointing=True (AB/fineTune.py:171)."""
+    reference's gradient_checkpointing=True (AB/fineTune.py:171).
+
+    ``donate`` (default on) donates the input state's buffers to the step so
+    XLA updates params/optimizer state in place instead of holding both the
+    old and new copies live — for a full-parameter AdamW fine-tune that is a
+    ~2x cut in steady-state HBM for (params + m + v). The previous ``state``
+    object is invalid after the call (standard ``state, m = step(state, b)``
+    loops are unaffected); unchanged leaves such as the frozen LoRA
+    ``base_params`` are aliased straight through to the output state.
+    """
 
     fwd = whisper_forward
     if remat:
@@ -127,7 +138,7 @@ def make_finetune_step(model_cfg: WhisperConfig,
                      batch["decoder_input_ids"], dtype)
         return seq2seq_loss(logits.astype(jnp.float32), batch["labels"])
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: FTState, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.trainable, state, batch)
         updates, opt_state = state.tx.update(grads, state.opt_state,

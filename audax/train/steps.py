@@ -11,6 +11,7 @@ identical on 1 chip or a full slice.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -47,10 +48,15 @@ def cross_entropy(logits: jax.Array, labels: jax.Array,
     return (losses * weights).sum() / jnp.maximum(weights.sum(), 1.0)
 
 
-def make_classifier_steps(model) -> Tuple[Callable, Callable]:
+def make_classifier_steps(model, *, donate: bool = True
+                          ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for a Flax classifier with BatchNorm
     and Dropout. The optimizer travels in ``state.tx`` (static field), so one
-    pair of compiled steps serves any optax transformation."""
+    pair of compiled steps serves any optax transformation.
+
+    ``donate`` lets XLA update params/batch_stats/opt_state in place
+    (halves the step's steady-state HBM); the input ``state`` is invalid
+    after each ``train_step`` call. ``eval_step`` never donates."""
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -61,7 +67,7 @@ def make_classifier_steps(model) -> Tuple[Callable, Callable]:
         loss = cross_entropy(logits, batch["y"], batch.get("w"))
         return loss, (logits, updates["batch_stats"])
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng = jax.random.fold_in(rng, state.step)

@@ -14,6 +14,7 @@ multiplied in before the optimizer — exact zero updates for frozen layers.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -106,15 +107,24 @@ def scale_learning_rates(opt_state, factor: float):
     return walk(opt_state)
 
 
-def make_two_tower_step(model: TwoTowerModel) -> Tuple[Callable, Callable]:
+def make_two_tower_step(model: TwoTowerModel, *, donate: bool = False
+                        ) -> Tuple[Callable, Callable]:
     """(train_step, eval_step); batch = {"mel": [B,T,n_mels],
-    "input_ids": [B,L], "attention_mask": [B,L]}."""
+    "input_ids": [B,L], "attention_mask": [B,L]}.
+
+    ``donate=True`` updates params/opt_state in place (in-place AdamW for
+    the 0.6B-class LM cuts the step's steady-state HBM roughly in half) but
+    also invalidates ``model.params`` — the state is built FROM that tree
+    (two_tower_loop.py), so only enable it when the caller never reads
+    ``model.params`` again after the first step (``fit_two_tower`` does
+    this; the frozen encoder lives in ``model.audio_params``, a separate
+    tree that is closure-captured and never donated)."""
 
     def loss_fn(params, enc, batch):
         return model.loss(params, enc, batch["input_ids"],
                           batch["attention_mask"])
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TwoTowerState, batch):
         enc = model.encode_audio(batch["mel"])
         loss, grads = jax.value_and_grad(loss_fn)(state.params, enc, batch)

@@ -138,7 +138,9 @@ def fit_two_tower(
     state = TwoTowerState(step=jnp.int32(0), params=model.params,
                           opt_state=tx.init(model.params), tx=tx,
                           layer_mask=mask)
-    train_step, eval_step = make_two_tower_step(model)
+    # donate: in-place param/opt updates; model.params is consumed (the
+    # loop never reads it again — serving weights come from state.params)
+    train_step, eval_step = make_two_tower_step(model, donate=True)
 
     counts = trainable_param_counts(model, mask)
     log.info("two-tower params: %s", {k: f"{v:,}" for k, v in counts.items()})

@@ -357,6 +357,9 @@ def cmd_finetune(argv) -> int:
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--lora-rank", type=int, default=-1)
+    p.add_argument("--accum-steps", type=int, default=0,
+                   help="gradient accumulation microbatches per step "
+                        "(AB/fineTune.py:165)")
     p.add_argument("--dtype", default="",
                    choices=["", "float32", "bfloat16"],
                    help="train-step compute dtype (bf16 ~1.4x on v5e)")
@@ -379,6 +382,8 @@ def cmd_finetune(argv) -> int:
         ft = replace(ft, batch_size=args.batch_size)
     if args.lora_rank >= 0:
         ft = replace(ft, lora_rank=args.lora_rank)
+    if args.accum_steps:
+        ft = replace(ft, accum_steps=args.accum_steps)
     if args.dtype:
         ft = replace(ft, dtype=args.dtype)
 
@@ -1125,6 +1130,8 @@ def cmd_train_music(argv) -> int:
     p.add_argument("--ckpt-dir", default="artifacts/two_tower")
     p.add_argument("--epochs", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--accum-steps", type=int, default=0,
+                   help="gradient accumulation microbatches per step")
     p.add_argument("--chunk-seconds", type=float, default=10.0)
     p.add_argument("--note-eval-every", type=int, default=0,
                    help="run note-level P/R/F1 generation eval every N epochs")
@@ -1149,6 +1156,8 @@ def cmd_train_music(argv) -> int:
         tt = replace(tt, epochs=args.epochs)
     if args.batch_size:
         tt = replace(tt, batch_size=args.batch_size)
+    if args.accum_steps:
+        tt = replace(tt, accum_steps=args.accum_steps)
 
     lm_dims = {"tiny": (128, 4, 4, 2), "small": (256, 6, 8, 4),
                "base": (512, 12, 8, 4)}[args.lm_size]

@@ -275,6 +275,9 @@ class FineTuneConfig(EnvConfig):
     max_steps: int = 50
     eval_every: int = 10
     gradient_checkpointing: bool = True
+    # microbatches per optimizer step (gradient_accumulation_steps,
+    # AB/fineTune.py:165); batch_size must be divisible by it
+    accum_steps: int = 1
     lora_rank: int = 0           # 0 = full fine-tune; >0 = LoRA adapters
     lora_alpha: float = 16.0
     label_pad_id: int = -100
@@ -299,6 +302,9 @@ class TwoTowerConfig(EnvConfig):
     lm_lr: float = 2e-5
     grad_clip: float = 1.0
     batch_size: int = 8
+    # microbatches per optimizer step (gradient_accumulation_steps
+    # semantics, AB/fineTune.py:165); batch_size must be divisible by it
+    accum_steps: int = 1
     epochs: int = 10
     seed: int = 0
 

@@ -159,10 +159,12 @@ class TwoTowerModel(NamedTuple):
                                      attention_mask, dtype)
         return lm_logits(params["lm"], self.lm_cfg, hidden)
 
-    def loss(self, params: Params, enc: jnp.ndarray, input_ids: jnp.ndarray,
-             attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-        """Shifted CE with padding masked (labels = input_ids; HF labels=
-        semantics, reference :281-288)."""
+    def loss_sum(self, params: Params, enc: jnp.ndarray,
+                 input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
+                 dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(summed shifted CE over non-pad positions, token count) — the
+        un-normalized form gradient accumulation needs to reproduce the
+        exact full-batch mean across microbatches."""
         import optax
         logits = self.forward(params, enc, input_ids, attention_mask, dtype)
         shift_logits = logits[:, :-1].astype(jnp.float32)
@@ -170,7 +172,15 @@ class TwoTowerModel(NamedTuple):
         mask = attention_mask[:, 1:].astype(jnp.float32)
         losses = optax.softmax_cross_entropy_with_integer_labels(
             shift_logits, shift_labels)
-        return (losses * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        return (losses * mask).sum(), mask.sum()
+
+    def loss(self, params: Params, enc: jnp.ndarray, input_ids: jnp.ndarray,
+             attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+        """Shifted CE with padding masked (labels = input_ids; HF labels=
+        semantics, reference :281-288)."""
+        total, count = self.loss_sum(params, enc, input_ids, attention_mask,
+                                     dtype)
+        return total / jnp.maximum(count, 1.0)
 
     # -- generation (KV-cached; the reference had none) -------------------
     def generate(self, params: Params, enc: jnp.ndarray, *,

@@ -115,7 +115,8 @@ def finetune_whisper(
     state = init_finetune(params, cfg, lora_targets=lora_targets)
     step_fn = make_finetune_step(
         model_cfg, remat=cfg.gradient_checkpointing,
-        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+        accum_steps=cfg.accum_steps)
 
     audio = np.stack([ex["audio"] for ex in examples])
     label_rows = [ex["labels"] for ex in examples]
@@ -125,8 +126,13 @@ def finetune_whisper(
     best_params = None
 
     n = len(examples)
+    # realized batch size: capped by the dataset, rounded down to a multiple
+    # of accum_steps (microbatch split needs equal shares)
+    bsz = min(cfg.batch_size, n)
+    if cfg.accum_steps > 1:
+        bsz = max(cfg.accum_steps, (bsz // cfg.accum_steps) * cfg.accum_steps)
     for step in range(cfg.max_steps):
-        idx = rng.choice(n, size=min(cfg.batch_size, n), replace=n < cfg.batch_size)
+        idx = rng.choice(n, size=bsz, replace=n < bsz)
         mel = frontend(jnp.asarray(audio[idx]))
         coll = collate_seq2seq([label_rows[i] for i in idx],
                                decoder_start_id=tokenizer.sot)

@@ -29,8 +29,8 @@ log = get_logger("audax.seq2seq")
 
 LABEL_PAD = -100
 
-__all__ = ["collate_seq2seq", "seq2seq_loss", "make_finetune_step",
-           "FTState", "init_finetune", "LABEL_PAD"]
+__all__ = ["collate_seq2seq", "seq2seq_loss", "seq2seq_loss_sum",
+           "make_finetune_step", "FTState", "init_finetune", "LABEL_PAD"]
 
 
 def collate_seq2seq(
@@ -66,12 +66,23 @@ def collate_seq2seq(
     return {"decoder_input_ids": dec_in, "labels": labels}
 
 
-def seq2seq_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Mean CE over non-masked (-100) positions."""
+def seq2seq_loss_sum(logits: jnp.ndarray, labels: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(summed CE over non-masked (-100) positions, token count).
+
+    The un-normalized form lets gradient accumulation reproduce the exact
+    full-batch mean: sum losses and counts across microbatches, divide once.
+    """
     mask = labels != LABEL_PAD
     safe = jnp.where(mask, labels, 0)
     losses = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
-    return (losses * mask).sum() / jnp.maximum(mask.sum(), 1)
+    return (losses * mask).sum(), mask.sum()
+
+
+def seq2seq_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean CE over non-masked (-100) positions."""
+    total, count = seq2seq_loss_sum(logits, labels)
+    return total / jnp.maximum(count, 1)
 
 
 class FTState(struct.PyTreeNode):
@@ -110,7 +121,7 @@ def init_finetune(params, cfg: FineTuneConfig, *,
 
 def make_finetune_step(model_cfg: WhisperConfig,
                        *, remat: bool = True, dtype=jnp.float32,
-                       donate: bool = True) -> Callable:
+                       donate: bool = True, accum_steps: int = 1) -> Callable:
     """Jitted fine-tune step: batch = {"mel": [B,T,M], "decoder_input_ids",
     "labels"}. Gradient checkpointing over the full forward mirrors the
     reference's gradient_checkpointing=True (AB/fineTune.py:171).
@@ -122,25 +133,68 @@ def make_finetune_step(model_cfg: WhisperConfig,
     object is invalid after the call (standard ``state, m = step(state, b)``
     loops are unaffected); unchanged leaves such as the frozen LoRA
     ``base_params`` are aliased straight through to the output state.
+
+    ``accum_steps`` is gradient accumulation (the Seq2SeqTrainingArguments
+    ``gradient_accumulation_steps`` knob, AB/fineTune.py:165): the batch is
+    split into ``accum_steps`` microbatches scanned sequentially, so peak
+    activation memory scales with B/accum_steps while the update equals the
+    full-batch step exactly — gradients of the *summed* CE and the token
+    counts are accumulated and normalized once, not averaged per microbatch
+    (per-microbatch means would weight tokens unevenly across ragged label
+    rows). B must be divisible by ``accum_steps``.
     """
 
     fwd = whisper_forward
     if remat:
         fwd = jax.checkpoint(whisper_forward, static_argnums=(1, 4))
 
-    def loss_fn(trainable, state: FTState, batch):
+    def params_of(trainable, state: FTState):
         if state.use_lora:
-            params = apply_lora(jax.lax.stop_gradient(state.base_params),
-                                trainable, state.lora_alpha)
-        else:
-            params = trainable
-        logits = fwd(params, model_cfg, batch["mel"],
+            return apply_lora(jax.lax.stop_gradient(state.base_params),
+                              trainable, state.lora_alpha)
+        return trainable
+
+    def loss_fn(trainable, state: FTState, batch):
+        logits = fwd(params_of(trainable, state), model_cfg, batch["mel"],
                      batch["decoder_input_ids"], dtype)
         return seq2seq_loss(logits.astype(jnp.float32), batch["labels"])
 
+    def sum_loss_fn(trainable, state: FTState, batch):
+        logits = fwd(params_of(trainable, state), model_cfg, batch["mel"],
+                     batch["decoder_input_ids"], dtype)
+        total, count = seq2seq_loss_sum(logits.astype(jnp.float32),
+                                        batch["labels"])
+        return total, count
+
+    def accum_grads(state: FTState, batch):
+        b = batch["labels"].shape[0]
+        if b % accum_steps:
+            raise ValueError(f"batch size {b} not divisible by "
+                             f"accum_steps={accum_steps}")
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum_steps, b // accum_steps) + x.shape[1:]),
+            batch)
+
+        def one(carry, mb):
+            gsum, lsum, csum = carry
+            (l, c), g = jax.value_and_grad(sum_loss_fn, has_aux=True)(
+                state.trainable, state, mb)
+            return (jax.tree.map(jnp.add, gsum, g), lsum + l,
+                    csum + c.astype(jnp.float32)), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.trainable)
+        (gsum, lsum, csum), _ = jax.lax.scan(
+            one, (zeros, jnp.float32(0.0), jnp.float32(0.0)), micro)
+        denom = jnp.maximum(csum, 1.0)
+        return lsum / denom, jax.tree.map(lambda g: g / denom, gsum)
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: FTState, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.trainable, state, batch)
+        if accum_steps > 1:
+            loss, grads = accum_grads(state, batch)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.trainable, state,
+                                                      batch)
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)

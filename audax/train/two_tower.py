@@ -107,8 +107,8 @@ def scale_learning_rates(opt_state, factor: float):
     return walk(opt_state)
 
 
-def make_two_tower_step(model: TwoTowerModel, *, donate: bool = False
-                        ) -> Tuple[Callable, Callable]:
+def make_two_tower_step(model: TwoTowerModel, *, donate: bool = False,
+                        accum_steps: int = 1) -> Tuple[Callable, Callable]:
     """(train_step, eval_step); batch = {"mel": [B,T,n_mels],
     "input_ids": [B,L], "attention_mask": [B,L]}.
 
@@ -118,16 +118,54 @@ def make_two_tower_step(model: TwoTowerModel, *, donate: bool = False
     (two_tower_loop.py), so only enable it when the caller never reads
     ``model.params`` again after the first step (``fit_two_tower`` does
     this; the frozen encoder lives in ``model.audio_params``, a separate
-    tree that is closure-captured and never donated)."""
+    tree that is closure-captured and never donated).
+
+    ``accum_steps`` splits the batch into microbatches scanned sequentially
+    (gradient_accumulation_steps semantics, AB/fineTune.py:165): peak
+    activation + frozen-encoder-state memory scales with B/accum_steps while
+    the update equals the full-batch step exactly — gradients of the summed
+    CE and token counts accumulate, normalized once. B must be divisible."""
 
     def loss_fn(params, enc, batch):
         return model.loss(params, enc, batch["input_ids"],
                           batch["attention_mask"])
 
+    def sum_loss_fn(params, mb):
+        # frozen encoder runs inside the microbatch: its [b/K, T', d]
+        # states never exist at full batch size
+        enc = model.encode_audio(mb["mel"])
+        return model.loss_sum(params, enc, mb["input_ids"],
+                              mb["attention_mask"])
+
+    def accum_grads(params, batch):
+        b = batch["input_ids"].shape[0]
+        if b % accum_steps:
+            raise ValueError(f"batch size {b} not divisible by "
+                             f"accum_steps={accum_steps}")
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum_steps, b // accum_steps) + x.shape[1:]),
+            batch)
+
+        def one(carry, mb):
+            gsum, lsum, csum = carry
+            (l, c), g = jax.value_and_grad(sum_loss_fn, has_aux=True)(
+                params, mb)
+            return (jax.tree.map(jnp.add, gsum, g), lsum + l, csum + c), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (gsum, lsum, csum), _ = jax.lax.scan(
+            one, (zeros, jnp.float32(0.0), jnp.float32(0.0)), micro)
+        denom = jnp.maximum(csum, 1.0)
+        return lsum / denom, jax.tree.map(lambda g: g / denom, gsum)
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TwoTowerState, batch):
-        enc = model.encode_audio(batch["mel"])
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, enc, batch)
+        if accum_steps > 1:
+            loss, grads = accum_grads(state.params, batch)
+        else:
+            enc = model.encode_audio(batch["mel"])
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, enc,
+                                                      batch)
         grads = _mask_lm_grads(grads, state.layer_mask)
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.params)

@@ -140,7 +140,8 @@ def fit_two_tower(
                           layer_mask=mask)
     # donate: in-place param/opt updates; model.params is consumed (the
     # loop never reads it again — serving weights come from state.params)
-    train_step, eval_step = make_two_tower_step(model, donate=True)
+    train_step, eval_step = make_two_tower_step(model, donate=True,
+                                                accum_steps=cfg.accum_steps)
 
     counts = trainable_param_counts(model, mask)
     log.info("two-tower params: %s", {k: f"{v:,}" for k, v in counts.items()})

@@ -112,6 +112,55 @@ def test_finetune_overfits_tiny(lora_rank, dtype):
         assert all(jax.tree.leaves(chex_equal))
 
 
+def test_grad_accum_matches_full_batch():
+    """accum_steps=K must produce the exact full-batch update: gradients of
+    the summed CE + token counts are accumulated and normalized once, so a
+    K-way microbatch split equals one big batch up to float association —
+    including ragged (-100-padded) label rows, where per-microbatch mean
+    losses would weight tokens unevenly. SGD keeps the update linear in the
+    gradient (Adam's g/sqrt(g^2) first step amplifies float-association
+    noise on near-zero-gradient leaves into sign flips)."""
+    import optax
+
+    from audax.train.seq2seq import FTState
+
+    params = init_whisper_params(TINY, jax.random.key(0))
+    tx = optax.sgd(1e-2)
+
+    def fresh_state():
+        return FTState(step=jnp.zeros((), jnp.int32), base_params={},
+                       trainable=params, opt_state=tx.init(params), tx=tx)
+
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((4, 2 * TINY.n_audio_ctx, TINY.n_mels)
+                              ).astype(np.float32)
+    # ragged rows on purpose: different non-pad token counts per microbatch
+    labels = collate_seq2seq([[4, 5, 6, 2], [8, 2], [3, 4, 5, 6, 2], [9, 2]],
+                             decoder_start_id=1)
+    batch = {"mel": jnp.asarray(mel),
+             "decoder_input_ids": jnp.asarray(labels["decoder_input_ids"]),
+             "labels": jnp.asarray(labels["labels"])}
+
+    outs = {}
+    for k in (1, 2, 4):
+        step = make_finetune_step(TINY, remat=False, donate=False,
+                                  accum_steps=k)
+        state, m = step(fresh_state(), batch)
+        outs[k] = (float(m["loss"]), state.trainable)
+
+    for k in (2, 4):
+        assert outs[k][0] == pytest.approx(outs[1][0], rel=1e-5)
+        for a, b in zip(jax.tree.leaves(outs[1][1]),
+                        jax.tree.leaves(outs[k][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-7)
+
+    # indivisible batch is a loud error, not silent truncation
+    with pytest.raises(ValueError, match="not divisible"):
+        make_finetune_step(TINY, remat=False, donate=False,
+                           accum_steps=3)(fresh_state(), batch)
+
+
 def test_midi_finetune_proof_wer_drops(tmp_path):
     """The reference-parity proof (VERDICT round-1 #4): framework datagen ->
     random-init model -> fine-tune -> eval WER drops measurably, with the

@@ -99,6 +99,32 @@ def test_partial_unfreeze_training(model, rng):
     assert np.isfinite(float(em["loss"]))
 
 
+def test_grad_accum_matches_full_batch(model, rng):
+    """accum_steps=2 must equal the full-batch update exactly (summed-CE +
+    token-count accumulation, normalized once) including ragged masks.
+
+    SGD makes the update linear in the gradient, so the comparison checks
+    gradient equivalence directly — Adam's first-step g/sqrt(g^2)
+    normalization would amplify float-association noise on near-zero
+    gradient leaves into sign-level differences."""
+    import optax
+    _, mask = init_two_tower_optimizer(model)
+    tx = optax.sgd(1e-2)
+    batch = _batch(rng, b=4)
+    outs = {}
+    for k in (1, 2):
+        state = TwoTowerState(step=jnp.int32(0), params=model.params,
+                              opt_state=tx.init(model.params), tx=tx,
+                              layer_mask=mask)
+        step, _ = make_two_tower_step(model, accum_steps=k)
+        state, m = step(state, batch)
+        outs[k] = (float(m["loss"]), state.params)
+    assert outs[2][0] == pytest.approx(outs[1][0], rel=1e-5)
+    for a, b in zip(jax.tree.leaves(outs[1][1]), jax.tree.leaves(outs[2][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
+
+
 def test_param_counts(model):
     _, mask = init_two_tower_optimizer(model)
     counts = trainable_param_counts(model, mask)

@@ -941,6 +941,10 @@ def cmd_bench_train(argv) -> int:
                    choices=["float32", "bfloat16"],
                    help="compute dtype (master weights stay f32; the "
                    "synthetic fine-tune proof validates bf16 WER parity)")
+    p.add_argument("--remat", default="full",
+                   choices=["full", "dots", "none"],
+                   help="gradient checkpointing: full recompute / save "
+                   "matmul outputs / off")
     args = p.parse_args(argv)
 
     import json
@@ -961,7 +965,7 @@ def cmd_bench_train(argv) -> int:
                         lora_rank=args.lora_rank)
     state = init_finetune(params, ft)
     step = make_finetune_step(
-        cfg, remat=True,
+        cfg, remat={"full": True, "dots": "dots", "none": False}[args.remat],
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
 
     rng = np.random.default_rng(0)

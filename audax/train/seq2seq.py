@@ -146,7 +146,13 @@ def make_finetune_step(model_cfg: WhisperConfig,
 
     fwd = whisper_forward
     if remat:
-        fwd = jax.checkpoint(whisper_forward, static_argnums=(1, 4))
+        # remat=True: recompute everything in the backward (min memory).
+        # remat="dots": save matmul/conv outputs, recompute only cheap
+        # elementwise ops — the standard speed/memory middle ground.
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat == "dots" else None)
+        fwd = jax.checkpoint(whisper_forward, static_argnums=(1, 4),
+                             policy=policy)
 
     def params_of(trainable, state: FTState):
         if state.use_lora:

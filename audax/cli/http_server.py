@@ -41,17 +41,28 @@ from audax.data.audio_io import read_audio, resample, to_mono
 
 log = get_logger("audax.http_server")
 
-__all__ = ["serve_http", "Scheduler"]
+__all__ = ["serve_http", "Scheduler", "SchedulerDown", "ServerBusy"]
 
 _MAX_BODY = 512 << 20
+
+
+class SchedulerDown(RuntimeError):
+    """The scheduler thread has died; submissions are refused."""
+
+
+class ServerBusy(RuntimeError):
+    """In-flight request cap reached; the client should retry (429)."""
 
 
 class Scheduler(threading.Thread):
     """Single thread that owns the continuous-batching engine."""
 
-    def __init__(self, engine):
+    def __init__(self, engine, *, max_inflight: Optional[int] = None):
         super().__init__(daemon=True, name="audax-serve-scheduler")
         self.engine = engine
+        # admission cap: bounds queued-audio memory and handler threads
+        # (each in-flight request holds a window-sized float32 buffer)
+        self.max_inflight = max_inflight or 8 * getattr(engine, "slots", 8)
         self._cv = threading.Condition()
         self._inbox: List[tuple] = []
         self._events = {}
@@ -76,6 +87,14 @@ class Scheduler(threading.Thread):
         rid = uuid.uuid4().hex
         ev = threading.Event()
         with self._cv:
+            # both checks must hold THE lock: a dead-check outside it races
+            # run()'s event sweep and the request would hang to timeout
+            if self.dead is not None:
+                raise SchedulerDown(self.dead)
+            if len(self._submitted_at) >= self.max_inflight:
+                raise ServerBusy(
+                    f"{len(self._submitted_at)} requests in flight "
+                    f"(cap {self.max_inflight})")
             self._events[rid] = ev
             self._submitted_at[rid] = time.monotonic()
             self._inbox.append((rid, samples, max_tokens, lang))
@@ -131,9 +150,14 @@ class Scheduler(threading.Thread):
             log.exception("scheduler thread died: %s", exc)
             with self._cv:
                 self.dead = f"{type(exc).__name__}: {exc}"
-                events, self._events = self._events, {}
-                self._results.clear()
-            for ev in events.values():
+                # fail only still-waiting requests; results already
+                # delivered to _results stay retrievable (their work is
+                # done — clearing them would turn 200s into 503s)
+                undelivered = {rid: ev for rid, ev in self._events.items()
+                               if rid not in self._results}
+                for rid in undelivered:
+                    self._events.pop(rid, None)
+            for ev in undelivered.values():
                 ev.set()          # waiters find no result -> 503, not 504
 
     def _serve_loop(self) -> None:
@@ -203,7 +227,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": "not found"})
             return
         q = parse_qs(url.query)
-        n = int(self.headers.get("Content-Length") or 0)
+        try:
+            n = int(self.headers.get("Content-Length") or 0)
+        except ValueError:
+            self._json(400, {"error": "bad Content-Length"})
+            return
         if n <= 0 or n > _MAX_BODY:
             self._json(400, {"error": "missing or oversized body"})
             return
@@ -258,8 +286,21 @@ class _Handler(BaseHTTPRequestHandler):
             except Exception:  # noqa: BLE001 - any failure = client error
                 self._json(400, {"error": f"unknown language: {lang}"})
                 return
-        rid, ev = sched.submit(np.asarray(x, np.float32), max_tokens,
-                               lang=lang)
+        try:
+            rid, ev = sched.submit(np.asarray(x, np.float32), max_tokens,
+                                   lang=lang)
+        except ServerBusy as exc:
+            self.send_response(429)
+            body = json.dumps({"error": f"server busy: {exc}"}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Retry-After", "1")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        except SchedulerDown as exc:
+            self._json(503, {"error": f"serving is down: {exc}"})
+            return
         if not ev.wait(timeout=self.server.request_timeout_s):
             sched.cancel(rid)
             self._json(504, {"error": "decode timed out"})
@@ -280,12 +321,16 @@ class _Server(ThreadingHTTPServer):
 
 
 def serve_http(engine, *, host: str = "127.0.0.1", port: int = 8080,
-               request_timeout_s: float = 600.0) -> _Server:
+               request_timeout_s: float = 600.0,
+               max_inflight: Optional[int] = None) -> _Server:
     """Create (not start) the REST server over a ContinuousBatcher; call
     ``serve_forever()`` on the result, or drive it from a thread (tests
-    do). The scheduler thread starts immediately."""
+    do). The scheduler thread starts immediately. ``max_inflight`` caps
+    admitted-but-unfinished requests (default 8x engine slots); beyond it
+    submissions get 429 + Retry-After instead of queueing unboundedly."""
     server = _Server((host, port), _Handler)
-    server.scheduler = Scheduler(engine)                    # type: ignore
+    server.scheduler = Scheduler(engine,                    # type: ignore
+                                 max_inflight=max_inflight)
     server.request_timeout_s = request_timeout_s            # type: ignore
     server.scheduler.start()
     return server

@@ -560,6 +560,8 @@ def cmd_serve(argv) -> int:
                    help="int8 KV caches (serving capacity tier)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the startup compile (first request pays it)")
+    p.add_argument("--max-inflight", type=int, default=0,
+                   help="admission cap before 429 (default 8x slots)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -578,7 +580,8 @@ def cmd_serve(argv) -> int:
     if not args.no_warmup:
         log.info("warming up (chunk + admit programs at every bucket)...")
         cb.warmup()
-    server = serve_http(cb, host=args.host, port=args.port)
+    server = serve_http(cb, host=args.host, port=args.port,
+                        max_inflight=args.max_inflight or None)
     log.success("POST audio to http://%s:%d/v1/audio/transcriptions",
                 args.host, args.port)
     try:

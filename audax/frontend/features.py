@@ -44,10 +44,8 @@ def pad_or_trim(x: jax.Array, n_samples: int, axis: int = -1) -> jax.Array:
 
 
 def _default_backend() -> str:
-    try:
-        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
-    except Exception:  # pragma: no cover - no backend at all
-        return "xla"
+    from audax.ops.common import on_tpu
+    return "pallas" if on_tpu() else "xla"
 
 
 class LogMelFrontend:

@@ -410,6 +410,18 @@ class ContinuousBatcher(_SlotEngine):
         self.frontend = LogMelFrontend.whisper(cfg.n_mels, backend=backend)
         self.sample_rate = self.frontend.cfg.sample_rate
         self.window = int(window_seconds * self.sample_rate)
+        # fail fast: the cross-KV state is sized from cfg.n_audio_ctx but
+        # admits install rows sized from the actual window's mel frames —
+        # a mismatch would otherwise surface as a broadcast TypeError deep
+        # inside the first admit's jit (on the scheduler thread, killing
+        # the whole server)
+        enc_len = self.frontend.num_frames(self.window) // 2
+        if enc_len != cfg.n_audio_ctx:
+            raise ValueError(
+                f"window_seconds={window_seconds} gives {enc_len} encoder "
+                f"positions but cfg.n_audio_ctx={cfg.n_audio_ctx}; pass the "
+                f"window matching the model's audio context "
+                f"({cfg.n_audio_ctx * 2 * self.frontend.cfg.hop_length / self.sample_rate:.1f}s)")
         prompt = tokenizer.sot_sequence(lang=lang)
         self._p_len = len(prompt)
         self._max_len = min(self._p_len + max_new_tokens, cfg.n_text_ctx)
@@ -489,12 +501,14 @@ class ContinuousBatcher(_SlotEngine):
 
 # ---------------------------------------------------- two-tower engine ----
 class _GenState(NamedTuple):
-    """Fixed-shape device state for the two-tower generator: instead of
-    precomputed cross-KV the adapter re-reads the raw encoder states every
-    step (adapter cross-attention is position-independent in T), so the
-    per-slot audio context is the encoder output itself."""
+    """Fixed-shape device state for the two-tower generator. The adapter's
+    cross-attention K/V depend only on the (frozen) encoder states, so
+    they are projected ONCE at admit and carried here — recomputing the
+    audio_proj + k/v matmuls per generated token (O(S·d²) per step) was
+    measured as the generator's dominant per-step cost."""
     cache: object          # LM self-attn KV [L, B, kvH, max_len, hd]
-    enc: jnp.ndarray       # [B, S, d_audio] frozen encoder states
+    cross_k: jnp.ndarray   # [B, H, S, hd] adapter cross-attention keys
+    cross_v: jnp.ndarray   # [B, H, S, hd] adapter cross-attention values
     tokens: jnp.ndarray    # [B, max_len] int32
     pos: jnp.ndarray       # [B] int32
     done: jnp.ndarray      # [B] bool
@@ -505,24 +519,27 @@ class _GenState(NamedTuple):
     seed: jnp.ndarray      # [B] int32 per-request sampling seed
 
 
-@functools.partial(jax.jit, static_argnames=("audio_cfg", "dtype"),
+@functools.partial(jax.jit, static_argnames=("audio_cfg", "heads", "dtype"),
                    donate_argnames=("state",))
-def _gen_admit(audio_params, state: _GenState, mels,
+def _gen_admit(audio_params, adapter_params, state: _GenState, mels,
                prompt_row, slot_ids, budgets, seeds, *, audio_cfg,
-               dtype) -> _GenState:
-    """Encode K clips in ONE frozen-encoder pass and install each into its
-    slot (same inert-padding one-hot scheme as ``_admit_many``; the LM
-    self-attn cache again needs no clearing — per-slot causal mask).
-    enc stays replicated under TP: the adapter's cross-attention reads it
-    on every device; only the LM KV cache is worth sharding."""
+               heads, dtype) -> _GenState:
+    """Encode K clips in ONE frozen-encoder pass, project the adapter's
+    cross-K/V once, and install each into its slot (same inert-padding
+    one-hot scheme as ``_admit_many``; the LM self-attn cache again needs
+    no clearing — per-slot causal mask). The cross-K/V stay replicated
+    under TP: only the LM KV cache is worth sharding."""
+    from audax.models.two_tower import adapter_cross_kv
     enc = encode(audio_params, audio_cfg, mels, dtype)
+    ck, cv = adapter_cross_kv(adapter_params, enc.astype(dtype), heads)
     b = state.tokens.shape[0]
     max_len = state.tokens.shape[1]
     fresh, src = _onehot_select(slot_ids, b)
     keep = ~fresh
     return _GenState(
         state.cache,
-        _select_rows(fresh, src, state.enc, enc, axis=0),
+        _select_rows(fresh, src, state.cross_k, ck, axis=0),
+        _select_rows(fresh, src, state.cross_v, cv, axis=0),
         jnp.where(fresh[:, None], prompt_row[None], state.tokens),
         jnp.where(keep, state.pos, 0),
         jnp.where(keep, state.done, False),
@@ -535,19 +552,20 @@ def _gen_admit(audio_params, state: _GenState, mels,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lm_cfg", "heads", "eos_id", "n_steps", "dtype",
+    static_argnames=("lm_cfg", "eos_id", "n_steps", "dtype",
                      "temperature", "mesh"),
     donate_argnames=("state",))
-def _gen_chunk(params, lm_cfg, state: _GenState, *, heads: int,
+def _gen_chunk(params, lm_cfg, state: _GenState, *,
                eos_id: int, n_steps: int, dtype,
                temperature: float, mesh=None) -> _GenState:
-    """Ragged two-tower decode chunk: embed → adapter-fuse → LM step →
-    sample. Sampling keys are ``fold_in(fold_in(base, seed[b]), pos[b])``
-    — a function of the REQUEST (seed) and its own depth only, so a
-    request's sampled tokens are bit-identical regardless of which slot
-    it lands in or what its neighbours are doing."""
+    """Ragged two-tower decode chunk: embed → adapter-fuse (precomputed
+    cross-K/V) → LM step → sample. Sampling keys are
+    ``fold_in(fold_in(base, seed[b]), pos[b])`` — a function of the
+    REQUEST (seed) and its own depth only, so a request's sampled tokens
+    are bit-identical regardless of which slot it lands in or what its
+    neighbours are doing."""
     from audax.models.causal_lm import embed_tokens, lm_decode_step
-    from audax.models.two_tower import adapter_apply
+    from audax.models.two_tower import adapter_apply_kv
 
     b, _ = state.tokens.shape
     bidx = jnp.arange(b)
@@ -563,8 +581,8 @@ def _gen_chunk(params, lm_cfg, state: _GenState, *, heads: int,
         i, st = c
         tok = st.tokens[bidx, st.pos]
         text = embed_tokens(params["lm"], tok[:, None], dtype)
-        emb = adapter_apply(params["adapter"], text,
-                            st.enc.astype(dtype), heads)[:, 0]
+        emb = adapter_apply_kv(params["adapter"], text,
+                               st.cross_k, st.cross_v)[:, 0]
         logits, cache = lm_decode_step(params["lm"], lm_cfg, emb, st.pos,
                                        st.cache, dtype)
         logits = logits.astype(jnp.float32)
@@ -630,6 +648,8 @@ class ContinuousGenerator(_SlotEngine):
     def _init_state(self, s: int, d_audio: int) -> _GenState:
         from audax.models.causal_lm import init_lm_cache
         b = self.slots
+        heads = self.model.cfg.adapter_heads
+        hd = self.model.lm_cfg.d_model // heads
         cache = init_lm_cache(self.model.lm_cfg, b, self._max_len,
                               self.dtype)
         if self.mesh is not None:
@@ -637,7 +657,8 @@ class ContinuousGenerator(_SlotEngine):
                                   b, cache, put=True)
         return _GenState(
             cache,
-            jnp.zeros((b, s, d_audio), self.dtype),
+            jnp.zeros((b, heads, s, hd), self.dtype),
+            jnp.zeros((b, heads, s, hd), self.dtype),
             jnp.zeros((b, self._max_len), jnp.int32),
             jnp.zeros((b,), jnp.int32),
             jnp.ones((b,), bool),                  # all slots free
@@ -665,15 +686,16 @@ class ContinuousGenerator(_SlotEngine):
                 seeds[j] = e[0]
         mels = self.frontend(jnp.asarray(batch))
         self._state = _gen_admit(
-            self.model.audio_params, self._state, mels, self._prompt_row,
+            self.model.audio_params, self.params["adapter"], self._state,
+            mels, self._prompt_row,
             jnp.asarray(slot_ids), jnp.asarray(budgets),
             jnp.asarray(seeds), audio_cfg=self.model.audio_cfg,
-            dtype=self.dtype)
+            heads=self.model.cfg.adapter_heads, dtype=self.dtype)
 
     def _chunk(self) -> None:
         self._state = _gen_chunk(
             self.params, self.model.lm_cfg, self._state,
-            heads=self.model.cfg.adapter_heads, eos_id=self._stop_id,
+            eos_id=self._stop_id,
             n_steps=self.steps_per_sync, dtype=self.dtype,
             temperature=self.temperature, mesh=self.mesh)
 

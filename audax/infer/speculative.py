@@ -72,6 +72,14 @@ def generate_speculative(
         raise ValueError("speculative decoding is the B=1 latency path")
     if p_len >= max_len:
         raise ValueError("max_len must exceed the prompt length")
+    if max_len - 1 + spec_tokens > min(cfg.n_text_ctx, draft_cfg.n_text_ctx):
+        # the last verify span starts at position max_len-1 and reads K
+        # rows of the position table; dynamic_slice would CLAMP the start
+        # and silently mis-position every span token near the cap
+        raise ValueError(
+            f"max_len={max_len} + spec_tokens={spec_tokens} overruns the "
+            f"position table (n_text_ctx={cfg.n_text_ctx}); cap max_len at "
+            f"n_text_ctx - spec_tokens + 1")
     kk = spec_tokens
     draft_dtype = draft_dtype or dtype
     neg_inf = jnp.finfo(jnp.float32).min

@@ -191,7 +191,14 @@ class Transcriber:
         max_len = min(prompt.shape[1] + self.max_new_tokens, self.cfg.n_text_ctx)
         if (denc is not None and temperature == 0.0 and rules is None
                 and self.beam_width == 1 and enc.shape[0] == 1):
-            # token-exact draft-verified greedy (single-stream latency path)
+            # token-exact draft-verified greedy (single-stream latency path).
+            # Verify spans read K positional rows starting at l-1, and
+            # dynamic_slice CLAMPS at the table edge — cap max_len so the
+            # last span (start max_len-1) still has K real rows, else tail
+            # tokens would silently get wrong position embeddings.
+            max_len = min(max_len,
+                          min(self.cfg.n_text_ctx, self.draft[1].n_text_ctx)
+                          - self.spec_tokens + 1)
             from audax.infer.speculative import generate_speculative
             return generate_speculative(
                 self.draft[0], self.params, self.draft[1], self.cfg,

@@ -37,7 +37,7 @@ from audax.models.whisper import encode as whisper_encode
 Params = Dict[str, Any]
 
 __all__ = ["TwoTowerModel", "init_adapter", "adapter_apply",
-           "build_two_tower"]
+           "adapter_cross_kv", "adapter_apply_kv", "build_two_tower"]
 
 
 # ----------------------------------------------------------- adapter ------
@@ -77,23 +77,44 @@ def _fwd(p, x):
         + p["bias"].astype(x.dtype)
 
 
-def adapter_apply(p: Params, text: jnp.ndarray, audio: jnp.ndarray,
-                  heads: int = 8) -> jnp.ndarray:
-    """Fuse text embeds [B, T, d] with audio states [B, S, da]: text-query
-    cross-attention + FFN, post-LN residuals (reference :157-188). Position-
-    independent in T, so T=1 decode steps reuse it unchanged."""
-    b, t, d = text.shape
+def adapter_cross_kv(p: Params, audio: jnp.ndarray, heads: int = 8
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Adapter cross-attention K/V from encoder states: [B, S, da] ->
+    (k, v) each [B, H, S, hd]. A function of the (frozen) audio tower
+    only, so decode loops compute it ONCE per clip — recomputing the
+    audio_proj + k/v projections per generated token costs O(S*d^2)
+    matmuls per step for values that never change."""
+    akv = _fwd(p["audio_proj"], audio)                          # [B, S, d]
+    b, _, d = akv.shape
     hd = d // heads
-    akv = _fwd(p["audio_proj"], audio.astype(text.dtype))       # [B, S, d]
-    q = _fwd(p["q"], text).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
     k = _fwd(p["k"], akv).reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
     v = _fwd(p["v"], akv).reshape(b, -1, heads, hd).transpose(0, 2, 1, 3)
+    return k, v
+
+
+def adapter_apply_kv(p: Params, text: jnp.ndarray, k: jnp.ndarray,
+                     v: jnp.ndarray) -> jnp.ndarray:
+    """Adapter forward from precomputed cross-K/V (``adapter_cross_kv``):
+    text [B, T, d] + k/v [B, H, S, hd] -> fused [B, T, d]."""
+    b, t, d = text.shape
+    heads = k.shape[1]
+    hd = d // heads
+    q = _fwd(p["q"], text).reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
     from audax.ops.attention import dot_product_attention
     attn = dot_product_attention(q, k, v, scale=hd ** -0.5)
     attn = _fwd(p["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, d))
     x = _ln(p["ln1"], text + attn)
     h = _fwd(p["ffn_out"], jax.nn.gelu(_fwd(p["ffn_in"], x), approximate=False))
     return _ln(p["ln2"], x + h)
+
+
+def adapter_apply(p: Params, text: jnp.ndarray, audio: jnp.ndarray,
+                  heads: int = 8) -> jnp.ndarray:
+    """Fuse text embeds [B, T, d] with audio states [B, S, da]: text-query
+    cross-attention + FFN, post-LN residuals (reference :157-188). Position-
+    independent in T, so T=1 decode steps reuse it unchanged."""
+    k, v = adapter_cross_kv(p, audio.astype(text.dtype), heads)
+    return adapter_apply_kv(p, text, k, v)
 
 
 def build_two_tower(
@@ -197,11 +218,13 @@ class TwoTowerModel(NamedTuple):
 
         adapter = params["adapter"]
         lm = params["lm"]
-        heads = self.cfg.adapter_heads
+        # cross-K/V depend only on the clip: compute once, not per token
+        ck, cv = adapter_cross_kv(adapter, enc.astype(dtype),
+                                  self.cfg.adapter_heads)
 
         def step_embed(tok):
             text = embed_tokens(lm, tok[:, None], dtype)       # [B, 1, d]
-            return adapter_apply(adapter, text, enc, heads)[:, 0]
+            return adapter_apply_kv(adapter, text, ck, cv)[:, 0]
 
         class Carry(NamedTuple):
             pos: jnp.ndarray

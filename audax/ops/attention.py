@@ -47,8 +47,7 @@ __all__ = ["flash_attention", "xla_attention", "dot_product_attention",
 _NEG = -1e30  # masking constant; -inf would NaN the m-recurrence
 
 
-def _pad_to(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
+from audax.ops.common import pad_to as _pad_to  # noqa: E402 - shared policy
 
 
 # ---------------------------------------------------------------- forward --
@@ -703,11 +702,7 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
 # ----------------------------------------------------------- dispatcher ---
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover - no backend at all
-        return False
+from audax.ops.common import on_tpu as _on_tpu  # noqa: E402 - shared policy
 
 
 _ENV_BACKEND = os.environ.get("AUDAX_ATTN_BACKEND", "").strip() or None

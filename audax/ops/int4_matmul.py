@@ -50,11 +50,7 @@ __all__ = ["fit_group", "quantize_int4", "dequantize_int4", "int4_matmul"]
 _ENV_BACKEND = os.environ.get("AUDAX_INT4_BACKEND") or None
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except Exception:
-        return False
+from audax.ops.common import on_tpu as _on_tpu  # noqa: E402 - shared policy
 
 
 def fit_group(k_dim: int, group: int = 128) -> int:
@@ -157,8 +153,7 @@ def _int4_kernel(l_ref, x_ref, w_ref, s_ref, o_ref, *, group: int):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _pad_to(n: int, m: int) -> int:
-    return -(-n // m) * m
+from audax.ops.common import pad_to as _pad_to  # noqa: E402 - shared policy
 
 
 def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scales: jnp.ndarray,

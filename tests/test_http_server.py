@@ -150,11 +150,74 @@ def test_long_audio_rejected_unless_truncate(server, rng, tmp_path):
     assert out["audio_seconds"] == 1.0           # the window that ran
 
 
+def test_scheduler_guards():
+    """Unit-level Scheduler contracts (no engine needed): submit refuses
+    when dead (503 path, not a hang-to-timeout), the in-flight cap raises
+    ServerBusy (429 path), and already-delivered results survive scheduler
+    death."""
+    from audax.cli.http_server import Scheduler, SchedulerDown, ServerBusy
+
+    class _Eng:
+        slots = 2
+
+        def live(self):
+            return 0
+
+        def pending(self):
+            return 0
+
+    s = Scheduler(_Eng(), max_inflight=2)       # never started: no thread
+    s.submit(np.zeros(4, np.float32))
+    s.submit(np.zeros(4, np.float32))
+    with pytest.raises(ServerBusy):
+        s.submit(np.zeros(4, np.float32))
+    s.dead = "boom"
+    with pytest.raises(SchedulerDown):
+        s.submit(np.zeros(4, np.float32))
+    # delivered results survive death sweeps: simulate run()'s handler
+    s2 = Scheduler(_Eng())
+    rid, ev = s2.submit(np.zeros(4, np.float32))
+    with s2._cv:
+        s2._results[rid] = "RESULT"
+        s2._events.pop(rid)
+        s2._submitted_at.pop(rid)
+    ev.set()
+    # death sweep must not clear it
+    with s2._cv:
+        s2.dead = "late failure"
+        undelivered = {r: e for r, e in s2._events.items()
+                       if r not in s2._results}
+        for r in undelivered:
+            s2._events.pop(r, None)
+    assert s2.result(rid) == "RESULT"
+
+
+def test_window_context_mismatch_fails_fast():
+    """A window that doesn't match cfg.n_audio_ctx must raise at
+    construction, not as a broadcast TypeError inside the first admit's
+    jit on the scheduler thread."""
+    tok = WhisperTokenizer(train_bpe(["hello world"] * 3, vocab_size=280))
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=50, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=32)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    with pytest.raises(ValueError, match="n_audio_ctx"):
+        ContinuousBatcher(params, cfg, tok, slots=2, window_seconds=2.0)
+
+
 def test_error_paths(server):
     _, port = server
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(_url(port, "/nope"), timeout=60)
     assert e.value.code == 404
+    # malformed Content-Length via a raw socket (urllib normalizes it):
+    # must get a 400 JSON response, not a dropped connection
+    import socket
+    with socket.create_connection(("127.0.0.1", port), timeout=60) as sk:
+        sk.sendall(b"POST /v1/audio/transcriptions HTTP/1.1\r\n"
+                   b"Host: x\r\nContent-Length: abc\r\n\r\n")
+        head = sk.recv(4096).decode(errors="replace")
+    assert " 400 " in head.splitlines()[0], head
     with pytest.raises(urllib.error.HTTPError) as e:
         req = urllib.request.Request(
             _url(port, "/v1/audio/transcriptions"), data=b"", method="POST")

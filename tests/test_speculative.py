@@ -56,6 +56,21 @@ def test_speculative_token_exact(models, spec_tokens):
     _check_match(ref, out)
 
 
+def test_speculative_position_table_guard(models):
+    """max_len + spec_tokens beyond the position table must raise: the
+    verify span's dynamic_slice would CLAMP at the table edge and silently
+    mis-position tail tokens (review finding). n_text_ctx=64 here, so
+    max_len=60, K=8 overruns (60-1+8 > 64)."""
+    target, draft, enc, denc = models
+    prompt = jnp.asarray([[5, 9]], jnp.int32)
+    with pytest.raises(ValueError, match="position table"):
+        generate_speculative(draft, target, DRAFT, TARGET, denc, enc,
+                             prompt, max_len=60, eos_id=1, spec_tokens=8)
+    # the boundary case is allowed: last span start 56, 8 rows end at 63
+    generate_speculative(draft, target, DRAFT, TARGET, denc, enc,
+                         prompt, max_len=57, eos_id=1, spec_tokens=8)
+
+
 def test_speculative_with_suppression(models):
     target, draft, enc, denc = models
     prompt = jnp.asarray([[5]], jnp.int32)

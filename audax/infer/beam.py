@@ -127,9 +127,14 @@ def beam_search(
         cache = jax.tree.map(lambda a: a[:, src], cache)
 
         nxt = new_tok.reshape(-1)
-        # during the prompt, force the prompt token and keep scores at init
+        # during the prompt, force the prompt token and keep scores at init.
+        # c.scores must stay UNGATHERED here: during prompt steps every
+        # top-k candidate routes through beam 0 (lanes 1..W-1 sit at -inf),
+        # so pick(c.scores) would copy beam 0's score 0 into every lane —
+        # destroying the -inf lane init and collapsing the search into W
+        # identical greedy decodes once real expansion starts.
         nxt = jnp.where(in_prompt, tokens[:, c.pos + 1], nxt)
-        scores = jnp.where(in_prompt, pick(c.scores), scores)
+        scores = jnp.where(in_prompt, c.scores, scores)
         nxt = jnp.where(done, eos_id, nxt)
         tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, c.pos + 1))
 

@@ -417,9 +417,12 @@ class Transcriber:
                         offset)
                 segments.extend(seg_i)
         else:
-            # fixed group shape: a short last group is padded with duplicate
-            # chunks so every group compiles with one batch size
-            group_size = min(batch_chunks, len(chunks))
+            # fixed group shape: short groups (including files with fewer
+            # chunks than batch_chunks) are padded with duplicate chunks so
+            # every group runs the ONE warmed batch_chunks-sized program —
+            # shrinking the group would compile a fresh XLA shape at serve
+            # time (minutes over the tunnel) despite warmup()
+            group_size = batch_chunks
             prompt_row = list(self._prompt(1, None, lang)[0])
             for i in range(0, len(chunks), group_size):
                 group = chunks[i: i + group_size]
@@ -445,10 +448,19 @@ class Transcriber:
                             offset)
                     segments.extend(seg_i)
         wall = time.perf_counter() - t0
+        total_s = n / self.frontend.cfg.sample_rate
+        # the final chunk is zero-padded to chunk_seconds: clamp segment
+        # spans to the real audio duration (a 35 s file must not report a
+        # segment ending at 60 s)
+        for s in segments:
+            if s.end > total_s:
+                s.end = total_s
+            if s.start > s.end:
+                s.start = s.end
         return TranscriptionResult(
             text="".join(s.text for s in segments).strip(),
             segments=segments,
-            audio_seconds=n / self.frontend.cfg.sample_rate,
+            audio_seconds=total_s,
             wall_seconds=wall)
 
     def _split_segments(self, ids: List[int], offset: float, avg_lp: float,

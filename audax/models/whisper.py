@@ -182,19 +182,11 @@ def attention(p: Params, x: jnp.ndarray, heads: int, *,
         out = decode_attention(q, kv_cached, scale=scale)
         return dense(p["out"], _merge_heads(out))
     if isinstance(kv_cached, QuantKV):
-        # int8 KV: scales fold into the einsums (see QuantKV docstring)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q * scale,
-                            kv_cached.k_q.astype(x.dtype))
-        scores = scores * kv_cached.k_scale[:, :, None, :].astype(x.dtype)
-        if mask is not None:
-            scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
-        probs = jax.nn.softmax(scores.astype(jnp.float32),
-                               axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd",
-                         probs * kv_cached.v_scale[:, :, None, :
-                                                   ].astype(x.dtype),
-                         kv_cached.v_q.astype(x.dtype))
-        return dense(p["out"], _merge_heads(out))
+        # every int8-KV caller is maskless and took the decode fast path
+        # above; a second einsum implementation here could only drift
+        # untested from ops/attention.py's quant handling
+        raise NotImplementedError("QuantKV attention with an explicit mask "
+                                  "has no caller; use the decode fast path")
     if kv_cached is not None:
         k, v = kv_cached
     else:
@@ -214,6 +206,25 @@ def _mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # encoder
 
+def conv_stem(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
+              dtype=jnp.float32) -> jnp.ndarray:
+    """Encoder conv stem: mel [B, T, n_mels] -> [B, T//2, d_model] with
+    positions added. Shared by ``encode`` and the sequence-parallel
+    encoder (parallel/sp.py) so the stem cannot silently diverge between
+    the plain and SP paths."""
+    p = params["encoder"]
+    x = mel.astype(dtype)
+    x = jax.nn.gelu(lax.conv_general_dilated(
+        x, p["conv1"]["kernel"].astype(dtype), window_strides=(1,),
+        padding=((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"))
+        + p["conv1"]["bias"].astype(dtype), approximate=False)
+    x = jax.nn.gelu(lax.conv_general_dilated(
+        x, p["conv2"]["kernel"].astype(dtype), window_strides=(2,),
+        padding=((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"))
+        + p["conv2"]["bias"].astype(dtype), approximate=False)
+    return x + p["pos"].astype(dtype)[None, : x.shape[1]]
+
+
 @functools.partial(jax.jit, static_argnums=(1, 3))
 def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
            dtype=jnp.float32) -> jnp.ndarray:
@@ -225,16 +236,7 @@ def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
     layer loop on every call (fresh body identity). Inside an outer jit
     it simply inlines."""
     p = params["encoder"]
-    x = mel.astype(dtype)
-    x = jax.nn.gelu(lax.conv_general_dilated(
-        x, p["conv1"]["kernel"].astype(dtype), window_strides=(1,),
-        padding=((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"))
-        + p["conv1"]["bias"].astype(dtype), approximate=False)
-    x = jax.nn.gelu(lax.conv_general_dilated(
-        x, p["conv2"]["kernel"].astype(dtype), window_strides=(2,),
-        padding=((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"))
-        + p["conv2"]["bias"].astype(dtype), approximate=False)
-    x = x + p["pos"].astype(dtype)[None, : x.shape[1]]
+    x = conv_stem(params, cfg, mel, dtype)
 
     def body(x, layer):
         h = layer_norm(layer["attn_ln"], x)

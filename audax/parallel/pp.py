@@ -26,7 +26,7 @@ except ImportError:  # pragma: no cover - older jax
 
 from audax.core.config import WhisperConfig
 from audax.models.whisper import attention, dense, layer_norm, _mlp
-from audax.parallel.sp import _conv_frontend
+from audax.models.whisper import conv_stem
 
 __all__ = ["encode_pipelined"]
 
@@ -42,7 +42,7 @@ def encode_pipelined(
     if cfg.encoder_layers % n_stages:
         raise ValueError(f"{cfg.encoder_layers} layers not divisible by "
                          f"{n_stages} stages")
-    x = _conv_frontend(params, cfg, mel, dtype)        # [B, S, d]
+    x = conv_stem(params, cfg, mel, dtype)             # [B, S, d]
     b = x.shape[0]
     if b % n_micro:
         raise ValueError(f"batch {b} not divisible by n_micro={n_micro}")

@@ -22,6 +22,7 @@ online softmax is algebraically the same sum) and compose with the
 
 from __future__ import annotations
 
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -34,24 +35,10 @@ except ImportError:                    # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from audax.core.config import WhisperConfig
-from audax.models.whisper import dense, layer_norm, _merge_heads, _mlp, _split_heads
+from audax.models.whisper import (conv_stem, dense, layer_norm, _merge_heads,
+                                  _mlp, _split_heads)
 
 __all__ = ["encode_sequence_parallel"]
-
-
-def _conv_frontend(params, cfg: WhisperConfig, mel: jnp.ndarray,
-                   dtype=jnp.float32) -> jnp.ndarray:
-    p = params["encoder"]
-    x = mel.astype(dtype)
-    x = jax.nn.gelu(lax.conv_general_dilated(
-        x, p["conv1"]["kernel"].astype(dtype), window_strides=(1,),
-        padding=((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"))
-        + p["conv1"]["bias"].astype(dtype), approximate=False)
-    x = jax.nn.gelu(lax.conv_general_dilated(
-        x, p["conv2"]["kernel"].astype(dtype), window_strides=(2,),
-        padding=((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"))
-        + p["conv2"]["bias"].astype(dtype), approximate=False)
-    return x + p["pos"].astype(dtype)[None, : x.shape[1]]
 
 
 def _ring_attention(q, k, v, *, seq_axis: str, n_seq: int, dtype):
@@ -94,6 +81,9 @@ def _ring_attention(q, k, v, *, seq_axis: str, n_seq: int, dtype):
     return (o / l).astype(dtype)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "seq_axis", "data_axis", "dtype", "ring"))
 def encode_sequence_parallel(
     params, cfg: WhisperConfig, mel: jnp.ndarray, mesh: Mesh,
     *, seq_axis: str = "seq", data_axis: str = "data", dtype=jnp.float32,
@@ -104,13 +94,22 @@ def encode_sequence_parallel(
 
     ``ring=True`` uses ppermute ring attention (per-device KV stays one
     block); ``ring=False`` all-gathers full K/V per layer. Requires
-    (T_frames // 2) divisible by the seq-axis size.
+    (T_frames // 2) divisible by the seq-axis size and B divisible by the
+    data-axis size.
+
+    Def-site jitted (cfg/mesh/dtype static) for the same reason as
+    ``whisper.encode``: eager per-call use would re-trace the layer
+    ``lax.scan`` (fresh ``local_stack`` closure identity) and recompile
+    the whole encoder every invocation.
     """
-    x = _conv_frontend(params, cfg, mel, dtype)      # [B, S, d]
-    s = x.shape[1]
+    x = conv_stem(params, cfg, mel, dtype)           # [B, S, d]
+    b, s = x.shape[0], x.shape[1]
     n_seq = mesh.shape[seq_axis]
     if s % n_seq:
         raise ValueError(f"sequence {s} not divisible by seq axis {n_seq}")
+    n_data = mesh.shape[data_axis]
+    if b % n_data:
+        raise ValueError(f"batch {b} not divisible by data axis {n_data}")
 
     enc_layers = params["encoder"]["layers"]
     enc_ln = params["encoder"]["ln"]
@@ -148,5 +147,7 @@ def encode_sequence_parallel(
         in_specs=(P(data_axis, seq_axis, None), P(), P()),
         out_specs=P(data_axis, seq_axis, None),
     )
-    x = jax.device_put(x, NamedSharding(mesh, P(data_axis, seq_axis, None)))
+    # sharding constraint (jit-compatible; device_put would be a transfer)
+    x = lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(data_axis, seq_axis, None)))
     return sharded(x, enc_layers, enc_ln)

@@ -51,6 +51,23 @@ def test_beam_width_scores_sorted_and_distinct(model, rng):
     assert scores[0] >= scores[-1]
 
 
+def test_beam_diverse_with_multitoken_prompt(model, rng):
+    """Regression (review finding): with ANY prompt length >= 2 — every
+    real SOT sequence is >= 3 tokens — the prompt-step score update used
+    to gather beam 0's score 0 into every lane, wiping the -inf lane init
+    and collapsing beam search into W identical greedy decodes."""
+    enc = _enc(model, rng, b=1)
+    for p in ([[1, 5]], [[1, 5, 9]]):
+        prompt = jnp.asarray(p, jnp.int32)
+        beam = beam_search(model, CFG, enc, prompt, max_len=16, eos_id=2,
+                           beam_width=4)
+        toks = np.asarray(beam.tokens[0])
+        assert len({tuple(row) for row in toks}) >= 2, (p, toks)
+        scores = np.asarray(beam.scores[0])
+        # distinct hypotheses should not all carry one identical score
+        assert len(set(np.round(scores, 5))) >= 2, scores
+
+
 def test_beam_best_at_least_greedy(model, rng):
     """Length-normalized best-beam score >= the greedy path's avg logprob
     (beam explores a superset)."""

@@ -21,6 +21,7 @@ Fixes designed in, not bolted on:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -209,51 +210,69 @@ class TwoTowerModel(NamedTuple):
                  temperature: float = 0.7,
                  rng: Optional[jax.Array] = None,
                  dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Sample ABC ids [B, max_len]; returns (tokens, lengths)."""
-        b = enc.shape[0]
+        """Sample ABC ids [B, max_len]; returns (tokens, lengths).
+
+        Dispatches to a def-site-jitted impl: eager per-call use (the
+        note-F1 eval, inference CLI) would otherwise re-trace the decode
+        while_loop every call — fresh closure identity, CLAUDE.md gotcha."""
         rng = rng if rng is not None else jax.random.key(0)
-        cache = init_lm_cache(self.lm_cfg, b, max_len, dtype)
-        tokens = jnp.full((b, max_len), end_id, jnp.int32)
-        tokens = tokens.at[:, 0].set(start_id)
+        return _generate_jit(params, enc, rng, lm_cfg=self.lm_cfg,
+                             heads=self.cfg.adapter_heads,
+                             start_id=start_id, end_id=end_id,
+                             max_len=max_len, temperature=temperature,
+                             dtype=dtype)
 
-        adapter = params["adapter"]
-        lm = params["lm"]
-        # cross-K/V depend only on the clip: compute once, not per token
-        ck, cv = adapter_cross_kv(adapter, enc.astype(dtype),
-                                  self.cfg.adapter_heads)
 
-        def step_embed(tok):
-            text = embed_tokens(lm, tok[:, None], dtype)       # [B, 1, d]
-            return adapter_apply_kv(adapter, text, ck, cv)[:, 0]
+@functools.partial(
+    jax.jit,
+    static_argnames=("lm_cfg", "heads", "start_id", "end_id", "max_len",
+                     "temperature", "dtype"))
+def _generate_jit(params: Params, enc: jnp.ndarray, rng: jax.Array, *,
+                  lm_cfg: CausalLMConfig, heads: int, start_id: int,
+                  end_id: int, max_len: int, temperature: float,
+                  dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b = enc.shape[0]
+    cache = init_lm_cache(lm_cfg, b, max_len, dtype)
+    tokens = jnp.full((b, max_len), end_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(start_id)
 
-        class Carry(NamedTuple):
-            pos: jnp.ndarray
-            tokens: jnp.ndarray
-            cache: LMKVCache
-            done: jnp.ndarray
-            lengths: jnp.ndarray
+    adapter = params["adapter"]
+    lm = params["lm"]
+    # cross-K/V depend only on the clip: compute once, not per token
+    ck, cv = adapter_cross_kv(adapter, enc.astype(dtype), heads)
 
-        def cond(c):
-            return jnp.logical_and(c.pos < max_len - 1, ~jnp.all(c.done))
+    def step_embed(tok):
+        text = embed_tokens(lm, tok[:, None], dtype)           # [B, 1, d]
+        return adapter_apply_kv(adapter, text, ck, cv)[:, 0]
 
-        def body(c):
-            emb = step_embed(c.tokens[:, c.pos])
-            logits, cache = lm_decode_step(lm, self.lm_cfg, emb, c.pos,
-                                           c.cache, dtype)
-            key = jax.random.fold_in(rng, c.pos)
-            if temperature == 0.0:
-                nxt = jnp.argmax(logits, -1).astype(jnp.int32)
-            else:
-                nxt = jax.random.categorical(key, logits / temperature,
-                                             -1).astype(jnp.int32)
-            nxt = jnp.where(c.done, end_id, nxt)
-            tokens = c.tokens.at[:, c.pos + 1].set(nxt)
-            newly = jnp.logical_and(~c.done, nxt == end_id)
-            done = jnp.logical_or(c.done, newly)
-            lengths = jnp.where(newly, c.pos + 2, c.lengths)
-            return Carry(c.pos + 1, tokens, cache, done, lengths)
+    class Carry(NamedTuple):
+        pos: jnp.ndarray
+        tokens: jnp.ndarray
+        cache: LMKVCache
+        done: jnp.ndarray
+        lengths: jnp.ndarray
 
-        init = Carry(jnp.int32(0), tokens, cache, jnp.zeros((b,), bool),
-                     jnp.full((b,), max_len, jnp.int32))
-        final = lax.while_loop(cond, body, init)
-        return final.tokens, final.lengths
+    def cond(c):
+        return jnp.logical_and(c.pos < max_len - 1, ~jnp.all(c.done))
+
+    def body(c):
+        emb = step_embed(c.tokens[:, c.pos])
+        logits, cache = lm_decode_step(lm, lm_cfg, emb, c.pos, c.cache,
+                                       dtype)
+        key = jax.random.fold_in(rng, c.pos)
+        if temperature == 0.0:
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(key, logits / temperature,
+                                         -1).astype(jnp.int32)
+        nxt = jnp.where(c.done, end_id, nxt)
+        tokens = c.tokens.at[:, c.pos + 1].set(nxt)
+        newly = jnp.logical_and(~c.done, nxt == end_id)
+        done = jnp.logical_or(c.done, newly)
+        lengths = jnp.where(newly, c.pos + 2, c.lengths)
+        return Carry(c.pos + 1, tokens, cache, done, lengths)
+
+    init = Carry(jnp.int32(0), tokens, cache, jnp.zeros((b,), bool),
+                 jnp.full((b,), max_len, jnp.int32))
+    final = lax.while_loop(cond, body, init)
+    return final.tokens, final.lengths

@@ -98,16 +98,30 @@ def fit_classifier(
     history: Dict[str, list] = {"train_loss": [], "eval": []}
 
     # mid-run resume: continue from the last persisted epoch (the reference
-    # had save/load but never wired resume — SURVEY.md §5 checkpoint/resume)
+    # had save/load but never wired resume — SURVEY.md §5 checkpoint/resume).
+    # opt_state and step travel too: restoring params alone would reset the
+    # Adam moments (loss spike) and replay the early steps' dropout keys
+    # (train_step folds state.step into the rng)
     start_epoch = 0
     if ckpt_manager is not None and ckpt_manager.latest_step() is not None:
-        restored = ckpt_manager.restore({"params": state.params,
-                                         "batch_stats": state.batch_stats})
+        template = {"params": state.params, "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state, "step": state.step}
+        try:
+            restored = ckpt_manager.restore(template)
+        except Exception:  # older checkpoints persisted params only
+            restored = ckpt_manager.restore(
+                {"params": state.params, "batch_stats": state.batch_stats})
+            restored = {**restored, "opt_state": state.opt_state,
+                        "step": state.step}
+            log.warning("checkpoint has no optimizer state (old format); "
+                        "Adam moments reset")
         # orbax restores to one device; re-replicate over the mesh
         from audax.parallel.mesh import replicated
         restored = jax.device_put(restored, replicated(mesh))
         state = state.replace(params=restored["params"],
-                              batch_stats=restored["batch_stats"])
+                              batch_stats=restored["batch_stats"],
+                              opt_state=restored["opt_state"],
+                              step=restored["step"])
         start_epoch = int(ckpt_manager.latest_step()) + 1
         log.info("resumed from epoch %d", start_epoch - 1)
 
@@ -150,7 +164,9 @@ def fit_classifier(
                       if isinstance(v, float)})
         if ckpt_manager is not None:
             ckpt_manager.save(epoch, {"params": state.params,
-                                      "batch_stats": state.batch_stats},
+                                      "batch_stats": state.batch_stats,
+                                      "opt_state": state.opt_state,
+                                      "step": state.step},
                               metrics={"val_loss": record.get("eval_loss", train_loss)})
     if ckpt_manager is not None:
         ckpt_manager.wait()

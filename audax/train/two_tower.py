@@ -208,13 +208,20 @@ def trainable_param_counts(model: TwoTowerModel, mask: jnp.ndarray
 # ------------------------------------------------------ checkpoints -------
 def save_trainable_checkpoint(path: str, state: TwoTowerState,
                               model: TwoTowerModel,
-                              extra: Optional[Dict] = None) -> None:
+                              extra: Optional[Dict] = None,
+                              *, save_optimizer: bool = True,
+                              block: bool = True):
     """Persist adapter + top-K LM layer slices + embeddings/norm/lm_head +
-    optimizer state (reference scheme, train.py:281-334): frozen content is
-    reconstructable, so it is not serialized."""
+    optimizer state (reference scheme, train.py:281-334): frozen LM layers
+    are reconstructable, so they are not serialized. ``save_optimizer``
+    keeps the full opt_state (Adam moments AND the plateau-scheduler's
+    scaled learning rates live inside it — dropping it on resume would
+    restart at the original LR with zero moments). ``block=False`` returns
+    the async checkpointer; call ``wait_until_finished()`` before relying
+    on the write."""
     from audax.train.checkpoints import save_pytree
 
-    k = model.cfg.top_k_unfrozen_layers
+    k = min(model.cfg.top_k_unfrozen_layers, model.lm_cfg.layers)
     n = model.lm_cfg.layers
     lm = state.params["lm"]
     trainable = {
@@ -223,19 +230,26 @@ def save_trainable_checkpoint(path: str, state: TwoTowerState,
         "lm_other": {key: val for key, val in lm.items() if key != "layers"},
         "step": state.step,
     }
+    if save_optimizer:
+        trainable["opt_state"] = state.opt_state
     if extra:
         trainable["extra"] = extra
-    save_pytree(path, trainable)
+    return save_pytree(path, trainable, block=block)
 
 
-def load_trainable_checkpoint(path: str, model: TwoTowerModel
-                              ) -> TwoTowerModel:
+def load_trainable_checkpoint(path: str, model: TwoTowerModel,
+                              *, return_saved: bool = False):
     """Merge a trainable-only checkpoint over freshly-built params
-    (format-aware loader, reference train.py:336-362 / inference.py:53-89)."""
+    (format-aware loader, reference train.py:336-362 / inference.py:53-89).
+    ``return_saved=True`` additionally returns the raw saved dict (step,
+    opt_state when present) for mid-run resume."""
     from audax.train.checkpoints import load_pytree
 
     saved = load_pytree(path)
-    k = model.cfg.top_k_unfrozen_layers
+    # clamp like the save side: top_k beyond the layer count means
+    # "everything trainable" — an unclamped n-k slice would splice fresh
+    # random layers under the trained ones
+    k = min(model.cfg.top_k_unfrozen_layers, model.lm_cfg.layers)
     n = model.lm_cfg.layers
     lm = dict(model.params["lm"])
     lm["layers"] = jax.tree.map(
@@ -245,4 +259,5 @@ def load_trainable_checkpoint(path: str, model: TwoTowerModel
                jax.tree.map(jnp.asarray, val)
                for key, val in saved["lm_other"].items()})
     params = {"adapter": jax.tree.map(jnp.asarray, saved["adapter"]), "lm": lm}
-    return model._replace(params=params)
+    out = model._replace(params=params)
+    return (out, saved) if return_saved else out

@@ -11,6 +11,7 @@ inside the loop — SURVEY.md §3.4 calls it the major perf sink).
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -91,10 +92,18 @@ def collate_music(examples: List, frontend: LogMelFrontend,
     """Waveform list -> padded batch -> device-batched log-mel + token ids.
     (reference collate_fn train.py:207-228 + per-sample whisper mel, fused
     and batched here)."""
-    n_samples = int(chunk_seconds * frontend.cfg.sample_rate)
+    sr = frontend.cfg.sample_rate
+    n_samples = int(chunk_seconds * sr)
     wavs = np.zeros((len(examples), n_samples), np.float32)
     for i, ex in enumerate(examples):
-        w = ex.waveform[:n_samples]
+        w = ex.waveform
+        ex_sr = getattr(ex, "sample_rate", sr)
+        if ex_sr != sr:
+            # a parquet rendered at another rate would otherwise train on
+            # pitch-shifted, time-compressed spectrograms with no error
+            from audax.data.audio_io import resample
+            w = np.asarray(resample(w, ex_sr, sr))
+        w = w[:n_samples]
         wavs[i, : len(w)] = w
     mel = frontend(jnp.asarray(wavs))
     return {
@@ -112,8 +121,14 @@ def _batches(ds: MusicDataset, idx: np.ndarray, batch_size: int,
     order = idx.copy()
     if shuffle_rng is not None:
         shuffle_rng.shuffle(order)
-    for start in range(0, len(order) - batch_size + 1, batch_size):
-        group = [ds[int(i)] for i in order[start: start + batch_size]]
+    # a split smaller than batch_size still trains: clamp rather than
+    # silently yielding zero batches (which reported train_loss 0.0 and
+    # checkpointed an untrained model)
+    bs = min(batch_size, len(order))
+    if bs == 0:
+        return
+    for start in range(0, len(order) - bs + 1, bs):
+        group = [ds[int(i)] for i in order[start: start + bs]]
         yield collate_music(group, frontend, chunk_seconds)
 
 
@@ -131,6 +146,7 @@ def fit_two_tower(
     plateau_factor: float = 0.5,
     note_eval_every: int = 0,
     note_eval_samples: int = 4,
+    keep_epochs: int = 3,
 ) -> Tuple[TwoTowerState, Dict]:
     cfg = model.cfg
     frontend = frontend or LogMelFrontend.whisper(model.audio_cfg.n_mels)
@@ -157,19 +173,28 @@ def fit_two_tower(
     best_val = float("inf")
     epochs_since_improvement = 0
     shuffle_rng = np.random.default_rng(cfg.seed + 1)
+    epoch_handles: list = []       # (epoch, async checkpointer) in flight
+    best_handle = None
 
     for epoch in range(cfg.epochs):
         losses = []
+        log_at = []            # (batch index, step) to sink after the fetch
         for i, batch in enumerate(_batches(dataset, train_idx, cfg.batch_size,
                                            frontend, chunk_seconds,
                                            shuffle_rng=shuffle_rng)):
             state, m = train_step(state, batch)
             losses.append(m["loss"])
             if sink and (i + 1) % log_every == 0:
-                sink.log({"batch_loss": float(m["loss"]), "epoch": epoch},
-                         step=int(state.step))
-        train_loss = (float(np.asarray(jnp.stack(losses)).mean())
-                      if losses else 0.0)
+                log_at.append((i, int(state.step)))
+        # ONE device->host fetch per epoch (a float() per log_every batch
+        # stalls the dispatch pipeline ~0.5 s/round-trip on the tunnel);
+        # batch-loss sink records are emitted from the fetched array
+        fetched = np.asarray(jnp.stack(losses)) if losses else np.zeros(0)
+        train_loss = float(fetched.mean()) if losses else 0.0
+        if sink:
+            for i, step_no in log_at:
+                sink.log({"batch_loss": float(fetched[i]), "epoch": epoch},
+                         step=step_no)
         history["train_loss"].append(train_loss)
 
         val_losses = []
@@ -197,17 +222,32 @@ def fit_two_tower(
                      val_loss)
 
         if ckpt_dir:
-            save_trainable_checkpoint(
+            # async: the write overlaps the next epoch's compute (orbax
+            # snapshots to host inside save); handles are awaited before
+            # return and before a path is pruned or rewritten
+            h = save_trainable_checkpoint(
                 os.path.join(ckpt_dir, f"epoch_{epoch:03d}"),
-                state, model, extra={"epoch": epoch, "val_loss": val_loss})
+                state, model, extra={"epoch": epoch, "val_loss": val_loss},
+                block=False)
+            epoch_handles.append((epoch, h))
+            # retention: keep the last keep_epochs epoch dirs
+            while keep_epochs and len(epoch_handles) > keep_epochs:
+                old_epoch, old_h = epoch_handles.pop(0)
+                old_h.wait_until_finished()
+                shutil.rmtree(os.path.join(ckpt_dir,
+                                           f"epoch_{old_epoch:03d}"),
+                              ignore_errors=True)
         # best-model tracking + ReduceLROnPlateau (train.py:467,524,538-544)
         if val_loss < best_val - 1e-6:
             best_val = val_loss
             epochs_since_improvement = 0
             if ckpt_dir:
-                save_trainable_checkpoint(
+                if best_handle is not None:     # same path: finish previous
+                    best_handle.wait_until_finished()
+                best_handle = save_trainable_checkpoint(
                     os.path.join(ckpt_dir, "best_model"), state, model,
-                    extra={"epoch": epoch, "val_loss": val_loss})
+                    extra={"epoch": epoch, "val_loss": val_loss},
+                    block=False)
         else:
             epochs_since_improvement += 1
             if epochs_since_improvement >= plateau_patience:
@@ -216,6 +256,10 @@ def fit_two_tower(
                 epochs_since_improvement = 0
                 log.info("plateau: scaled learning rates by %.2f",
                          plateau_factor)
+    for _, h in epoch_handles:
+        h.wait_until_finished()
+    if best_handle is not None:
+        best_handle.wait_until_finished()
     return state, history
 
 

@@ -177,6 +177,29 @@ def test_demo_server_endpoints(tmp_path, rng):
         server.shutdown()
 
 
+def test_best_tracking_keeps_latest(tmp_path, rng):
+    """Regression (review finding, empirically confirmed): an orbax best_fn
+    made retention keep the best-N steps and DELETE the latest — a run
+    whose metric worsened lost its final checkpoints, breaking resume and
+    the 'test from the final checkpoint' protocol. Best is now tracked
+    side-band; retention keeps the latest steps."""
+    from audax.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2,
+                            best_metric="val_loss")
+    for step, v in enumerate([1.0, 0.5, 0.9, 1.2, 1.5]):
+        mgr.save(step, {"w": np.full(4, float(step), np.float32)},
+                 metrics={"val_loss": v})
+    mgr.wait()
+    assert mgr.latest_step() == 4          # newest survives retention
+    assert mgr.best_step() == 1            # best tracked independently
+    latest = mgr.restore({"w": np.zeros(4, np.float32)})
+    assert float(latest["w"][0]) == 4.0
+    best = mgr.restore_best({"w": np.zeros(4, np.float32)})
+    assert float(best["w"][0]) == 1.0
+    mgr.close()
+
+
 def test_async_save_then_kill_restores(tmp_path, rng):
     """Async epoch saves must survive an abrupt end of the writing process:
     after save()+wait() the manager object is dropped WITHOUT close() (the

@@ -175,6 +175,40 @@ def test_trainable_checkpoint_roundtrip(model, tmp_path, rng):
     got = restored.loss(restored.params, enc, batch["input_ids"],
                         batch["attention_mask"])
     assert float(want) == pytest.approx(float(got), rel=1e-6)
+    # opt_state travels (Adam moments + plateau-scaled LRs live in it)
+    _, saved = load_trainable_checkpoint(path, fresh, return_saved=True)
+    assert "opt_state" in saved and int(saved["step"]) == 3
+
+
+def test_trainable_checkpoint_topk_exceeds_layers(model, tmp_path, rng):
+    """Regression (review finding): top_k_unfrozen_layers > n_layers means
+    'everything trainable'; the unclamped n-k slice spliced fresh random
+    layers under the trained ones on load. Round-trip must preserve ALL
+    layers exactly."""
+    from dataclasses import replace
+
+    big = model._replace(cfg=replace(TT, top_k_unfrozen_layers=LM.layers + 2))
+    tx, mask = init_two_tower_optimizer(big)
+    np.testing.assert_array_equal(np.asarray(mask), [1, 1, 1, 1])
+    state = TwoTowerState(step=jnp.int32(0), params=big.params,
+                          opt_state=tx.init(big.params), tx=tx,
+                          layer_mask=mask)
+    train_step, _ = make_two_tower_step(big)
+    batch = _batch(rng)
+    for _ in range(2):
+        state, _ = train_step(state, batch)
+    path = str(tmp_path / "tt_full")
+    save_trainable_checkpoint(path, state, big)
+    # fresh random params: every restored layer must equal the trained ones
+    fresh = TwoTowerModel(
+        big.audio_params, AUDIO,
+        {"adapter": big.params["adapter"],
+         "lm": jax.tree.map(lambda x: x * 0.0, big.params["lm"])},
+        LM, big.cfg)
+    restored = load_trainable_checkpoint(path, fresh)
+    for a, b in zip(jax.tree.leaves(restored.params["lm"]["layers"]),
+                    jax.tree.leaves(state.params["lm"]["layers"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_layer_unfreeze_mask_edges():

@@ -68,7 +68,13 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         else:
             raise ValueError(f"{path}: unsupported PCM bit depth {bits}")
     elif tag == _WAVE_FORMAT_IEEE_FLOAT:
-        dt = "<f4" if bits == 32 else "<f8"
+        if bits == 32:
+            dt = "<f4"
+        elif bits == 64:
+            dt = "<f8"
+        else:
+            raise ValueError(
+                f"{path}: IEEE-float WAV must be 32 or 64 bit, got {bits}")
         x = np.frombuffer(samples, dt).astype(np.float32)
     else:
         raise ValueError(f"{path}: unsupported format tag 0x{tag:04x}")

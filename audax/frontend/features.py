@@ -21,11 +21,34 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from audax.core.config import MelConfig
-from audax.ops.pallas_mel import log_mel_pallas
+from audax.ops.pallas_mel import log_mel_pallas, whisper_post_clamp
 from audax.ops.stft import log_mel_xla
 
 __all__ = ["LogMelFrontend", "pad_or_trim"]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend",
+                                             "whisper_frames", "mel_first"))
+def _frontend_impl(audio: jax.Array, *, cfg: MelConfig, backend: str,
+                   whisper_frames: bool, mel_first: bool) -> jax.Array:
+    """The whole frontend under ONE jit (eager slices/transposes cost a
+    ~0.5 s dispatch each over the tunnel). Whisper ordering matters: the
+    final STFT frame is dropped BEFORE the max-8 clamp — the reference's
+    WhisperFeatureExtractor trims, then takes the max, so a loud trimmed
+    frame must not set the clamp floor for the 3000 retained frames."""
+    fn = log_mel_pallas if backend == "pallas" else log_mel_xla
+    whisper_mode = cfg.log_mode == "whisper"
+    mel = fn(audio, cfg, whisper_post=not whisper_frames)
+    if whisper_frames:
+        mel = mel[..., :-1, :]
+        if whisper_mode:
+            mel = whisper_post_clamp(mel)
+    if mel_first:
+        mel = jnp.swapaxes(mel, -1, -2)
+    return mel
 
 
 def pad_or_trim(x: jax.Array, n_samples: int, axis: int = -1) -> jax.Array:
@@ -74,13 +97,9 @@ class LogMelFrontend:
         return cls(cfg, **kw)
 
     def __call__(self, audio: jax.Array, *, mel_first: bool = False) -> jax.Array:
-        fn = log_mel_pallas if self.backend == "pallas" else log_mel_xla
-        mel = fn(audio, self.cfg)
-        if self.whisper_frames:
-            mel = mel[..., :-1, :]
-        if mel_first:
-            mel = jnp.swapaxes(mel, -1, -2)
-        return mel
+        return _frontend_impl(audio, cfg=self.cfg, backend=self.backend,
+                              whisper_frames=self.whisper_frames,
+                              mel_first=mel_first)
 
     def num_frames(self, n_samples: int) -> int:
         t = self.cfg.frames_for(n_samples)

@@ -477,7 +477,12 @@ def decode_attention(q: jax.Array, kv, *, pos=None,
     s_len = k.shape[2]
     scale = float(scale if scale is not None else d ** -0.5)
     backend = backend or _ENV_BACKEND or ("pallas" if _on_tpu() else "xla")
-    if backend != "pallas":
+    if backend != "pallas" or (pos is not None
+                               and jnp.ndim(pos) > 0):
+        # per-slot [B] pos vectors are the stacked kernel's job
+        # (decode_attention_stacked); here they take the XLA twin so both
+        # backends accept the same inputs instead of the pallas path
+        # crashing on a size-B reshape
         return _decode_attention_xla(q, k, v, ks, vs, pos=pos, scale=scale)
 
     posv = jnp.asarray(s_len if pos is None else pos,
@@ -708,12 +713,15 @@ from audax.ops.common import on_tpu as _on_tpu  # noqa: E402 - shared policy
 _ENV_BACKEND = os.environ.get("AUDAX_ATTN_BACKEND", "").strip() or None
 
 
-def flash_applicable(q_shape, k_shape, mask) -> bool:
-    """Flash path: no arbitrary mask, head dims grouped, and enough rows
-    that the kernel beats the fused-XLA small case (decode has Tq == 1)."""
+def flash_applicable(q_shape, k_shape, mask, causal: bool = False) -> bool:
+    """Flash path: no arbitrary mask, head dims grouped, enough rows that
+    the kernel beats the fused-XLA small case (decode has Tq == 1), and —
+    for causal — square Tq == Tk (the kernel's block-skip assumes aligned
+    diagonals; the XLA twin handles end-aligned rectangular causal)."""
     return (mask is None and q_shape[-1] == k_shape[-1]
             and q_shape[1] % k_shape[1] == 0 and q_shape[2] >= 16
-            and k_shape[2] >= 16)
+            and k_shape[2] >= 16
+            and (not causal or q_shape[2] == k_shape[2]))
 
 
 def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
@@ -725,7 +733,8 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     """Backend-dispatched attention: the Pallas flash kernel on TPU, the
     XLA twin elsewhere (or via AUDAX_ATTN_BACKEND / ``backend=``)."""
     backend = backend or _ENV_BACKEND or ("pallas" if _on_tpu() else "xla")
-    if backend == "pallas" and flash_applicable(q.shape, k.shape, mask):
+    if backend == "pallas" and flash_applicable(q.shape, k.shape, mask,
+                                                causal):
         return flash_attention(q, k, v, causal=causal, scale=scale,
                                interpret=interpret)
     return xla_attention(q, k, v, causal=causal, mask=mask, scale=scale)

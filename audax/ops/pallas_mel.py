@@ -45,13 +45,20 @@ from audax.ops.mel import (frontend_constants, overlap_frontend_constants,
 from audax.ops.stft import frame_signal
 
 __all__ = ["log_mel_pallas", "fused_logmel_frames", "fused_logmel_packed",
-           "log_mel_overlap", "overlap_applicable"]
+           "log_mel_overlap", "overlap_applicable", "whisper_post_clamp"]
 
 _LANE = 128
 
+from audax.ops.common import pad_to as _pad_to  # noqa: E402 - shared policy
 
-def _pad_to(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
+
+def whisper_post_clamp(log_spec: jax.Array) -> jax.Array:
+    """Whisper's per-item log-mel epilogue: clamp to (global max - 8) over
+    the last two axes, then (x + 4) / 4. Must run over exactly the frames
+    the model sees — i.e. AFTER the final STFT frame is dropped (the
+    reference's WhisperFeatureExtractor trims, then takes the max)."""
+    gmax = jnp.max(log_spec, axis=(-2, -1), keepdims=True)
+    return (jnp.maximum(log_spec, gmax - 8.0) + 4.0) / 4.0
 
 
 # -------------------------------------------------------------- overlap ----
@@ -70,7 +77,8 @@ def overlap_applicable(cfg: MelConfig) -> bool:
 
 
 def _kernel_overlap(sig_ref, dftc_ref, dfts_ref, tw_ref, fb_ref, out_ref, *,
-                    nb: int, adv: int, n_freqs: int, log_mode: str):
+                    nb: int, adv: int, n_freqs: int, log_mode: str,
+                    precision: str = "highest"):
     """One (clip, frame-tile) program: zoom-DFT the tile's g-blocks (MXU),
     recombine frames via NB twiddle-shifted accumulations (VPU), apply the
     periodic-Hann 3-tap spectral conv, square, mel-project (MXU), log.
@@ -79,7 +87,7 @@ def _kernel_overlap(sig_ref, dftc_ref, dfts_ref, tw_ref, fb_ref, out_ref, *,
     index = p mod adv), so frame t's block ``t*adv + j`` is plane
     ``j % adv`` at row offset ``t + j // adv`` — every in-kernel slice
     stays unit-stride."""
-    hi = jax.lax.Precision.HIGHEST
+    hi = getattr(jax.lax.Precision, precision.upper())
     rows = out_ref.shape[1]
     zs = []
     for pl_idx in range(adv):
@@ -124,12 +132,15 @@ def _kernel_overlap(sig_ref, dftc_ref, dfts_ref, tw_ref, fb_ref, out_ref, *,
         out_ref[0] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile_t", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tile_t", "whisper_post",
+                                    "interpret"))
 def log_mel_overlap(
     x: jax.Array,            # [..., n_samples]
     cfg: MelConfig,
     *,
     tile_t: int = 512,
+    whisper_post: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """Overlap-reuse fused log-mel: [..., n_samples] -> [..., T, n_mels].
@@ -187,7 +198,8 @@ def log_mel_overlap(
     kernel_mode = "log1e6" if cfg.log_mode == "log1e6" else "log10"
     out = pl.pallas_call(
         functools.partial(_kernel_overlap, nb=nb, adv=adv,
-                          n_freqs=cfg.n_freqs, log_mode=kernel_mode),
+                          n_freqs=cfg.n_freqs, log_mode=kernel_mode,
+                          precision=cfg.matmul_precision),
         grid=(b * n_tiles,),
         in_specs=[
             pl.BlockSpec((1, adv, rows + halo, g), lambda i: (i, 0, 0, 0),
@@ -212,7 +224,10 @@ def log_mel_overlap(
     )(sig_tiles, dftc, dfts, tw, fb)
     out = (out.reshape(b, n_tiles, rows, mp)
               .reshape(b, n_tiles * rows, mp)[:, :t_true, : cfg.n_mels])
-    return out.reshape(lead + (t_true, cfg.n_mels))
+    out = out.reshape(lead + (t_true, cfg.n_mels))
+    if cfg.log_mode == "whisper" and whisper_post:
+        out = whisper_post_clamp(out)
+    return out
 
 
 # --------------------------------------------------------------- packed ----
@@ -342,6 +357,7 @@ def fused_logmel_frames(
 @functools.partial(jax.jit, static_argnames=("cfg", "out_dtype", "interpret"))
 def log_mel_pallas(
     x: jax.Array, cfg: MelConfig, out_dtype=jnp.float32, interpret: bool = False,
+    *, whisper_post: bool = True,
 ) -> jax.Array:
     """Fused-Pallas log-mel: [..., n_samples] -> [..., T, n_mels].
 
@@ -354,10 +370,8 @@ def log_mel_pallas(
       3. generic real/imag kernel (power != 2).
     """
     if overlap_applicable(cfg):
-        mel = log_mel_overlap(x, cfg, interpret=interpret)
-        if cfg.log_mode == "whisper":
-            gmax = jnp.max(mel, axis=(-2, -1), keepdims=True)
-            mel = (jnp.maximum(mel, gmax - 8.0) + 4.0) / 4.0
+        mel = log_mel_overlap(x, cfg, whisper_post=whisper_post,
+                              interpret=interpret)
         return mel.astype(out_dtype)
     frames = frame_signal(x.astype(jnp.float32), cfg)          # [..., T, n_fft]
     lead = frames.shape[:-2]
@@ -375,7 +389,6 @@ def log_mel_pallas(
                                   jnp.asarray(fb), log_mode=kernel_mode,
                                   power=cfg.power, interpret=interpret)
     mel = out[: flat.shape[0], : cfg.n_mels].reshape(lead + (t, cfg.n_mels))
-    if cfg.log_mode == "whisper":
-        gmax = jnp.max(mel, axis=(-2, -1), keepdims=True)
-        mel = (jnp.maximum(mel, gmax - 8.0) + 4.0) / 4.0
+    if cfg.log_mode == "whisper" and whisper_post:
+        mel = whisper_post_clamp(mel)
     return mel.astype(out_dtype)

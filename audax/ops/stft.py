@@ -64,8 +64,10 @@ def apply_log(mel: jax.Array, mode: str) -> jax.Array:
     raise ValueError(f"unknown log mode: {mode}")
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "out_dtype"))
-def log_mel_xla(x: jax.Array, cfg: MelConfig, out_dtype=jnp.float32) -> jax.Array:
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "out_dtype", "whisper_post"))
+def log_mel_xla(x: jax.Array, cfg: MelConfig, out_dtype=jnp.float32,
+                *, whisper_post: bool = True) -> jax.Array:
     """Pure-XLA fused log-mel: [..., n_samples] -> [..., T, n_mels].
 
     Constants are baked in at trace time (they are functions of the static
@@ -84,4 +86,9 @@ def log_mel_xla(x: jax.Array, cfg: MelConfig, out_dtype=jnp.float32) -> jax.Arra
     if cfg.power != 2.0:
         power = jnp.power(jnp.sqrt(jnp.maximum(power, 0.0)), cfg.power)
     mel = jnp.matmul(power, fb, precision=hi)                 # MXU
-    return apply_log(mel, cfg.log_mode).astype(out_dtype)
+    mode = cfg.log_mode
+    if mode == "whisper" and not whisper_post:
+        # raw log10; the caller trims frames first, then applies the
+        # per-item max-clamp epilogue (pallas_mel.whisper_post_clamp)
+        mode = "log10"
+    return apply_log(mel, mode).astype(out_dtype)

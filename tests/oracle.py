@@ -46,8 +46,14 @@ def mel_fb(n_freqs, n_mels, sr, fmin, fmax, htk, norm_slaney):
     return fb
 
 
-def log_mel_oracle(x: np.ndarray, cfg) -> np.ndarray:
-    """x: [n_samples] float -> [T, n_mels] float64 log-mel via numpy rfft."""
+def log_mel_oracle(x: np.ndarray, cfg, *, whisper_frames: bool = False
+                   ) -> np.ndarray:
+    """x: [n_samples] float -> [T, n_mels] float64 log-mel via numpy rfft.
+
+    ``whisper_frames=True`` reproduces the full WhisperFeatureExtractor
+    contract: the final STFT frame is dropped BEFORE the max-8 clamp (the
+    reference trims, then takes the max — a loud trimmed frame must not set
+    the clamp floor)."""
     n_fft, hop = cfg.n_fft, cfg.hop_length
     win = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(cfg.win) / cfg.win))
     if cfg.win < n_fft:
@@ -67,6 +73,8 @@ def log_mel_oracle(x: np.ndarray, cfg) -> np.ndarray:
     fb = mel_fb(n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate, cfg.fmin, cfg.fmax,
                 cfg.htk, cfg.norm_slaney)
     mel = spec @ fb
+    if whisper_frames:
+        mel = mel[:-1]
     if cfg.log_mode == "log1e6":
         return np.log(mel + 1e-6)
     if cfg.log_mode == "log10":

@@ -178,6 +178,29 @@ def test_stft_cross_check_torch(rng):
     np.testing.assert_allclose(power, power_t, atol=1e-2, rtol=1e-3)
 
 
+def test_whisper_clamp_after_frame_drop(rng):
+    """Regression (review finding): the max-8 clamp must be taken over the
+    3000 RETAINED frames, not before the final STFT frame is dropped — a
+    loud burst at the trim point used to set the clamp floor for the whole
+    window (WhisperFeatureExtractor trims, then takes the max)."""
+    cfg = CFGS["whisper80"]
+    n = 16000                       # 1 s -> 100 full frames, 99 retained
+    x = 0.0001 * _signal(rng, n)    # very quiet body
+    x = np.asarray(x)
+    # burst in the last 40 samples: the dropped final frame windows it near
+    # its hann peak while the last retained frame sees it at ~0.2 weight,
+    # so the (wrong) pre-drop max exceeds the (right) post-drop max
+    x[-40:] = 1.0
+    fe = LogMelFrontend(cfg, backend="xla", whisper_frames=True)
+    out = np.asarray(fe(jnp.asarray(x)))
+    ref = log_mel_oracle(x, cfg, whisper_frames=True)
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=0)
+    # the wrong ordering (clamp before drop) must NOT match: the clamp
+    # floor shifts for the whole quiet body
+    wrong = log_mel_oracle(x, cfg)[:-1]
+    assert np.abs(wrong - ref).max() > 0.05
+
+
 def test_whisper_log_epilogue_batch_independent(rng):
     """The max-8 clamp must be per-item, not per-batch."""
     cfg = CFGS["whisper80"]

@@ -12,6 +12,7 @@
 // C ABI (ctypes-friendly): sf2_open / sf2_close / sf2_preset_count /
 // sf2_render / synth_render_simple (additive fallback, no soundfont needed).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -180,7 +181,11 @@ SoundFont* parse_sf2(const uint8_t* data, size_t n) {
       if (b + 1 >= static_cast<int>(ibag.size())) break;
       Zone z = have_global ? global : Zone();
       bool has_sample = false;
-      for (int g = ibag[b].gen_idx; g < ibag[b + 1].gen_idx; ++g) {
+      // clamp the generator range to the actual igen chunk: malformed
+      // gen_idx values must not read past the vector
+      int g_end = std::min<int>(ibag[b + 1].gen_idx,
+                                static_cast<int>(igen.size()));
+      for (int g = ibag[b].gen_idx; g < g_end; ++g) {
         apply_gen(&z, igen[g].oper, igen[g].amount);
         if (igen[g].oper == kSampleID) has_sample = true;
       }
@@ -202,7 +207,9 @@ SoundFont* parse_sf2(const uint8_t* data, size_t n) {
       if (b + 1 >= static_cast<int>(pbag.size())) break;
       int inst_idx = -1;
       int key_lo = 0, key_hi = 127, vel_lo = 0, vel_hi = 127;
-      for (int g = pbag[b].gen_idx; g < pbag[b + 1].gen_idx; ++g) {
+      int pg_end = std::min<int>(pbag[b + 1].gen_idx,
+                                 static_cast<int>(pgen.size()));
+      for (int g = pbag[b].gen_idx; g < pg_end; ++g) {
         if (pgen[g].oper == kInstrument) inst_idx = pgen[g].amount;
         else if (pgen[g].oper == kKeyRange) {
           key_lo = pgen[g].amount & 0xFF; key_hi = (pgen[g].amount >> 8) & 0xFF;
@@ -254,12 +261,19 @@ const Zone* find_zone(const SoundFont& sf, int program, int pitch, int vel) {
 void render_note(const SoundFont& sf, const Zone& z, const NoteEvent& ev,
                  double out_rate, float* out, int64_t out_len) {
   const SampleHeader& sh = sf.shdr[z.sample_id];
-  int64_t s_start = static_cast<int64_t>(sh.start) + z.start_ofs;
-  int64_t s_end = static_cast<int64_t>(sh.end) + z.end_ofs;
-  int64_t l_start = static_cast<int64_t>(sh.loop_start) + z.loop_start_ofs;
-  int64_t l_end = static_cast<int64_t>(sh.loop_end) + z.loop_end_ofs;
-  if (s_end > static_cast<int64_t>(sf.samples.size()))
-    s_end = sf.samples.size();
+  // signed generator offsets on unsigned addresses: clamp every derived
+  // index into [0, samples.size()] — a negative start would read before
+  // the sample buffer (the ip >= s_end guard never catches ip < 0)
+  const int64_t n_samp = static_cast<int64_t>(sf.samples.size());
+  auto clamp_idx = [n_samp](int64_t v) {
+    return std::max<int64_t>(0, std::min(v, n_samp));
+  };
+  int64_t s_start = clamp_idx(static_cast<int64_t>(sh.start) + z.start_ofs);
+  int64_t s_end = clamp_idx(static_cast<int64_t>(sh.end) + z.end_ofs);
+  int64_t l_start = clamp_idx(static_cast<int64_t>(sh.loop_start)
+                              + z.loop_start_ofs);
+  int64_t l_end = clamp_idx(static_cast<int64_t>(sh.loop_end)
+                            + z.loop_end_ofs);
   if (s_end <= s_start) return;
   bool looped = (z.sample_modes == 1 || z.sample_modes == 3) &&
                 l_end > l_start && l_end <= s_end;

@@ -95,13 +95,21 @@ def midi_to_abc(
             body.append("|")
             bar_fill -= bar_units
 
-    for start in sorted(events):
+    # single-voice ABC cannot hold a note across the next onset; truncate
+    # durations at the following event's start so every note still BEGINS
+    # at its true time — advancing the cursor by the full duration instead
+    # would time-shift all later notes and barlines (rhythmic drift)
+    starts = sorted(events)
+    for i, start in enumerate(starts):
         if start > cursor:                          # rest gap
             gap = start - cursor
             body.append("z" + _dur_to_abc(gap))
             emit_bars(gap)
             cursor = start
         group = events[start]
+        if i + 1 < len(starts):
+            allowed = starts[i + 1] - start
+            group = [(p, max(min(d, allowed), grid)) for p, d in group]
         dur = min(d for _, d in group)
         if len(group) == 1:
             body.append(_pitch_to_abc(group[0][0], flats=flats)

@@ -89,7 +89,11 @@ def train_bpe(
             break
         merges.append((a, b))
         merged = a + b
-        vocab[merged] = len(vocab)
+        # two merge paths can yield the same string (('ab','c') and
+        # ('a','bc')): reassigning would leave a hole and push max id to
+        # len(vocab), overlapping the special-token ids appended after
+        if merged not in vocab:
+            vocab[merged] = len(vocab)
         new_words = {}
         for sym, f in words.items():
             out, i = [], 0
@@ -232,9 +236,14 @@ class BPE:
             vocab = json.load(fh)
         merges: List[Tuple[str, str]] = []
         with open(os.path.join(directory, "merges.txt")) as fh:
-            for line in fh:
+            for i, line in enumerate(fh):
                 line = line.rstrip("\n")
-                if line.startswith("#") or not line:
+                # only the FIRST line may be the '#version:' header: byte
+                # '#' maps to itself in byte-level BPE, so real merges can
+                # start with '#' (GPT-2/Whisper merges.txt has '# #',
+                # '## #', ... producing the '##'/'###' tokens) and must
+                # not be skipped as comments
+                if not line or (i == 0 and line.startswith("#version")):
                     continue
                 a, _, b = line.partition(" ")
                 merges.append((a, b))

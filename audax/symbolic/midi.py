@@ -137,9 +137,20 @@ class MidiFile:
         return self.tick_to_seconds(max(n.end_tick for n in self.notes))
 
     def notes_with_times(self) -> List[Tuple[float, float, Note]]:
-        """[(start_s, end_s, note)] — exact under tempo changes."""
-        return [(self.tick_to_seconds(n.start_tick),
-                 self.tick_to_seconds(n.end_tick), n) for n in self.notes]
+        """[(start_s, end_s, note)] — exact under tempo changes. Builds the
+        tempo map once and bisects per note (tick_to_seconds would re-sort
+        the tempo list 2N times on this synthesis hot path)."""
+        spans = self._tempo_spans()
+        ticks = [s[0] for s in spans]
+        tpb = 1e6 * self.ticks_per_beat
+
+        def to_sec(tick: int) -> float:
+            i = bisect.bisect_right(ticks, tick) - 1
+            start_tick, start_sec, us = spans[i]
+            return start_sec + (tick - start_tick) * us / tpb
+
+        return [(to_sec(n.start_tick), to_sec(n.end_tick), n)
+                for n in self.notes]
 
     # -- tempo-aware cut (the reference's hard part) ----------------------
     def cut(self, duration_seconds: float) -> "MidiFile":
@@ -266,6 +277,10 @@ def _parse_track(data, mf: MidiFile) -> None:
             pitch, vel = data[pos], data[pos + 1]
             pos += 2
             if vel > 0:
+                # retrigger before release (sustain-pedal MIDI): close the
+                # sounding note here instead of dropping it (pretty_midi/
+                # mido semantics) — its note-off then matches nothing
+                _close(active, mf, ch, pitch, tick)
                 active[(ch, pitch)] = (tick, vel)
             else:
                 _close(active, mf, ch, pitch, tick)

@@ -144,6 +144,16 @@ class WhisperTokenizer:
             return "<|startoftranscript|>"
         if self._lang_base <= i < self._lang_base + self.num_languages:
             return f"<|{self.languages[i - self._lang_base]}|>"
+        if i == self.translate:
+            return "<|translate|>"
+        if i == self.transcribe:
+            return "<|transcribe|>"
+        if i == self.sot_lm:
+            return "<|startoflm|>"
+        if i == self.sot_prev:
+            return "<|startofprev|>"
+        if i == self.no_speech:
+            return "<|nospeech|>"
         if i == self.no_timestamps:
             return "<|notimestamps|>"
         if i >= self.timestamp_begin:

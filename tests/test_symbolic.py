@@ -73,7 +73,48 @@ def test_cut_respects_tempo_changes():
     assert c2.notes[0].duration_tick == 960
 
 
-def test_midi_to_abc_headers_and_notes():
+def test_retriggered_note_not_dropped(tmp_path):
+    """Regression (review finding): a note-on for an already-sounding
+    (channel, pitch) must close the first note at the retrigger tick
+    (pretty_midi/mido semantics) — it used to vanish entirely, with the
+    first note-off closing the SECOND note."""
+    mf = MidiFile(ticks_per_beat=480)
+    mf.tempos.append(Tempo(0, 500000))
+    mf.notes.append(Note(0, 960, 60, 100))      # C4 t0..960
+    mf.notes.append(Note(480, 960, 60, 100))    # C4 retrigger t480..1440
+    p = str(tmp_path / "re.mid")
+    mf.save(p)
+    back = MidiFile.load(p)
+    assert len(back.notes) == 2, back.notes
+    by_start = sorted(back.notes, key=lambda n: n.start_tick)
+    assert by_start[0].start_tick == 0
+    # first note closed at the retrigger, not lost
+    assert by_start[0].end_tick == 480
+    assert by_start[1].start_tick == 480
+
+
+def test_abc_overlap_does_not_drift():
+    """Regression (review finding): a note starting while the previous one
+    sounds (held bass under melody) must keep its true onset — the emitter
+    used to shift it later by the full previous duration, drifting every
+    subsequent note and barline."""
+    from audax.symbolic.abc import midi_to_abc
+
+    mf = MidiFile(ticks_per_beat=480)
+    mf.tempos.append(Tempo(0, 500000))
+    mf.time_signatures.append(TimeSignature(0, 4, 4))
+    mf.notes.append(Note(0, 1920, 48, 100))      # held bass, whole bar
+    mf.notes.append(Note(960, 480, 72, 100))     # melody on beat 3
+    mf.notes.append(Note(1440, 480, 74, 100))    # melody on beat 4
+    abc = midi_to_abc(mf)
+    body = abc.split("K:C\n", 1)[1].replace("\n", " ")
+    # the bass is truncated to 2 beats (next onset), melody lands on
+    # beats 3 and 4 of bar ONE — total is exactly one bar, no drift
+    toks = body.split()
+    assert toks[-1] == "|]", toks
+    assert "z" not in body, body       # no phantom rests from drift
+    # exactly one bar of content: no interior barline before the final |]
+    assert body.count("|") == 1, body
     abc = midi_to_abc(_mf(), title="test tune", unit=Fraction(1, 8))
     md = extract_abc_metadata(abc)
     assert md.title == "test tune"

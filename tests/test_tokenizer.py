@@ -30,6 +30,30 @@ def test_bpe_roundtrip_and_merges():
     assert len(bpe.encode("the quick brown fox")) < len("the quick brown fox")
 
 
+def test_bpe_hash_merges_roundtrip(tmp_path):
+    """Regression (review finding): '#' maps to itself in byte-level BPE,
+    so merges whose first symbol starts with '#' (GPT-2/Whisper merges.txt
+    has '# #', '## #') are REAL merges — the loader used to drop every
+    '#'-leading line as a comment, breaking id parity with external
+    vocabs. Only the first-line '#version:' header is skipped."""
+    corpus = ["### heading ### heading ###"] * 8 + ["## sub ## sub"] * 8
+    bpe = train_bpe(corpus, vocab_size=300)
+    assert any(a.startswith("#") for a, _ in bpe.merges), bpe.merges[:10]
+    d = str(tmp_path / "bpe")
+    bpe.save(d)
+    # the save format already carries the GPT-2-style '#version' header
+    mpath = tmp_path / "bpe" / "merges.txt"
+    assert mpath.read_text().startswith("#version")
+    back = BPE.load(d)
+    assert back.merges == bpe.merges
+    for text in corpus[:2] + ["### x ## y # z"]:
+        assert back.encode(text) == bpe.encode(text)
+        assert back.decode(back.encode(text)) == text
+    # contiguous id space: max id < len(vocab) even with duplicate-string
+    # merge products
+    assert max(bpe.vocab.values()) == len(bpe.vocab) - 1
+
+
 def test_bpe_specials_and_add_tokens(tmp_path):
     bpe = train_bpe(CORPUS, vocab_size=280, special_tokens=["<abc_start>", "<abc_end>"])
     ids = bpe.encode("<abc_start>the fox<abc_end>")

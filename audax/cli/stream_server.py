@@ -202,6 +202,11 @@ class _Handler(socketserver.BaseRequestHandler):
         finally:
             with hub.lock:
                 hub.conns.pop(stream_id, None)
+                # evict the stream's ring buffer + queued chunks: nothing
+                # else ever removes it, and a long-running server with
+                # short-lived clients would pin one ~window-sized float32
+                # buffer per past connection forever
+                hub.st.remove(stream_id)
             log.info("stream %s disconnected", stream_id)
 
 

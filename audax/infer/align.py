@@ -38,27 +38,44 @@ class WordTiming:
     word: str
     start: float                # seconds within the 30 s window
     end: float
-    probability: float          # mean attention mass along the aligned path
+    #: mean softmax attention mass along the aligned path (a true [0,1]
+    #: quantity when ``word_timings`` receives the ``mass`` matrix;
+    #: falls back to the z-scored alignment values otherwise)
+    probability: float
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "medfilt", "dtype"))
 def cross_attention_weights(params, cfg: WhisperConfig, tokens: jnp.ndarray,
-                            enc: jnp.ndarray, *, medfilt: int = 7,
-                            dtype=jnp.float32) -> jnp.ndarray:
-    """Teacher-forced decoder pass returning cross-attention probabilities.
+                            enc: jnp.ndarray, *,
+                            n_frames: Optional[jnp.ndarray] = None,
+                            medfilt: int = 7,
+                            dtype=jnp.float32) -> Tuple[jnp.ndarray,
+                                                        jnp.ndarray]:
+    """Teacher-forced decoder pass -> (alignment matrix, attention mass).
 
-    tokens [B, L] int32, enc [B, S, d] -> weights [B, L, S]: softmax cross-
-    attention averaged over the alignment heads (upper half of the decoder
-    layers — openai-whisper's fallback when a checkpoint ships no head
-    mask), z-normalized per token and median-filtered along frames.
-    """
+    tokens [B, L] int32, enc [B, S, d] -> (w [B, L, S], mass [B, L, S]):
+    openai-whisper find_alignment order — CROP to the valid frames first
+    (``n_frames``; padded frames must not soak up softmax mass or pollute
+    the stats), softmax over valid frames, z-normalize per (head, frame)
+    ACROSS tokens (unbiased=False), average the alignment heads (upper
+    half of the decoder layers — the fallback when a checkpoint ships no
+    head mask), median-filter along frames. ``mass`` is the un-normalized
+    head-mean softmax mass (a real [0,1] quantity for confidences).
+
+    Deviation from openai (documented): the median filter runs on the
+    head-averaged matrix, not per head — per-head filtering would stack
+    medfilt copies of the [layers/2, B, H, L, S] tensor.
+    Only the upper-half layers' probabilities are materialized (two scans)."""
     from audax.models.quantize import embed_lookup
     p = params["decoder"]
     b, l = tokens.shape
+    s = enc.shape[1]
     x = embed_lookup(p, tokens, dtype) + p["pos"][:l].astype(dtype)
     causal = jnp.tril(jnp.ones((l, l), bool))[None, None]
+    enc = enc.astype(dtype)
+    frame_ok = (jnp.arange(s) < (s if n_frames is None else n_frames))
 
-    def body(x, layer):
+    def body(x, layer, want_probs: bool):
         h = layer_norm(layer["attn_ln"], x)
         q = _split_heads(dense(layer["attn"]["q"], h), cfg.heads)
         k = _split_heads(dense(layer["attn"]["k"], h), cfg.heads)
@@ -72,37 +89,45 @@ def cross_attention_weights(params, cfg: WhisperConfig, tokens: jnp.ndarray,
 
         h = layer_norm(layer["cross_ln"], x)
         cq = _split_heads(dense(layer["cross_attn"]["q"], h), cfg.heads)
-        ck = _split_heads(dense(layer["cross_attn"]["k"], enc.astype(x.dtype)),
-                          cfg.heads)
-        cv = _split_heads(dense(layer["cross_attn"]["v"], enc.astype(x.dtype)),
-                          cfg.heads)
+        ck = _split_heads(dense(layer["cross_attn"]["k"], enc), cfg.heads)
+        cv = _split_heads(dense(layer["cross_attn"]["v"], enc), cfg.heads)
         cscale = cq.shape[-1] ** -0.5
-        cprobs = jax.nn.softmax(
-            jnp.einsum("bhqd,bhkd->bhqk", cq * cscale, ck).astype(jnp.float32),
-            -1)
+        cscores = jnp.einsum("bhqd,bhkd->bhqk", cq * cscale,
+                             ck).astype(jnp.float32)
+        cprobs = jax.nn.softmax(cscores, -1)
         x = x + dense(layer["cross_attn"]["out"],
                       _merge_heads(jnp.einsum("bhqk,bhkd->bhqd",
                                               cprobs.astype(x.dtype), cv)))
         h = layer_norm(layer["mlp_ln"], x)
         x = x + _mlp(layer, h)
-        return x, cprobs                        # [B, H, L, S] per layer
+        if not want_probs:
+            return x, None
+        # alignment probabilities: re-softmax over the VALID frames only
+        aprobs = jax.nn.softmax(
+            jnp.where(frame_ok, cscores, -jnp.inf), -1)
+        return x, aprobs                        # [B, H, L, S] per layer
 
-    _, all_probs = lax.scan(body, x, p["layers"])   # [layers, B, H, L, S]
-
-    # alignment heads: upper half of the layers, all heads (fallback rule)
-    n_layers = all_probs.shape[0]
-    w = all_probs[n_layers // 2:].mean(axis=(0, 2))      # [B, L, S]
-    # z-normalize per token position, then median-filter along frames
-    mean = w.mean(-1, keepdims=True)
-    std = w.std(-1, keepdims=True) + 1e-9
-    w = (w - mean) / std
+    n_layers = cfg.decoder_layers
+    half = n_layers // 2
+    lower = jax.tree.map(lambda a: a[:half], p["layers"])
+    upper = jax.tree.map(lambda a: a[half:], p["layers"])
+    x, _ = lax.scan(lambda c, lyr: body(c, lyr, False), x, lower)
+    _, aligned = lax.scan(lambda c, lyr: body(c, lyr, True), x, upper)
+    # aligned: [layers - half, B, H, L, S] softmax over valid frames
+    mass = aligned.mean(axis=(0, 2))                       # [B, L, S]
+    mean = aligned.mean(axis=-2, keepdims=True)            # across tokens
+    std = aligned.std(axis=-2, keepdims=True) + 1e-9
+    w = ((aligned - mean) / std).mean(axis=(0, 2))         # head-mean
     if medfilt > 1:
         pad = medfilt // 2
         wp = jnp.pad(w, ((0, 0), (0, 0), (pad, pad)), mode="edge")
         stacked = jnp.stack([wp[..., i:i + w.shape[-1]]
                              for i in range(medfilt)], -1)
         w = jnp.median(stacked, axis=-1)
-    return w
+    # beyond-valid frames carry no signal: hard-mask so DTW never walks there
+    neg = jnp.float32(-1e9)
+    w = jnp.where(frame_ok, w, neg)
+    return w, mass
 
 
 def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -154,17 +179,22 @@ def word_timings(
     token_ids: Sequence[int],     # the L generated tokens (text+timestamps)
     tokenizer,
     *, n_frames: Optional[int] = None,
+    mass: Optional[np.ndarray] = None,   # [L, S] softmax attention mass
 ) -> List[WordTiming]:
     """Token->frame DTW path merged into per-word timings.
 
     Words are whitespace-split over the decoded text; each word's span is
     the contiguous run of its tokens' aligned frames. Timestamp/special
     tokens are skipped for text but still anchor the path monotonicity.
+    ``mass`` (from ``cross_attention_weights``) supplies real [0,1]
+    attention-mass confidences; without it probabilities are z-scores.
     """
     l = len(token_ids)
     w = np.asarray(weights[:l], np.float32)
+    score_src = w if mass is None else np.asarray(mass[:l], np.float32)
     if n_frames is not None:
         w = w[:, :n_frames]
+        score_src = score_src[:, :n_frames]
     ti, fi = dtw_path(-w)
 
     # first/last aligned frame per token
@@ -176,7 +206,7 @@ def word_timings(
         ends[t] = f
     path_score = {int(t): [] for t in range(l)}
     for t, f in zip(ti, fi):
-        path_score[int(t)].append(float(w[t, f]))
+        path_score[int(t)].append(float(score_src[t, f]))
 
     # group text tokens into words AT THE BYTE LEVEL: byte-BPE pieces do not
     # decode independently (UTF-8 sequences span pieces), so words are byte

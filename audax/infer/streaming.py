@@ -51,7 +51,8 @@ class _Stream:
     buffer: np.ndarray
     filled: int = 0
     chunk_index: int = 0
-    pending: List[Tuple[int, np.ndarray]] = field(default_factory=list)
+    #: (chunk index, window-sized samples, valid sample count)
+    pending: List[Tuple[int, np.ndarray, int]] = field(default_factory=list)
 
 
 class StreamingTranscriber:
@@ -108,7 +109,8 @@ class StreamingTranscriber:
             s.filled += take
             pos += take
             if s.filled == self.window:
-                s.pending.append((s.chunk_index, s.buffer.copy()))
+                s.pending.append((s.chunk_index, s.buffer.copy(),
+                                  self.window))
                 s.chunk_index += 1
                 s.filled = 0
 
@@ -118,9 +120,16 @@ class StreamingTranscriber:
         if s and s.filled > 0:
             chunk = np.zeros(self.window, np.float32)
             chunk[: s.filled] = s.buffer[: s.filled]
-            s.pending.append((s.chunk_index, chunk))
+            s.pending.append((s.chunk_index, chunk, s.filled))
             s.chunk_index += 1
             s.filled = 0
+
+    def remove(self, stream_id: str) -> None:
+        """Drop a finished stream's ring buffer and queued chunks. Serving
+        layers MUST call this on disconnect: streams are never evicted
+        implicitly, so each leaked entry pins a window-sized float32 buffer
+        (~1.9 MB at 30 s) for the life of the process."""
+        self.streams.pop(stream_id, None)
 
     def pending_chunks(self) -> int:
         return sum(len(s.pending) for s in self.streams.values())
@@ -149,28 +158,30 @@ class StreamingTranscriber:
     def step(self) -> List[Segment]:
         """Drain up to ``batch_slots`` pending chunks in one device pass.
         Empty slots are zero-filled (fixed shape, one compiled program)."""
-        work: List[Tuple[str, int, np.ndarray]] = []
+        work: List[Tuple[str, int, np.ndarray, int]] = []
         for sid in sorted(self.streams):
             s = self.streams[sid]
             while s.pending and len(work) < self.batch_slots:
-                idx, chunk = s.pending.pop(0)
-                work.append((sid, idx, chunk))
+                idx, chunk, valid = s.pending.pop(0)
+                work.append((sid, idx, chunk, valid))
             if len(work) >= self.batch_slots:
                 break
         if not work:
             return []
         audio = np.zeros((self.batch_slots, self.window), np.float32)
-        for i, (_, _, chunk) in enumerate(work):
+        for i, (_, _, chunk, _) in enumerate(work):
             audio[i] = chunk
         t0 = time.perf_counter()
         decoded = self._run_batch(audio)
         dt = time.perf_counter() - t0
-        segs = [Segment(sid, idx, self.tokenizer.decode(ids),
-                        self.window / self.frontend.cfg.sample_rate)
-                for (sid, idx, _), ids in zip(work, decoded)]
+        sr = self.frontend.cfg.sample_rate
+        # audio_seconds is the REAL content, not the padded window — a
+        # flushed 3 s tail must not report 30 s to downstream consumers
+        segs = [Segment(sid, idx, self.tokenizer.decode(ids), valid / sr)
+                for (sid, idx, _, valid), ids in zip(work, decoded)]
+        real_s = sum(v for _, _, _, v in work) / sr
         log.info("streamed %d chunks in %.2fs (batch rtf %.3f)",
-                 len(work), dt,
-                 dt / (len(work) * self.window / self.frontend.cfg.sample_rate))
+                 len(work), dt, dt / max(real_s, 1e-9))
         return segs
 
     def drain(self) -> List[Segment]:

@@ -234,17 +234,20 @@ class Transcriber:
         max_len = min(prompt_len + self.max_new_tokens, self.cfg.n_text_ctx)
         n_ids = len(prompt_and_ids) - prompt_len
         toks = (list(prompt_and_ids) + [self.tokenizer.eot] * max_len)[:max_len]
-        w = cross_attention_weights(self.params, self.cfg,
-                                    jnp.asarray([toks], jnp.int32),
-                                    enc_row[None], dtype=self.dtype)
-        # each token's row is the attention at its own input position
-        # (openai-whisper find_alignment slicing)
-        rows = np.asarray(w[0])[prompt_len: prompt_len + n_ids]
         n_frames = max(1, min(n_valid_samples
                               // (2 * self.frontend.cfg.hop_length),
                               enc_row.shape[0]))
+        w, mass = cross_attention_weights(
+            self.params, self.cfg, jnp.asarray([toks], jnp.int32),
+            enc_row[None], n_frames=jnp.int32(n_frames), dtype=self.dtype)
+        # each token's row is the attention at its own input position
+        # (openai-whisper find_alignment slicing)
+        sl = slice(prompt_len, prompt_len + n_ids)
+        rows = np.asarray(w[0])[sl]
+        mass_rows = np.asarray(mass[0])[sl]
         return word_timings(rows, prompt_and_ids[prompt_len:],
-                            self.tokenizer, n_frames=n_frames)
+                            self.tokenizer, n_frames=n_frames,
+                            mass=mass_rows)
 
     def _attach_words(self, segments: List[Segment],
                       words: List[WordTiming], offset: float) -> None:

@@ -35,6 +35,9 @@ class CausalLMConfig:
     layers: int = 4
     heads: int = 8
     kv_heads: int = 4            # GQA; == heads -> MHA
+    #: per-head width; 0 -> d_model // heads. Qwen3 DECOUPLES it
+    #: (hidden 1024, 16 heads, head_dim 128 -> q proj is [1024, 2048])
+    head_dim: int = 0
     ffn_dim: int = 0             # 0 -> 8/3 * d rounded to 128
     rope_theta: float = 1e6
     rms_eps: float = 1e-6
@@ -43,9 +46,9 @@ class CausalLMConfig:
     tie_embeddings: bool = True
     max_seq: int = 2048
 
-    @property
-    def head_dim(self) -> int:
-        return self.d_model // self.heads
+    def __post_init__(self):
+        if self.head_dim == 0:
+            object.__setattr__(self, "head_dim", self.d_model // self.heads)
 
     @property
     def ffn(self) -> int:
@@ -353,6 +356,10 @@ def port_causal_lm_from_hf(hf_model) -> Tuple[Params, CausalLMConfig]:
         vocab_size=hc.vocab_size, d_model=hc.hidden_size,
         layers=hc.num_hidden_layers, heads=hc.num_attention_heads,
         kv_heads=getattr(hc, "num_key_value_heads", hc.num_attention_heads),
+        # Qwen3 decouples head_dim from hidden_size//heads (0.6B: hidden
+        # 1024, 16 heads, head_dim 128) — deriving it breaks every q/k/v
+        # reshape for real checkpoints
+        head_dim=int(getattr(hc, "head_dim", 0) or 0),
         ffn_dim=hc.intermediate_size,
         rope_theta=float(getattr(hc, "rope_theta", 1e6)),
         rms_eps=float(getattr(hc, "rms_norm_eps", 1e-6)),

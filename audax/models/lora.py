@@ -42,7 +42,13 @@ def _iter_kernels(params: Params):
 
 
 def match_path(path: str, targets: Sequence[str]) -> bool:
-    return any(t in path for t in targets)
+    """Segment-aligned containment: target 'attn/q' matches
+    'decoder/layers/attn/q/kernel' but NOT 'cross_attn/q/kernel' — raw
+    substring matching made it impossible to adapt self-attention without
+    silently adapting cross-attention too. Target 'cross_attn/q' selects
+    the cross path explicitly."""
+    hay = f"/{path}/"
+    return any(f"/{t.strip('/')}/" in hay for t in targets)
 
 
 def init_lora(params: Params, rank: int, *, targets: Sequence[str],

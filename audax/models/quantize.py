@@ -186,6 +186,8 @@ def embed_logits(p: Params, x: jnp.ndarray, key: str = "embed"
 
 
 def tree_bytes(params: Params) -> int:
-    """Total parameter bytes (for before/after memory reports)."""
+    """Total parameter bytes (for before/after memory reports). Reads
+    ``.nbytes`` from array metadata — ``np.asarray`` would pull the whole
+    checkpoint over the ~35 MB/s tunnel just to count bytes."""
     import jax
-    return sum(np.asarray(x).nbytes for x in jax.tree.leaves(params))
+    return sum(int(x.nbytes) for x in jax.tree.leaves(params))

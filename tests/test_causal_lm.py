@@ -67,6 +67,42 @@ def test_qwen3_style_qk_norm_parity(rng):
     np.testing.assert_allclose(ours, theirs, atol=3e-5, rtol=1e-4)
 
 
+def test_qwen3_decoupled_head_dim_parity(rng):
+    """Regression (review finding): real Qwen3 checkpoints DECOUPLE
+    head_dim from hidden_size//heads (0.6B: hidden 1024, 16 heads,
+    head_dim 128). The port used to derive head_dim and break every
+    q/k/v reshape; this config makes head_dim (16) != hidden//heads (8)."""
+    torch = pytest.importorskip("torch")
+    try:
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+    except ImportError:
+        pytest.skip("transformers lacks Qwen3")
+    hc = Qwen3Config(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+        head_dim=16, rope_theta=1e6, tie_word_embeddings=True,
+        max_position_embeddings=64, attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    hf = Qwen3ForCausalLM(hc).eval()
+    params, cfg = port_causal_lm_from_hf(hf)
+    assert cfg.head_dim == 16 and cfg.d_model == 32
+    tokens = rng.integers(0, 100, (1, 7)).astype(np.int32)
+    ours = np.asarray(lm_forward(params, cfg, jnp.asarray(tokens)))
+    with torch.no_grad():
+        theirs = hf(torch.tensor(tokens.astype(np.int64))).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-5, rtol=1e-4)
+    # KV-cached decode agrees under the decoupled head_dim too
+    cache = init_lm_cache(cfg, batch=1, max_len=8)
+    outs = []
+    for t in range(7):
+        emb = embed_tokens(params, jnp.asarray(tokens[:, t]))
+        logits, cache = lm_decode_step(params, cfg, emb, jnp.int32(t), cache)
+        outs.append(logits)
+    stepped = np.asarray(jnp.stack(outs, axis=1))
+    np.testing.assert_allclose(stepped, ours, atol=2e-5, rtol=1e-4)
+
+
 def test_attention_mask_padding(rng):
     params = init_causal_lm(TINY, jax.random.key(0))
     toks = jnp.asarray(rng.integers(0, TINY.vocab_size, (1, 6)), jnp.int32)

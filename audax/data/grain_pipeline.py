@@ -92,7 +92,10 @@ def waveform_dataset(
         if tokenizer is not None:
             ids = [start_id] + tokenizer.encode(
                 row["abc"], with_specials=False) + [end_id]
-            ids = ids[:max_tokens]
+            if len(ids) > max_tokens:
+                # keep the end token on truncation: the longest samples
+                # would otherwise be the only ones that never show <abc_end>
+                ids = ids[: max_tokens - 1] + [end_id]
             padded = np.full(max_tokens, pad_id, np.int32)
             padded[: len(ids)] = ids
             mask = np.zeros(max_tokens, np.int32)

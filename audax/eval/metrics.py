@@ -26,6 +26,12 @@ def confusion_matrix(y_true: np.ndarray, y_pred: np.ndarray,
     """cm[i, j] = count of true class i predicted as j."""
     y_true = np.asarray(y_true, dtype=np.int64)
     y_pred = np.asarray(y_pred, dtype=np.int64)
+    for name, y in (("y_true", y_true), ("y_pred", y_pred)):
+        if y.size and (y.min() < 0 or y.max() >= num_classes):
+            # np.add.at would silently WRAP negative labels into the last
+            # class (a -1 'rejected' sentinel corrupts that class's stats)
+            raise ValueError(f"{name} labels outside [0, {num_classes}): "
+                             f"min {y.min()}, max {y.max()}")
     cm = np.zeros((num_classes, num_classes), dtype=np.int64)
     np.add.at(cm, (y_true, y_pred), 1)
     return cm
@@ -88,7 +94,8 @@ def plot_confusion_matrix(
     path: Optional[str] = None, title: str = "Confusion matrix",
 ):
     """Row-normalized confusion-matrix heatmap with per-class n in the labels
-    (reference: spectrogram.py:788-828). Returns the matplotlib figure."""
+    (reference: spectrogram.py:788-828). With ``path`` the figure is saved
+    and closed (returns None); without it the live figure is returned."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -112,6 +119,9 @@ def plot_confusion_matrix(
     fig.colorbar(im)
     fig.tight_layout()
     if path:
+        # saved-to-disk mode: close and return None — handing back a
+        # closed figure invites silent blank re-saves downstream
         fig.savefig(path, dpi=120)
         plt.close(fig)
+        return None
     return fig

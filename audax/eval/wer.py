@@ -33,6 +33,11 @@ def word_error_rate(references: Sequence[str], hypotheses: Sequence[str]
     """Corpus-level WER: total edits / total reference words (jiwer
     convention). Returns 0.0 for an empty reference corpus with empty
     hypotheses; insertions against empty references count per word."""
+    if len(references) != len(hypotheses):
+        # jiwer convention: a silently zip-truncated corpus underreports
+        # WER — and this metric selects best checkpoints
+        raise ValueError(f"{len(references)} references vs "
+                         f"{len(hypotheses)} hypotheses")
     total_edits = 0
     total_words = 0
     extra = 0

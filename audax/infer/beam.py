@@ -164,9 +164,11 @@ def beam_search(
         cond, body,
         Carry(jnp.int32(0), tokens, cache, init_scores,
               jnp.zeros((bw,), bool), jnp.full((bw,), max_len, jnp.int32),
-              # prevprev starts True: the opening timestamp completes a
-              # "pair" (openai len(seq)<2 rule) — see decode.py
-              jnp.zeros((bw,), bool), jnp.ones((bw,), bool),
+              # prev_ts starts True (NOT just prevprev — the first step's
+              # shift overwrites prevprev before it is read): the decision
+              # after a lone opening timestamp must see a completed pair,
+              # openai's len(seq)<2 rule — see decode.py
+              jnp.ones((bw,), bool), jnp.ones((bw,), bool),
               jnp.full((bw,), ts0, jnp.int32)))
 
     tokens = final.tokens.reshape(b, w, max_len)

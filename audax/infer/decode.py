@@ -68,15 +68,24 @@ def apply_timestamp_rules(logits, rules: TimestampRules, *, first,
     vocab_ids = jnp.arange(logits.shape[-1])
     is_ts_col = (vocab_ids >= ts0)[None, :]
     is_eot_col = (vocab_ids == rules.eot_id)[None, :]
+    # openai state machine over the last two generated tokens:
+    #   first position          -> ONLY a timestamp (openai masks
+    #                              logits[:timestamp_begin], so EOT — which
+    #                              sits below timestamp_begin — is banned)
+    #   <text><ts> (mid pair)   -> the closing timestamp or EOT
+    #   <ts><ts> / lone opener  -> timestamps banned, text must follow
+    #     (the lone opener is the len(seq)<2 case: penultimate defaults True)
     mid_pair = jnp.logical_and(prev_ts, ~prevprev_ts)   # [B]
-    must_ts = jnp.logical_or(first, mid_pair)
     after_pair = jnp.logical_and(prev_ts, prevprev_ts)
+    first_col = jnp.asarray(first).reshape(-1, 1)
     ban = jnp.where(
-        must_ts[:, None],
-        jnp.logical_and(~is_ts_col, ~is_eot_col),       # text banned
-        jnp.where(after_pair[:, None],
-                  is_ts_col,                            # timestamps banned
-                  jnp.zeros_like(is_ts_col)))
+        first_col,
+        ~is_ts_col,                                     # only timestamps
+        jnp.where(mid_pair[:, None],
+                  jnp.logical_and(~is_ts_col, ~is_eot_col),  # text banned
+                  jnp.where(after_pair[:, None],
+                            is_ts_col,                  # timestamps banned
+                            jnp.zeros_like(is_ts_col))))
     min_ts = last_ts + jnp.where(mid_pair, 0, 1)
     below = vocab_ids[None, :] < min_ts[:, None]
     ban = jnp.logical_or(ban, jnp.logical_and(is_ts_col, below))
@@ -204,10 +213,15 @@ def generate(
     init = Carry(jnp.int32(0), tokens, cache,
                  jnp.zeros((b,), bool), jnp.full((b,), max_len, jnp.int32),
                  rng, jnp.zeros((b,), jnp.float32), jnp.zeros((b,), jnp.int32),
-                 # prevprev_ts starts True: openai-whisper's ApplyTimestampRules
-                 # treats len(seq) < 2 as penultimate-was-timestamp, so the
-                 # opening timestamp completes a "pair" and text must follow
-                 jnp.zeros((b,), bool), jnp.ones((b,), bool),
+                 # prev_ts starts True: the step producing the FIRST
+                 # generated token shifts it into prevprev, so the decision
+                 # after a lone opening timestamp sees (prev=True,
+                 # prevprev=True) = completed pair -> text must follow —
+                 # openai's len(seq) < 2 => penultimate_was_timestamp=True.
+                 # (Initializing prevprev instead is dead state: the shift
+                 # overwrites it before its first read, which forced a
+                 # doubled opening timestamp on every window.)
+                 jnp.ones((b,), bool), jnp.ones((b,), bool),
                  jnp.full((b,), ts0, jnp.int32))
     final = lax.while_loop(cond, body, init)
     return GenerateResult(final.tokens, final.lengths, final.sum_logprob,

@@ -52,6 +52,9 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     if len(devs) % model != 0:
         raise ValueError(f"{len(devs)} devices not divisible by model={model}")
     data = cfg.data if cfg.data > 0 else len(devs) // model
+    if data * model > len(devs):
+        raise ValueError(f"mesh ({data} data x {model} model) needs "
+                         f"{data * model} devices, only {len(devs)} present")
     if data * model != len(devs):
         devs = devs[: data * model]
     arr = np.array(devs).reshape(data, model)
@@ -74,6 +77,10 @@ def init_distributed(coordinator: Optional[str] = None,
     entry points run unmodified on one host. Returns the process count.
     """
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator is None and num_processes is None:
         return 1
     kwargs = {}

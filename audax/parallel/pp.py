@@ -25,7 +25,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from audax.core.config import WhisperConfig
-from audax.models.whisper import attention, dense, layer_norm, _mlp
+from audax.models.whisper import attention, layer_norm, _mlp
 from audax.models.whisper import conv_stem
 
 __all__ = ["encode_pipelined"]
@@ -95,7 +95,6 @@ def encode_pipelined(
         outputs = jnp.where(is_last, outputs, jnp.zeros_like(outputs))
         return lax.psum(outputs, stage_axis)
 
-    other_axes = [a for a in mesh.axis_names if a != stage_axis]
     layer_spec = P(stage_axis)                  # slice the stacked layer axis
     out = shard_map(
         stage_fn, mesh=mesh,

@@ -119,15 +119,20 @@ def test_transcriber_beam_mode(rng):
     ids, avg_lp, temp = res_one[0]
     assert temp == 0.0 and np.isfinite(avg_lp)
     assert ids and tok.is_timestamp(ids[0])
-    prev, prevprev, last = False, True, -1
-    for t in ids:
+    # openai ApplyTimestampRules walk (see test_timestamps.py): the lone
+    # opener reads as a completed pair (len<2 rule), so text must follow it
+    last = -1
+    for i, t in enumerate(ids):
+        seq = ids[:i]
+        last_was = len(seq) >= 1 and tok.is_timestamp(seq[-1])
+        penult = len(seq) < 2 or tok.is_timestamp(seq[-2])
         if tok.is_timestamp(t):
             assert t >= last
             last = t
-            assert not (prev and prevprev), "timestamp after completed pair"
+            assert not (last_was and penult), \
+                "timestamp after a completed pair / lone opener"
         else:
-            assert not (prev and not prevprev), "text after lone timestamp"
-        prevprev, prev = prev, tok.is_timestamp(t)
+            assert not (last_was and not penult), "text mid-pair"
     # full transcribe with segments also works in beam mode
     out = tr.transcribe(audio)
     assert out.segments

@@ -45,22 +45,23 @@ def test_timestamp_structure(setup, rng, temperature, seed):
     assert ids, "no tokens generated"
     # first generated token is a timestamp
     assert tok.is_timestamp(ids[0])
-    # pairs: a lone timestamp is followed by a timestamp (except stream end)
-    # and timestamps never decrease. prevprev starts True: the opening
-    # timestamp counts as a completed pair (upstream len(seq)<2 rule), so
-    # TEXT must follow it — a doubled timestamp at segment start is a bug.
+    # mirror openai ApplyTimestampRules exactly: before emitting ids[i],
+    # last_was = ids[i-1] is a timestamp; penult = len<2 (defaults True —
+    # a lone opener reads as a completed pair) or ids[i-2] is a timestamp.
+    # last_was & penult  -> timestamps banned (text must follow)
+    # last_was & ~penult -> text banned (the closing timestamp must follow)
     last_ts = -1
-    prev_is_ts, prevprev_is_ts = False, True
-    for t in ids:
+    for i, t in enumerate(ids):
+        seq = ids[:i]
+        last_was = len(seq) >= 1 and tok.is_timestamp(seq[-1])
+        penult = len(seq) < 2 or tok.is_timestamp(seq[-2])
         if tok.is_timestamp(t):
             assert t >= last_ts
             last_ts = t
-            assert not (prev_is_ts and prevprev_is_ts), \
-                "timestamp after a completed pair"
+            assert not (last_was and penult), \
+                "timestamp after a completed pair / lone opener"
         else:
-            assert not (prev_is_ts and not prevprev_is_ts), \
-                "text after a lone (non-opening) timestamp"
-        prevprev_is_ts, prev_is_ts = prev_is_ts, tok.is_timestamp(t)
+            assert not (last_was and not penult), "text mid-pair"
 
 
 def test_avg_logprob_accounting(setup, rng):
@@ -122,13 +123,37 @@ def test_timestamp_rules_monotonicity_strictness():
             last_ts=jnp.asarray([last], jnp.int32))
         return np.asarray(out)[0]
 
-    # start: nothing emitted (last = ts0-1, prevprev=True trick): 0.00 allowed
-    m = masked(True, False, True, ts0 - 1)
+    # start: nothing emitted (last = ts0-1): 0.00 allowed, and openai bans
+    # EVERYTHING below timestamp_begin at the first position — EOT included
+    # (logits[:timestamp_begin] = -inf), so a quiet window still opens a
+    # segment instead of returning empty
+    m = masked(True, True, True, ts0 - 1)
     assert m[ts0] == 0.0 and m[ts0 + 5] == 0.0
+    assert m[eot] == neg and m[0] == neg
+    # after a LONE opening timestamp: (prev=True, prevprev=True) — the
+    # len(seq)<2 rule makes the opener read as a completed pair, so text
+    # must follow and timestamps are banned (regression: the carry init
+    # used to leave this state unreachable, forcing a doubled opener)
+    m = masked(False, True, True, ts0 + 5)
+    assert m[0] == 0.0 and m[ts0 + 6] == neg
     # mid-pair after opener at ts0+5: closer may EQUAL the opener
     m = masked(False, True, False, ts0 + 5)
     assert m[ts0 + 5] == 0.0 and m[ts0 + 4] == neg
+    # ... and EOT stays allowed mid-pair
+    assert m[eot] == 0.0
     # after a completed pair ending at ts0+5, then text: next opener must be
     # STRICTLY greater
     m = masked(False, False, False, ts0 + 5)
     assert m[ts0 + 5] == neg and m[ts0 + 6] == 0.0
+
+
+def test_opening_timestamp_followed_by_text(setup, rng):
+    """End-to-end regression for the carry-init bug: the token after the
+    forced opening timestamp must be drawn from TEXT (or EOT), never a
+    second timestamp."""
+    params, cfg, tok = setup
+    for seed in range(4):
+        ids, _ = _decode(params, cfg, tok, rng, temperature=1.2, seed=seed)
+        assert ids and tok.is_timestamp(ids[0])
+        if len(ids) > 1:
+            assert not tok.is_timestamp(ids[1]), ids[:4]

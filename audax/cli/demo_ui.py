@@ -11,8 +11,10 @@ Then open http://localhost:8501
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -91,7 +93,16 @@ class DemoState:
         self.transcriber = transcriber
         self.ft_transcriber = ft_transcriber or transcriber
         self.dataset_dir = dataset_dir
-        self.counter = 0
+        # resume numbering past existing samples: a fresh counter would
+        # silently overwrite sample_0000.wav collected in earlier sessions
+        existing = (glob.glob(os.path.join(dataset_dir, "sample_*.wav"))
+                    if os.path.isdir(dataset_dir) else [])
+        nums = []
+        for p in existing:
+            m = re.search(r"sample_(\d+)\.wav$", p)
+            if m:
+                nums.append(int(m.group(1)))
+        self.counter = max(nums) + 1 if nums else 0
         self.lock = threading.Lock()
 
 
@@ -110,6 +121,8 @@ def _decode_audio(body: bytes) -> Optional[np.ndarray]:
             path = fh.name
         try:
             x, rate = read_wav(path)
+        except Exception:          # truncated/corrupt RIFF: 400, not a 500
+            return None
         finally:
             os.unlink(path)
     else:
@@ -189,8 +202,12 @@ def make_handler(state: DemoState):
 
 
 def serve(transcriber, ft_transcriber=None, *, port: int = 8501,
+          host: str = "127.0.0.1",
           dataset_dir: str = "artifacts/demo_dataset") -> ThreadingHTTPServer:
+    # loopback by default like every other server in the repo: the demo
+    # accepts arbitrary uploads and writes to disk — exposing it is an
+    # explicit --host 0.0.0.0 decision, not the default
     state = DemoState(transcriber, ft_transcriber, dataset_dir)
-    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(state))
-    log.success("demo UI at http://localhost:%d", port)
+    server = ThreadingHTTPServer((host, port), make_handler(state))
+    log.success("demo UI at http://%s:%d", host, port)
     return server

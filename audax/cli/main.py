@@ -113,7 +113,7 @@ def _classifier_common(argv, model_kind: str, train: bool) -> int:
     from audax.eval.metrics import (URBANSOUND8K_CLASSES, classification_report,
                                     plot_confusion_matrix)
     from audax.models.classifiers import CNNClassifier, TransformerClassifier
-    from audax.train.checkpoints import CheckpointManager, load_pytree, save_pytree
+    from audax.train.checkpoints import CheckpointManager
     from audax.train.loops import evaluate_classifier, fit_classifier
     from audax.train.metrics_sink import MetricsSink
     from audax.train.steps import make_classifier_steps
@@ -156,9 +156,11 @@ def _classifier_common(argv, model_kind: str, train: bool) -> int:
     import jax.numpy as jnp
     import numpy as np
     test = load_split(args.parquet, [us.test_fold])
-    variables = model.init({"params": jax.random.key(0),
-                            "dropout": jax.random.key(0)},
-                           jnp.asarray(test["x"][:1]), train=True)
+    # jit the init: eager per-op dispatch over the tunnel is ~0.5 s/op and
+    # the values only serve as a restore template (train/loops.py:37)
+    variables = jax.jit(lambda r, x: model.init(
+        {"params": r, "dropout": r}, x, train=True))(
+        jax.random.key(0), jnp.asarray(test["x"][:1]))
     mgr = CheckpointManager(ckpt_dir)
     restored = mgr.restore({"params": variables["params"],
                             "batch_stats": variables.get("batch_stats", {})})
@@ -213,7 +215,14 @@ def _load_whisper(size: str, ckpt: str, tokenizer_dir: str):
     cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
            "small": WhisperConfig.small,
            "large-v3": WhisperConfig.large_v3}[size]()
-    if tokenizer_dir and os.path.exists(os.path.join(tokenizer_dir, "vocab.json")):
+    if tokenizer_dir and not os.path.exists(
+            os.path.join(tokenizer_dir, "vocab.json")):
+        # an explicitly supplied path that does not resolve is an ERROR —
+        # falling back to the toy vocab would decode a real checkpoint's
+        # ids through a ~300-token table (garbage text, no loud failure)
+        raise FileNotFoundError(
+            f"--tokenizer-dir {tokenizer_dir!r} has no vocab.json")
+    if tokenizer_dir:
         bpe = BPE.load(tokenizer_dir)
         try:
             # real checkpoint vocabs: solve language count from the preset's
@@ -315,8 +324,15 @@ def cmd_transcribe(argv) -> int:
         dparams, dcfg, _ = _load_whisper(args.draft_size, args.draft_ckpt,
                                          args.tokenizer_dir)
         if dcfg.vocab_size != cfg.vocab_size:
-            # drafts must share the target token space; random-init drafts
-            # (no --draft-ckpt) are only useful for plumbing/benchmarks
+            if args.draft_ckpt:
+                # NEVER silently replace user weights: a random draft runs
+                # below the no-draft baseline (acceptance floor)
+                print(f"--draft-ckpt vocab {dcfg.vocab_size} does not match "
+                      f"the target's {cfg.vocab_size}; the draft must share "
+                      f"the target token space", file=sys.stderr)
+                return 1
+            # random-init drafts (no --draft-ckpt) are only useful for
+            # plumbing/benchmarks: align the vocab and re-init
             dcfg = dataclasses.replace(dcfg, vocab_size=cfg.vocab_size)
             from audax.models.whisper import init_whisper_params
             import jax
@@ -445,10 +461,6 @@ def cmd_classifier_proof(argv) -> int:
     args = p.parse_args(argv)
 
     import json
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from audax.core.config import UrbanSoundConfig
     from audax.core.runtime import setup
@@ -1110,6 +1122,7 @@ def cmd_demo(argv) -> int:
     p.add_argument("--ft-ckpt", default="")
     p.add_argument("--tokenizer-dir", default="")
     p.add_argument("--port", type=int, default=8501)
+    p.add_argument("--host", default="127.0.0.1")
     args = p.parse_args(argv)
     from audax.cli.demo_ui import serve
     from audax.infer.transcribe import Transcriber
@@ -1120,7 +1133,7 @@ def cmd_demo(argv) -> int:
         ft_params, _, _ = _load_whisper(args.size, args.ft_ckpt,
                                         args.tokenizer_dir)
         ft_tr = Transcriber(ft_params, cfg, tok)
-    server = serve(tr, ft_tr, port=args.port)
+    server = serve(tr, ft_tr, port=args.port, host=args.host)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -1226,6 +1239,7 @@ def cmd_infer_music(argv) -> int:
     from audax.symbolic.bpe import BPE
     from audax.train.two_tower import load_trainable_checkpoint
 
+    _setup()
     tt = TwoTowerConfig.from_env()
     lm_dims = {"tiny": (128, 4, 4, 2), "small": (256, 6, 8, 4),
                "base": (512, 12, 8, 4)}[args.lm_size]
@@ -1251,7 +1265,6 @@ def cmd_infer_music(argv) -> int:
         return x
 
     if args.wav_dir:
-        import os
         from audax.infer.continuous import ContinuousGenerator
         g = ContinuousGenerator(
             model, bpe=bpe, start_id=start, end_id=end, slots=args.slots,
@@ -1375,9 +1388,8 @@ def cmd_make_midi_dataset(argv) -> int:
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     load_dotenv()
-    from audax.core.runtime import setup
-    setup()
     if not argv or argv[0] in ("-h", "--help"):
+        # no runtime init just to print the command list
         print("audax commands:\n  " + "\n  ".join(sorted(_COMMANDS)))
         return 0
     cmd = argv[0]
@@ -1385,6 +1397,8 @@ def main(argv=None) -> int:
         print(f"unknown command {cmd!r}; available: {', '.join(sorted(_COMMANDS))}",
               file=sys.stderr)
         return 2
+    from audax.core.runtime import setup
+    setup()
     return _COMMANDS[cmd](argv[1:])
 
 

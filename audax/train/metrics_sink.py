@@ -11,6 +11,7 @@ installed in this image, so the import is guarded.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from typing import Dict, Optional
@@ -24,9 +25,21 @@ log = get_logger("audax.metrics")
 
 def _to_py(v):
     try:
-        return v.item()  # numpy / jax scalar
+        v = v.item()  # numpy / jax scalar
     except AttributeError:
-        return v
+        pass
+    except (ValueError, TypeError):
+        # array-valued metric: degrade to a list rather than killing a
+        # training run hours in (ndarray.item() raises ValueError on size>1)
+        try:
+            return [_to_py(x) for x in list(v)]
+        except Exception:
+            return str(v)
+    # NaN/Inf serialize as bare NaN/Infinity — invalid JSON that breaks
+    # DuckDB over the whole file; null keeps the line queryable
+    if isinstance(v, float) and not math.isfinite(v):
+        return None
+    return v
 
 
 class MetricsSink:

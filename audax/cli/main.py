@@ -1152,6 +1152,9 @@ def cmd_train_music(argv) -> int:
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--accum-steps", type=int, default=0,
                    help="gradient accumulation microbatches per step")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest epoch checkpoint in "
+                        "--ckpt-dir (params + optimizer state + step)")
     p.add_argument("--chunk-seconds", type=float, default=10.0)
     p.add_argument("--note-eval-every", type=int, default=0,
                    help="run note-level P/R/F1 generation eval every N epochs")
@@ -1199,7 +1202,8 @@ def cmd_train_music(argv) -> int:
     sink = MetricsSink("two_tower", config=tt.asdict())
     state, history = fit_two_tower(model, ds, chunk_seconds=args.chunk_seconds,
                                    sink=sink, ckpt_dir=args.ckpt_dir,
-                                   note_eval_every=args.note_eval_every)
+                                   note_eval_every=args.note_eval_every,
+                                   resume=args.resume)
     sink.close()
     print(args.ckpt_dir)
     return 0

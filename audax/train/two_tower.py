@@ -238,14 +238,39 @@ def save_trainable_checkpoint(path: str, state: TwoTowerState,
 
 
 def load_trainable_checkpoint(path: str, model: TwoTowerModel,
-                              *, return_saved: bool = False):
+                              *, return_saved: bool = False,
+                              opt_state_template=None):
     """Merge a trainable-only checkpoint over freshly-built params
     (format-aware loader, reference train.py:336-362 / inference.py:53-89).
-    ``return_saved=True`` additionally returns the raw saved dict (step,
-    opt_state when present) for mid-run resume."""
+    ``return_saved=True`` additionally returns the saved dict (step,
+    opt_state when present) for mid-run resume. ``opt_state_template``
+    (e.g. ``tx.init(params)``) enables a TARGETED orbax restore so the
+    optimizer state comes back with its optax NamedTuple structure intact
+    — a raw restore flattens it to plain containers."""
     from audax.train.checkpoints import load_pytree
 
-    saved = load_pytree(path)
+    saved = None
+    if opt_state_template is not None:
+        k_t = min(model.cfg.top_k_unfrozen_layers, model.lm_cfg.layers)
+        n_t = model.lm_cfg.layers
+        tpl = {
+            "adapter": model.params["adapter"],
+            "lm_top_layers": jax.tree.map(lambda x: x[n_t - k_t:],
+                                          model.params["lm"]["layers"]),
+            "lm_other": {key: val
+                         for key, val in model.params["lm"].items()
+                         if key != "layers"},
+            "step": jnp.zeros((), jnp.int32),
+            "opt_state": opt_state_template,
+            "extra": {"epoch": 0, "val_loss": 0.0},
+        }
+        try:
+            saved = load_pytree(path, tpl)
+        except Exception:
+            # older format (no opt_state/extra): fall back to raw
+            saved = None
+    if saved is None:
+        saved = load_pytree(path)
     # clamp like the save side: top_k beyond the layer count means
     # "everything trainable" — an unclamped n-k slice would splice fresh
     # random layers under the trained ones

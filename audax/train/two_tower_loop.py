@@ -23,6 +23,7 @@ from audax.frontend import LogMelFrontend
 from audax.models.two_tower import TwoTowerModel
 from audax.train.metrics_sink import MetricsSink
 from audax.train.two_tower import (TwoTowerState, init_two_tower_optimizer,
+                                   load_trainable_checkpoint,
                                    make_two_tower_step,
                                    save_trainable_checkpoint,
                                    scale_learning_rates,
@@ -147,13 +148,44 @@ def fit_two_tower(
     note_eval_every: int = 0,
     note_eval_samples: int = 4,
     keep_epochs: int = 3,
+    resume: bool = False,
 ) -> Tuple[TwoTowerState, Dict]:
+    """``resume=True`` continues from the latest ``epoch_NNN`` checkpoint
+    in ``ckpt_dir`` — params, optimizer state (Adam moments + the plateau
+    scheduler's scaled LRs), and step all restore, so the resumed run is a
+    true continuation (the reference had save/load but never wired resume,
+    SURVEY.md §5)."""
     cfg = model.cfg
     frontend = frontend or LogMelFrontend.whisper(model.audio_cfg.n_mels)
     tx, mask = init_two_tower_optimizer(model)
     state = TwoTowerState(step=jnp.int32(0), params=model.params,
                           opt_state=tx.init(model.params), tx=tx,
                           layer_mask=mask)
+
+    start_epoch = 0
+    if resume and ckpt_dir and os.path.isdir(ckpt_dir):
+        import re as _re
+        epochs_on_disk = sorted(
+            int(m.group(1)) for d in os.listdir(ckpt_dir)
+            if (m := _re.fullmatch(r"epoch_(\d+)", d)))
+        if epochs_on_disk:
+            last = epochs_on_disk[-1]
+            model, saved = load_trainable_checkpoint(
+                os.path.join(ckpt_dir, f"epoch_{last:03d}"), model,
+                return_saved=True, opt_state_template=state.opt_state)
+            if "opt_state" in saved:
+                opt_state = saved["opt_state"]
+            else:
+                opt_state = state.opt_state
+                log.warning("checkpoint has no optimizer state (old "
+                            "format); Adam moments reset")
+            state = TwoTowerState(
+                step=jnp.asarray(saved["step"], jnp.int32),
+                params=model.params, opt_state=opt_state, tx=tx,
+                layer_mask=mask)
+            start_epoch = last + 1
+            log.info("resumed from epoch %d", last)
+
     # donate: in-place param/opt updates; model.params is consumed (the
     # loop never reads it again — serving weights come from state.params)
     train_step, eval_step = make_two_tower_step(model, donate=True,
@@ -176,7 +208,7 @@ def fit_two_tower(
     epoch_handles: list = []       # (epoch, async checkpointer) in flight
     best_handle = None
 
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         losses = []
         log_at = []            # (batch index, step) to sink after the fetch
         for i, batch in enumerate(_batches(dataset, train_idx, cfg.batch_size,

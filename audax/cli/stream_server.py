@@ -83,8 +83,13 @@ def read_frame(sock: socket.socket, on_control=None) -> Tuple[int, bytes]:
             (length,) = struct.unpack(">Q", _recv_exact(sock, 8))
         mask = _recv_exact(sock, 4) if masked else b""
         data = _recv_exact(sock, length) if length else b""
-        if masked:
-            data = bytes(c ^ mask[i % 4] for i, c in enumerate(data))
+        if masked and data:
+            # vectorized unmask: the per-byte Python loop costs ~64k
+            # iterations per 1 s PCM frame per client on the hot path
+            arr = np.frombuffer(data, np.uint8)
+            mk = np.frombuffer((mask * (len(data) // 4 + 1))[: len(data)],
+                               np.uint8)
+            data = (arr ^ mk).tobytes()
         if op >= OP_CLOSE:                       # control frame
             if on_control is not None:
                 on_control(op, data)
@@ -114,29 +119,39 @@ def write_frame(sock: socket.socket, opcode: int, payload: bytes) -> None:
 
 
 class _Hub:
-    """Shared transcriber + per-stream connection registry + one lock."""
+    """Shared transcriber + per-stream connection registry + one lock.
+
+    The hub lock guards the transcriber and the registry ONLY — socket
+    sends happen outside it under per-connection locks, so one stalled
+    client's full TCP buffer cannot freeze every other connection."""
 
     def __init__(self, transcriber):
         self.st = transcriber
         self.lock = threading.Lock()
-        self.conns: Dict[str, socket.socket] = {}
+        #: stream_id -> (socket, per-connection send lock)
+        self.conns: Dict[str, Tuple[socket.socket, threading.Lock]] = {}
 
     def pump(self) -> None:
         """Run device steps for all pending chunks, dispatch segments."""
         with self.lock:
             segments = self.st.drain()
-            for seg in segments:
-                conn = self.conns.get(seg.stream_id)
-                if conn is None:
-                    continue
-                try:
-                    write_frame(conn, OP_TEXT, json.dumps({
+            targets = [(seg, self.conns.get(seg.stream_id))
+                       for seg in segments]
+        for seg, conn in targets:
+            if conn is None:
+                continue
+            sock, send_lock = conn
+            try:
+                with send_lock:
+                    write_frame(sock, OP_TEXT, json.dumps({
                         "stream": seg.stream_id, "index": seg.index,
                         "text": seg.text,
                         "audio_seconds": seg.audio_seconds,
                     }).encode())
-                except OSError:
-                    self.conns.pop(seg.stream_id, None)
+            except OSError:
+                with self.lock:
+                    if self.conns.get(seg.stream_id, (None,))[0] is sock:
+                        self.conns.pop(seg.stream_id, None)
 
 
 class _Handler(socketserver.BaseRequestHandler):
@@ -170,14 +185,20 @@ class _Handler(socketserver.BaseRequestHandler):
 
         qs = parse_qs(urlparse(path).query)
         stream_id = qs.get("stream", [f"conn-{self.client_address[1]}"])[0]
+        send_lock = threading.Lock()
+        # a finite socket timeout bounds BOTH a stalled recv and a sendall
+        # into a full client TCP buffer (a 0-timeout stall would otherwise
+        # hang this handler forever)
+        sock.settimeout(300.0)
         with hub.lock:
-            hub.conns[stream_id] = sock
+            hub.conns[stream_id] = (sock, send_lock)
         log.info("stream %s connected", stream_id)
         closing = False
+        leftover = bytearray()       # partial float32 across binary frames
 
         def on_control(op, data):
             nonlocal closing
-            with hub.lock:                  # sends serialize with pump()
+            with send_lock:             # sends serialize with pump()
                 if op == OP_PING:
                     write_frame(sock, OP_PONG, data)
                 elif op == OP_CLOSE:
@@ -190,9 +211,16 @@ class _Handler(socketserver.BaseRequestHandler):
                 if opcode == OP_CLOSE or closing:
                     break
                 if opcode == OP_BINARY:
-                    samples = np.frombuffer(payload, dtype="<f4")
-                    with hub.lock:
-                        hub.st.feed(stream_id, samples)
+                    # buffer byte-level: a float32 split across two WS
+                    # MESSAGES must not kill the session
+                    leftover += payload
+                    n = (len(leftover) // 4) * 4
+                    if n:
+                        samples = np.frombuffer(bytes(leftover[:n]),
+                                                dtype="<f4")
+                        del leftover[:n]
+                        with hub.lock:
+                            hub.st.feed(stream_id, samples)
                 elif opcode == OP_TEXT and payload == b"flush":
                     with hub.lock:
                         hub.st.flush(stream_id)
@@ -201,12 +229,15 @@ class _Handler(socketserver.BaseRequestHandler):
             pass
         finally:
             with hub.lock:
-                hub.conns.pop(stream_id, None)
-                # evict the stream's ring buffer + queued chunks: nothing
-                # else ever removes it, and a long-running server with
-                # short-lived clients would pin one ~window-sized float32
-                # buffer per past connection forever
-                hub.st.remove(stream_id)
+                # pop/evict only if WE are still the registered connection:
+                # a reconnect with the same stream id must not have its
+                # fresh state clobbered by the stale handler's cleanup
+                if hub.conns.get(stream_id, (None,))[0] is sock:
+                    hub.conns.pop(stream_id, None)
+                    # evict the ring buffer + queued chunks: nothing else
+                    # removes them, and a long-running server would pin one
+                    # window-sized float32 buffer per past connection
+                    hub.st.remove(stream_id)
             log.info("stream %s disconnected", stream_id)
 
 

@@ -26,21 +26,36 @@ extern "C" {
 
 namespace {
 
-// Append one decoded AVFrame as interleaved float32.
-void append_frame(const AVFrame* fr, int channels, std::vector<float>& out) {
+// Append one decoded AVFrame as interleaved float32 with `channels`
+// output channels. Returns 0, or <0 on an unsupported sample format —
+// silence here would feed models all-zero audio with rc=0. The frame's
+// OWN channel count bounds reads (a mid-stream layout change must not
+// dereference a missing plane); missing channels duplicate channel 0.
+int append_frame(const AVFrame* fr, int channels, std::vector<float>& out) {
     const int n = fr->nb_samples;
     const AVSampleFormat fmt = static_cast<AVSampleFormat>(fr->format);
     const bool planar = av_sample_fmt_is_planar(fmt);
     const AVSampleFormat base = av_get_packed_sample_fmt(fmt);
+    const int fr_ch = fr->ch_layout.nb_channels > 0
+                      ? fr->ch_layout.nb_channels : channels;
+    switch (base) {
+        case AV_SAMPLE_FMT_FLT: case AV_SAMPLE_FMT_DBL:
+        case AV_SAMPLE_FMT_S16: case AV_SAMPLE_FMT_S32:
+        case AV_SAMPLE_FMT_U8:
+            break;
+        default:
+            return -10;  // unsupported sample format: loud, not silent
+    }
     const size_t start = out.size();
     out.resize(start + static_cast<size_t>(n) * channels);
     float* dst = out.data() + start;
 
     auto sample = [&](int ch, int i) -> float {
+        if (ch >= fr_ch) ch = 0;      // layout shrank mid-stream
         // extended_data covers >8-channel planar audio; aliases data[] below
         const uint8_t* plane = planar ? fr->extended_data[ch]
                                       : fr->extended_data[0];
-        const int idx = planar ? i : i * channels + ch;
+        const int idx = planar ? i : i * fr_ch + ch;
         switch (base) {
             case AV_SAMPLE_FMT_FLT:
                 return reinterpret_cast<const float*>(plane)[idx];
@@ -52,15 +67,14 @@ void append_frame(const AVFrame* fr, int channels, std::vector<float>& out) {
             case AV_SAMPLE_FMT_S32:
                 return reinterpret_cast<const int32_t*>(plane)[idx]
                        / 2147483648.0f;
-            case AV_SAMPLE_FMT_U8:
+            default:  // AV_SAMPLE_FMT_U8 (format screened above)
                 return (plane[idx] - 128) / 128.0f;
-            default:
-                return 0.0f;
         }
     };
     for (int i = 0; i < n; ++i)
         for (int ch = 0; ch < channels; ++ch)
             *dst++ = sample(ch, i);
+    return 0;
 }
 
 }  // namespace
@@ -102,9 +116,11 @@ int audax_decode_audio(const char* path, float** out, long* n_frames,
         fr = av_frame_alloc();
         if (!pkt || !fr) break;
 
+        int frame_rc = 0;
         auto drain = [&]() {
             while (avcodec_receive_frame(cc, fr) == 0) {
-                append_frame(fr, ch, pcm);
+                int r = append_frame(fr, ch, pcm);
+                if (r < 0) frame_rc = r;
                 av_frame_unref(fr);
             }
         };
@@ -113,9 +129,11 @@ int audax_decode_audio(const char* path, float** out, long* n_frames,
                 avcodec_send_packet(cc, pkt) == 0)
                 drain();
             av_packet_unref(pkt);
+            if (frame_rc < 0) break;
         }
         avcodec_send_packet(cc, nullptr);  // flush
         drain();
+        if (frame_rc < 0) { rc = frame_rc; break; }
 
         *sample_rate = cc->sample_rate;
         *channels = ch;

@@ -20,21 +20,78 @@ from typing import Dict, List, Optional, Tuple
 from audax.symbolic.midi import KeySignature, MidiFile
 
 __all__ = ["midi_to_abc", "extract_abc_metadata", "extract_tokens",
-           "AbcMetadata"]
+           "AbcMetadata", "key_accidentals"]
 
 _SHARP_NAMES = ["C", "^C", "D", "^D", "E", "F", "^F", "G", "^G", "A", "^A", "B"]
 _FLAT_NAMES = ["C", "_D", "D", "_E", "E", "F", "_G", "G", "_A", "A", "_B", "B"]
 
+_LETTER_PC = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+# key signature -> letters sharpened (positive) / flattened (negative);
+# the parser (abc_parse.py) imports these so emitter and parser can never
+# disagree about what a key signature implies
+_SHARP_ORDER = "FCGDAEB"
+_FLAT_ORDER = "BEADGCF"
+_KEY_SHARPS = {"C": 0, "G": 1, "D": 2, "A": 3, "E": 4, "B": 5, "F#": 6,
+               "C#": 7, "F": -1, "Bb": -2, "Eb": -3, "Ab": -4, "Db": -5,
+               "Gb": -6, "Cb": -7,
+               "Am": 0, "Em": 1, "Bm": 2, "F#m": 3, "C#m": 4, "G#m": 5,
+               "D#m": 6, "A#m": 7, "Dm": -1, "Gm": -2, "Cm": -3, "Fm": -4,
+               "Bbm": -5, "Ebm": -6, "Abm": -7}
 
-def _pitch_to_abc(pitch: int, *, flats: bool = False) -> str:
-    """MIDI pitch -> ABC note. ABC middle C (C4, MIDI 60) is ``C``; octave up
-    is lowercase, further octaves use ' and , marks."""
-    names = _FLAT_NAMES if flats else _SHARP_NAMES
-    base = names[pitch % 12]
-    octave = pitch // 12 - 1                       # MIDI octave (C4 = 60)
+
+def key_accidentals(key: str) -> dict:
+    """Key name -> {letter: ±1} accidental map (ABC key-signature rule)."""
+    sharps = _KEY_SHARPS.get(key.strip(), 0)
+    out = {}
+    if sharps > 0:
+        for letter in _SHARP_ORDER[:sharps]:
+            out[letter] = 1
+    elif sharps < 0:
+        for letter in _FLAT_ORDER[:-sharps]:
+            out[letter] = -1
+    return out
+
+
+def _pitch_to_abc(pitch: int, *, flats: bool = False,
+                  key_acc: Optional[dict] = None) -> str:
+    """MIDI pitch -> ABC note, KEY-AWARE. ABC middle C (C4, MIDI 60) is
+    ``C``; octave up is lowercase, further octaves use ' and , marks.
+
+    Under a key signature, unmarked letters are read with the key's
+    accidentals (abc_parse.py applies them), so the emitter must spell
+    accordingly: a pitch the key already covers emits the plain letter, a
+    natural the key would alter emits ``=``, everything else an explicit
+    ``^``/``_`` (explicit accidentals override the key in the parser) —
+    otherwise every natural note in a non-C tune round-trips a semitone
+    off."""
+    key_acc = key_acc or {}
+    pc = pitch % 12
+    letter = acc = None
+    delta = 0
+    # 1. a key-altered letter already lands on this pitch: plain spelling
+    for lt, base_pc in _LETTER_PC.items():
+        d = key_acc.get(lt, 0)
+        if d and (base_pc + d) % 12 == pc:
+            letter, acc, delta = lt, "", d
+            break
+    if letter is None:
+        # 2. a natural letter: '=' if the key would alter it
+        for lt, base_pc in _LETTER_PC.items():
+            if base_pc == pc:
+                letter = lt
+                acc = "=" if key_acc.get(lt, 0) else ""
+                break
+    if letter is None:
+        # 3. chromatic: explicit accidental (overrides the key)
+        name = (_FLAT_NAMES if flats else _SHARP_NAMES)[pc]
+        acc, letter = name[0], name[1]
+        delta = 1 if acc == "^" else -1
+    # octave of the LETTER's natural pitch (a wrapped spelling like Cb for
+    # B shifts the written octave)
+    octave = (pitch - delta) // 12 - 1             # MIDI octave (C4 = 60)
     if octave >= 5:
-        return base.lower() + "'" * (octave - 5)
-    return base + "," * (4 - octave)
+        return acc + letter.lower() + "'" * (octave - 5)
+    return acc + letter + "," * (4 - octave)
 
 
 def _dur_to_abc(units: Fraction) -> str:
@@ -65,6 +122,7 @@ def midi_to_abc(
     tempo = mf.tempos[0] if mf.tempos else None
     bpm = round(tempo.bpm) if tempo else 120
     flats = key.sharps < 0
+    key_acc = key_accidentals(key.name)
 
     # quantize to grid in unit-note-lengths
     beat_units = Fraction(1, 4) / unit             # units per quarter note
@@ -112,11 +170,13 @@ def midi_to_abc(
             group = [(p, max(min(d, allowed), grid)) for p, d in group]
         dur = min(d for _, d in group)
         if len(group) == 1:
-            body.append(_pitch_to_abc(group[0][0], flats=flats)
+            body.append(_pitch_to_abc(group[0][0], flats=flats,
+                                      key_acc=key_acc)
                         + _dur_to_abc(group[0][1]))
             dur = group[0][1]
         else:
-            inner = "".join(_pitch_to_abc(p, flats=flats) + _dur_to_abc(d)
+            inner = "".join(_pitch_to_abc(p, flats=flats, key_acc=key_acc)
+                            + _dur_to_abc(d)
                             for p, d in sorted(group))
             body.append(f"[{inner}]")
         cursor += dur
@@ -179,7 +239,8 @@ def extract_abc_metadata(abc_text: str) -> AbcMetadata:
 _TOKEN_PATTERN = re.compile(
     r"(?P<header>^[XTMLQKVPZNRSOWmw]:[^\n]*$)"
     r"|(?P<chordsym>\"[^\"]*\")"
-    r"|(?P<chord>\[[^\]\n]+\])"
+    r"|(?P<chord>\[[^\]\n|]+\])"  # no '|': '[| ... |]' is a barline span,
+                                  # not one chord of the whole measure
     r"|(?P<note>[_^=]{0,2}[a-gA-G][,']*\d*(?:/\d*)?)"
     r"|(?P<rest>[zZxX]\d*(?:/\d*)?)"
     r"|(?P<bar>\|\]|\[\||\|\||:\||\|:|::|\|)"

@@ -34,17 +34,11 @@ _NOTE_RE = re.compile(
     r"(?P<dur>\d*(?:/\d*)?)$")
 _REST_RE = re.compile(r"^[zZxX](?P<dur>\d*(?:/\d*)?)$")
 
-_LETTER_PITCH = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
-
-# key signature -> set of letters sharpened (positive) / flattened (negative)
-_SHARP_ORDER = "FCGDAEB"
-_FLAT_ORDER = "BEADGCF"
-_KEY_SHARPS = {"C": 0, "G": 1, "D": 2, "A": 3, "E": 4, "B": 5, "F#": 6,
-               "C#": 7, "F": -1, "Bb": -2, "Eb": -3, "Ab": -4, "Db": -5,
-               "Gb": -6, "Cb": -7,
-               "Am": 0, "Em": 1, "Bm": 2, "F#m": 3, "C#m": 4, "G#m": 5,
-               "D#m": 6, "A#m": 7, "Dm": -1, "Gm": -2, "Cm": -3, "Fm": -4,
-               "Bbm": -5, "Ebm": -6, "Abm": -7}
+# shared with the emitter (abc.py) so both sides agree on what a key
+# signature implies for unmarked letters
+from audax.symbolic.abc import (_KEY_SHARPS,  # noqa: E402
+                                _LETTER_PC as _LETTER_PITCH,
+                                key_accidentals as _key_accidentals)
 
 
 def _parse_duration(text: str) -> Fraction:
@@ -77,18 +71,6 @@ def parse_abc_note(token: str, key_accidentals: Optional[dict] = None
     return pitch, _parse_duration(m.group("dur"))
 
 
-def _key_accidentals(key: str) -> dict:
-    sharps = _KEY_SHARPS.get(key.strip(), 0)
-    out = {}
-    if sharps > 0:
-        for letter in _SHARP_ORDER[:sharps]:
-            out[letter] = 1
-    elif sharps < 0:
-        for letter in _FLAT_ORDER[:-sharps]:
-            out[letter] = -1
-    return out
-
-
 def abc_to_midi(abc_text: str, *, ticks_per_beat: int = 480,
                 velocity: int = 90) -> MidiFile:
     """Parse ABC text into a MidiFile (tempo/key/meter honored)."""
@@ -100,11 +82,14 @@ def abc_to_midi(abc_text: str, *, ticks_per_beat: int = 480,
     key_line = None
     for i, line in enumerate(lines):
         if line.strip().startswith("K:"):
+            # the FIRST K: ends the header (a later K: is a legal mid-tune
+            # key change; splitting there would discard every earlier note)
             key_line = i
+            break
     if key_line is None:
         # ABC requires K: as the final header; without it this is not a tune
         raise AbcParseError("missing K: header")
-    for line in lines:
+    for line in lines[: key_line + 1]:      # headers end at the first K:
         s = line.strip()
         if s.startswith("M:"):
             try:
@@ -161,6 +146,7 @@ def abc_to_midi(abc_text: str, *, ticks_per_beat: int = 480,
         rest = _REST_RE.match(tok)
         if rest:
             cursor += _parse_duration(rest.group("dur"))
+            tie_next = False    # a rest breaks a tie ('C- z C' = two notes)
             continue
         if tok.startswith("["):                 # chord
             inner = tok[1:-1]

@@ -61,6 +61,63 @@ def test_roundtrip_midi_abc_midi():
     assert ref_times == back_times
 
 
+def test_roundtrip_non_c_key():
+    """Regression (review finding): the emitter spelled pitches absolutely
+    while the parser applies key accidentals, so every natural note in a
+    non-C tune round-tripped a semitone off. The key-aware emitter must
+    spell F# as plain F under K:D and F natural as =F."""
+    mf = MidiFile(ticks_per_beat=480)
+    mf.tempos.append(Tempo(0, 500000))
+    mf.time_signatures.append(TimeSignature(0, 4, 4))
+    mf.key_signatures.append(KeySignature(0, 2))          # D major: F#, C#
+    pitches = [62, 64, 66, 65, 61, 60, 67]   # D E F# F-nat C# C-nat G
+    for i, p in enumerate(pitches):
+        mf.notes.append(Note(i * 480, 480, p, 100))
+    abc = midi_to_abc(mf, title="dmaj")
+    assert "K:D" in abc
+    back = abc_to_midi(abc)
+    assert [n.pitch for n in sorted(back.notes,
+                                    key=lambda n: n.start_tick)] == pitches
+    # flat keys too (F major: Bb); Bb spells plain B, B natural as =B
+    mf2 = MidiFile(ticks_per_beat=480)
+    mf2.tempos.append(Tempo(0, 500000))
+    mf2.key_signatures.append(KeySignature(0, -1))
+    for i, p in enumerate([65, 70, 71, 69]):  # F Bb B-nat A
+        mf2.notes.append(Note(i * 480, 480, p, 100))
+    back2 = abc_to_midi(midi_to_abc(mf2))
+    assert [n.pitch for n in sorted(back2.notes,
+                                    key=lambda n: n.start_tick)] == \
+        [65, 70, 71, 69]
+
+
+def test_tie_broken_by_rest():
+    """Regression (review finding): 'C- z2 C' is two notes (the rest breaks
+    the tie), not one note spanning the rest with a wrong onset."""
+    abc = "X:1\nL:1/4\nK:C\nC- z2 C |]\n"
+    mf = abc_to_midi(abc)
+    assert len(mf.notes) == 2
+    starts = sorted(n.start_tick for n in mf.notes)
+    assert starts == [0, 3 * 480]
+
+
+def test_midtune_key_change_keeps_notes():
+    """Regression (review finding): the header/body split must use the
+    FIRST K: line — splitting at the last one discarded every note before
+    a mid-tune key change."""
+    abc = "X:1\nL:1/4\nK:C\nC D E |\nK:G\nG A B |]\n"
+    mf = abc_to_midi(abc)
+    assert len(mf.notes) == 6
+
+
+def test_thick_barline_not_a_chord():
+    """Regression (review finding): '[| C D E |]' is a barline span, not a
+    chord of the whole measure."""
+    abc = "X:1\nL:1/4\nK:C\n[| C D E |]\n"
+    mf = abc_to_midi(abc)
+    starts = sorted(n.start_tick for n in mf.notes)
+    assert starts == [0, 480, 960], starts
+
+
 def test_note_prf_partial():
     ref = _tune()
     hyp = MidiFile(ticks_per_beat=480)

@@ -105,6 +105,41 @@ def test_streaming_over_websocket(rng):
         server.shutdown()
 
 
+def test_split_float32_across_messages(rng):
+    """Regression (review finding): a float32 split across two separate
+    binary MESSAGES (not RFC fragments) must be buffered byte-level, not
+    raise ValueError and drop the connection; the reassembled audio still
+    transcribes."""
+    tok = WhisperTokenizer(train_bpe(["hello"] * 3, vocab_size=280),
+                           timestamp_count=51)
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=50, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=32)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    st = StreamingTranscriber(params, cfg, tok, batch_slots=2,
+                              window_seconds=1.0, max_new_tokens=6,
+                              backend="xla")
+    st.feed("warm", np.zeros(16000, np.float32))
+    st.drain()
+    server = serve_streaming(st, port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        sock = _connect(port, "ragged")
+        audio = (0.05 * rng.standard_normal(16000)).astype("<f4").tobytes()
+        # split at a non-multiple-of-4 boundary across two MESSAGES
+        _client_send(sock, OP_BINARY, audio[:6])
+        _client_send(sock, OP_BINARY, audio[6:])
+        op, payload = read_frame(sock)
+        assert op == OP_TEXT
+        seg = json.loads(payload)
+        assert seg["stream"] == "ragged" and seg["index"] == 0
+        _client_send(sock, OP_CLOSE, struct.pack(">H", 1000))
+        sock.close()
+    finally:
+        server.shutdown()
+
+
 def test_ping_between_fragments(rng):
     """A ping arriving between fragments of a binary message (legal per RFC
     6455 §5.4) must be answered with a pong and must NOT leak into the PCM

@@ -6,7 +6,7 @@ Suite hygiene:
     (xdist worker) process if one test exceeds AUDAX_TEST_TIMEOUT seconds
     (default 600), so a hang shows up as a failed test with a traceback
     instead of a silent stall;
-  * ``-m fast`` — host-side/kernel tests that finish in well under a minute
+  * ``-m fast`` — host-side/kernel tests (the quick inner-loop subset)
     (the inner-loop subset); everything else carries the ``slow`` marker.
 """
 

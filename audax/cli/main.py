@@ -311,6 +311,10 @@ def cmd_transcribe(argv) -> int:
     p.add_argument("--draft-ckpt", default="",
                    help="orbax checkpoint for the draft model")
     p.add_argument("--spec-tokens", type=int, default=8)
+    p.add_argument("--no-speech-threshold", type=float, default=0.6,
+                   help="silence gate: <|nospeech|> prob above this + low "
+                        "confidence emits silence (openai default 0.6; "
+                        "<=0 disables)")
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
@@ -343,6 +347,9 @@ def cmd_transcribe(argv) -> int:
                      word_timestamps=args.word_timestamps,
                      beam_width=args.beam_width,
                      draft=draft, spec_tokens=args.spec_tokens,
+                     no_speech_threshold=(args.no_speech_threshold
+                                          if args.no_speech_threshold > 0
+                                          else None),
                      dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                      else jnp.float32)
     paths = []

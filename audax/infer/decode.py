@@ -97,6 +97,10 @@ class GenerateResult(NamedTuple):
     lengths: jnp.ndarray     # [B] int32 total valid length (incl. prompt)
     sum_logprob: jnp.ndarray  # [B] float32 sum of chosen-token logprobs
     gen_count: jnp.ndarray    # [B] int32 number of generated (scored) tokens
+    #: [B] softmax probability of <|nospeech|> at the first generated
+    #: position (openai's no_speech_prob; None unless generate() was given
+    #: no_speech_id — beam/speculative paths don't compute it)
+    no_speech_prob: Optional[jnp.ndarray] = None
 
     @property
     def avg_logprob(self) -> jnp.ndarray:
@@ -106,7 +110,7 @@ class GenerateResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_len", "eos_id", "temperature", "dtype",
-                     "timestamps", "mesh", "kv_quant"))
+                     "timestamps", "mesh", "kv_quant", "no_speech_id"))
 def generate(
     params,
     cfg: WhisperConfig,
@@ -122,6 +126,7 @@ def generate(
     dtype=jnp.float32,
     mesh=None,                     # jax.sharding.Mesh with a 'model' axis
     kv_quant: bool = False,        # int8 self+cross KV (whisper.QuantKV)
+    no_speech_id: Optional[int] = None,   # record openai's no_speech_prob
 ) -> GenerateResult:
     """Decode until EOS or ``max_len``. The prompt is teacher-forced through
     the same cached step (cheap: P is tiny), then generation proceeds
@@ -165,6 +170,7 @@ def generate(
         prev_ts: jnp.ndarray       # [B] last generated token was a timestamp
         prevprev_ts: jnp.ndarray
         last_ts: jnp.ndarray       # [B] highest timestamp id emitted
+        nsp: jnp.ndarray           # [B] no-speech prob at first gen position
 
     def cond(c: Carry):
         return jnp.logical_and(c.pos < max_len - 1, ~jnp.all(c.done))
@@ -174,6 +180,14 @@ def generate(
                                     c.cache, cross_kv, dtype)
         logits = logits.astype(jnp.float32)
         in_prompt = c.pos + 1 < p_len
+        if no_speech_id is not None:
+            # openai's no_speech_prob: raw softmax mass of <|nospeech|> at
+            # the first generated position (BEFORE suppression/rules)
+            first_gen = c.pos + 1 == p_len
+            p_ns = jax.nn.softmax(logits, -1)[:, no_speech_id]
+            nsp = jnp.where(first_gen, p_ns, c.nsp)
+        else:
+            nsp = c.nsp
         constrained = constrain(logits, c)
         key = jax.random.fold_in(c.rng, c.pos)
         if temperature == 0.0:
@@ -206,7 +220,8 @@ def generate(
         lengths = jnp.where(jnp.logical_and(newly_done, ~c.done),
                             c.pos + 2, c.lengths)
         return Carry(c.pos + 1, tokens, cache, done, lengths, c.rng,
-                     sum_logprob, gen_count, prev_ts, prevprev_ts, last_ts)
+                     sum_logprob, gen_count, prev_ts, prevprev_ts, last_ts,
+                     nsp)
 
     # last_ts starts one below timestamp_begin: "no timestamp emitted yet"
     ts0 = timestamps.timestamp_begin - 1 if timestamps is not None else 0
@@ -222,7 +237,9 @@ def generate(
                  # overwrites it before its first read, which forced a
                  # doubled opening timestamp on every window.)
                  jnp.ones((b,), bool), jnp.ones((b,), bool),
-                 jnp.full((b,), ts0, jnp.int32))
+                 jnp.full((b,), ts0, jnp.int32),
+                 jnp.zeros((b,), jnp.float32))
     final = lax.while_loop(cond, body, init)
     return GenerateResult(final.tokens, final.lengths, final.sum_logprob,
-                          final.gen_count)
+                          final.gen_count,
+                          final.nsp if no_speech_id is not None else None)

@@ -118,7 +118,8 @@ class Transcriber:
                  beam_width: int = 1,
                  dtype=jnp.float32, backend: Optional[str] = None,
                  quantize=False, kv_quant: bool = False,
-                 draft=None, spec_tokens: int = 8):
+                 draft=None, spec_tokens: int = 8,
+                 no_speech_threshold: Optional[float] = 0.6):
         #: int8 self+cross KV caches in decode (whisper.QuantKV) — halves
         #: the per-token cache read bytes and per-stream cache memory
         self.kv_quant = kv_quant
@@ -145,6 +146,10 @@ class Transcriber:
         #: >1 enables beam search at temperature 0 (whisper's
         #: transcribe(beam_size=K): beam first, sampling on fallback)
         self.beam_width = beam_width
+        #: openai's silence gate: a window whose <|nospeech|> probability
+        #: exceeds this AND whose avg_logprob is below LOGPROB_THRESHOLD
+        #: is emitted as silence instead of hallucinated text (None = off)
+        self.no_speech_threshold = no_speech_threshold
         #: (draft_params, draft_cfg) enables speculative decoding on the
         #: single-chunk greedy path (infer/speculative.py) — token-exact,
         #: lower latency when the draft tracks the target
@@ -220,11 +225,14 @@ class Transcriber:
             gen_count = jnp.maximum(lengths - prompt.shape[1], 1)
             return GenerateResult(res.tokens[:, 0], lengths,
                                   res.scores[:, 0] * gen_count, gen_count)
+        ns_id = (tk.no_speech if self.no_speech_threshold is not None
+                 else None)
         return generate(self.params, self.cfg, enc, jnp.asarray(prompt),
                         max_len=max_len, eos_id=tk.eot,
                         temperature=temperature, timestamps=rules,
                         suppress=jnp.asarray(self.suppress),
-                        dtype=self.dtype, kv_quant=self.kv_quant)
+                        dtype=self.dtype, kv_quant=self.kv_quant,
+                        no_speech_id=ns_id)
 
     def _align_words(self, enc_row, prompt_len: int, prompt_and_ids,
                      n_valid_samples: int) -> List[WordTiming]:
@@ -350,6 +358,8 @@ class Transcriber:
             tokens = np.asarray(out.tokens)
             lengths = np.asarray(out.lengths)
             avg_lp = np.asarray(out.avg_logprob)
+            nsp = (np.asarray(out.no_speech_prob)
+                   if out.no_speech_prob is not None else None)
             still = []
             for row_i, chunk_i in enumerate(pending):
                 ids = [int(t) for t in tokens[row_i, p: lengths[row_i]]
@@ -357,8 +367,16 @@ class Transcriber:
                 text = tk.decode(ids)
                 ok = (avg_lp[row_i] >= LOGPROB_THRESHOLD
                       and compression_ratio(text) <= COMPRESSION_THRESHOLD)
+                # openai's silence gate: high <|nospeech|> mass + low
+                # confidence -> this window is silence, not a fallback
+                # candidate (hallucinated text on quiet audio)
+                silent = (nsp is not None
+                          and nsp[row_i] > self.no_speech_threshold
+                          and avg_lp[row_i] < LOGPROB_THRESHOLD)
                 last = ti == len(ladder) - 1
-                if ok or last:
+                if silent:
+                    results[chunk_i] = ([], float(avg_lp[row_i]), temp)
+                elif ok or last:
                     results[chunk_i] = (ids, float(avg_lp[row_i]), temp)
                 else:
                     still.append(chunk_i)

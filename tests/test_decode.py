@@ -36,7 +36,61 @@ def test_generate_shapes_and_prompt_forcing(tiny_model, rng):
     assert (np.asarray(out.lengths) <= 20).all()
 
 
-def test_generate_greedy_deterministic(tiny_model, rng):
+def test_no_speech_prob_plumbing(tiny_model, rng):
+    """generate(no_speech_id=...) records the raw softmax mass of the
+    no-speech token at the first generated position (openai's
+    no_speech_prob); without the id the field is None."""
+    mel = jnp.asarray(rng.standard_normal((2, 64, 16)).astype(np.float32))
+    enc = encode(tiny_model, TINY, mel)
+    prompt = jnp.asarray([[5, 6], [5, 6]], jnp.int32)
+    out = generate(tiny_model, TINY, enc, prompt, max_len=16, eos_id=2,
+                   no_speech_id=9)
+    nsp = np.asarray(out.no_speech_prob)
+    assert nsp.shape == (2,)
+    assert (nsp >= 0).all() and (nsp <= 1).all()
+    # reference value: softmax of the teacher-forced logits at the last
+    # prompt position (the distribution that predicts the first gen token)
+    from audax.models.whisper import whisper_forward
+    logits = whisper_forward(tiny_model, TINY, mel, prompt)
+    ref = np.asarray(jax.nn.softmax(
+        logits[:, -1].astype(jnp.float32), -1))[:, 9]
+    np.testing.assert_allclose(nsp, ref, atol=1e-5, rtol=1e-4)
+    out2 = generate(tiny_model, TINY, enc, prompt, max_len=16, eos_id=2)
+    assert out2.no_speech_prob is None
+
+
+def test_no_speech_gate_emits_silence(tiny_model, monkeypatch, rng):
+    """The silence gate (openai transcribe): high <|nospeech|> mass + low
+    confidence emits an EMPTY result instead of hallucinated text, and
+    does not run the fallback ladder."""
+    from audax.infer.decode import GenerateResult
+
+    tok = WhisperTokenizer(train_bpe(["hello world"] * 3, vocab_size=280),
+                           timestamp_count=1501)
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=1500, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=64)
+    params = init_whisper_params(cfg, jax.random.key(3))
+    tr = Transcriber(params, cfg, tok, max_new_tokens=8, backend="xla")
+    calls = []
+
+    def fake_decode(enc, prompt, temperature, denc=None):
+        calls.append(temperature)
+        b = enc.shape[0]
+        p = prompt.shape[1]
+        toks = np.zeros((b, p + 8), np.int32)
+        toks[:, :p] = prompt
+        toks[:, p:] = 50                     # "hallucinated" text token
+        return GenerateResult(
+            jnp.asarray(toks), jnp.full((b,), p + 8, jnp.int32),
+            jnp.full((b,), -40.0, jnp.float32),         # avg_lp = -5
+            jnp.full((b,), 8, jnp.int32),
+            no_speech_prob=jnp.full((b,), 0.99, jnp.float32))
+
+    monkeypatch.setattr(tr, "_decode_once", fake_decode)
+    res = tr.transcribe(np.zeros(16000, np.float32))
+    assert res.text == ""                    # silence, not hallucination
+    assert calls == [0.0], calls             # gate fired: no ladder retries
     mel = jnp.asarray(rng.standard_normal((1, 64, 16)).astype(np.float32))
     enc = encode(tiny_model, TINY, mel)
     prompt = jnp.asarray([[1]], jnp.int32)

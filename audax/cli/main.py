@@ -315,6 +315,9 @@ def cmd_transcribe(argv) -> int:
                    help="silence gate: <|nospeech|> prob above this + low "
                         "confidence emits silence (openai default 0.6; "
                         "<=0 disables)")
+    p.add_argument("--initial-prompt", default=None,
+                   help="context/vocabulary hint fed as <|startofprev|> "
+                        "text (openai initial_prompt)")
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
@@ -350,6 +353,7 @@ def cmd_transcribe(argv) -> int:
                      no_speech_threshold=(args.no_speech_threshold
                                           if args.no_speech_threshold > 0
                                           else None),
+                     initial_prompt=args.initial_prompt,
                      dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                      else jnp.float32)
     paths = []

@@ -119,7 +119,8 @@ class Transcriber:
                  dtype=jnp.float32, backend: Optional[str] = None,
                  quantize=False, kv_quant: bool = False,
                  draft=None, spec_tokens: int = 8,
-                 no_speech_threshold: Optional[float] = 0.6):
+                 no_speech_threshold: Optional[float] = 0.6,
+                 initial_prompt: Optional[str] = None):
         #: int8 self+cross KV caches in decode (whisper.QuantKV) — halves
         #: the per-token cache read bytes and per-stream cache memory
         self.kv_quant = kv_quant
@@ -150,6 +151,15 @@ class Transcriber:
         #: exceeds this AND whose avg_logprob is below LOGPROB_THRESHOLD
         #: is emitted as silence instead of hallucinated text (None = off)
         self.no_speech_threshold = no_speech_threshold
+        #: user context/vocabulary hint fed as <|startofprev|> text. With
+        #: condition_on_previous it seeds the rolling context for the first
+        #: window (openai initial_prompt semantics); without it, it applies
+        #: to EVERY window (hotwords-style — openai resets context per
+        #: window when not conditioning, so first-window-only would be a
+        #: no-op beyond 30 s)
+        self.initial_prompt_ids: List[int] = (
+            tokenizer.encode(" " + initial_prompt.strip())
+            if initial_prompt else [])
         #: (draft_params, draft_cfg) enables speculative decoding on the
         #: single-chunk greedy path (infer/speculative.py) — token-exact,
         #: lower latency when the draft tracks the target
@@ -178,15 +188,22 @@ class Transcriber:
     def _prompt(self, n: int, prev: Optional[List[int]] = None,
                 lang: Optional[str] = None) -> np.ndarray:
         """SOT sequence, optionally preceded by <|startofprev|> + bucketed
-        previous-text tokens (whisper condition_on_previous_text)."""
+        previous-text tokens (whisper condition_on_previous_text).
+
+        Context lengths bucket to fixed XLA shapes (warmup precompiles one
+        program per bucket): long context keeps the LATEST bucket-many
+        tokens; context shorter than the smallest bucket left-pads with its
+        first token instead of being DROPPED entirely (short rolling
+        context and short initial prompts used to vanish silently)."""
         tk = self.tokenizer
         seq = tk.sot_sequence(lang=lang or self.lang,
                               timestamps=self.timestamps)
         if prev:
             bucket = max((b for b in self.CONTEXT_BUCKETS if b <= len(prev)),
-                         default=0)
-            if bucket:
-                seq = [tk.sot_prev] + prev[-bucket:] + seq
+                         default=min(self.CONTEXT_BUCKETS))
+            ctx = list(prev[-bucket:])
+            ctx = [ctx[0]] * (bucket - len(ctx)) + ctx
+            seq = [tk.sot_prev] + ctx + seq
         return np.asarray([seq] * n, np.int32)
 
     def _decode_once(self, enc, prompt, temperature: float, denc=None):
@@ -413,8 +430,9 @@ class Transcriber:
         segments: List[Segment] = []
         if self.condition_on_previous:
             # sequential: each chunk's prompt carries the previous text
-            # (reset after a high-temperature fallback, whisper convention)
-            prev: List[int] = []
+            # (reset after a high-temperature fallback, whisper convention);
+            # initial_prompt seeds the first window's context
+            prev: List[int] = list(self.initial_prompt_ids)
             for i, chunk in enumerate(chunks):
                 (res_one, enc1) = self._decode_chunk_batch(
                     chunk[None], prev=prev, lang=lang)
@@ -444,12 +462,15 @@ class Transcriber:
             # shrinking the group would compile a fresh XLA shape at serve
             # time (minutes over the tunnel) despite warmup()
             group_size = batch_chunks
-            prompt_row = list(self._prompt(1, None, lang)[0])
+            init_ctx = self.initial_prompt_ids or None
+            prompt_row = list(self._prompt(1, init_ctx, lang)[0])
             for i in range(0, len(chunks), group_size):
                 group = chunks[i: i + group_size]
                 n_valid = len(group)
                 group = np.stack(group + [group[-1]] * (group_size - n_valid))
-                res_grp, enc_grp = self._decode_chunk_batch(group, lang=lang)
+                res_grp, enc_grp = self._decode_chunk_batch(group,
+                                                            prev=init_ctx,
+                                                            lang=lang)
                 for j, (ids, avg_lp, temp) in enumerate(res_grp[:n_valid]):
                     offset = (i + j) * self.chunk_seconds
                     if self.timestamps:

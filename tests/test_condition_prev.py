@@ -28,8 +28,12 @@ def test_prompt_bucketing(tr):
     tk = tr.tokenizer
     base = tk.sot_sequence(lang="en")
     assert tr._prompt(1).shape[1] == len(base)
-    # fewer tokens than the smallest bucket: no conditioning
-    assert tr._prompt(1, prev=[5] * 10).shape[1] == len(base)
+    # fewer tokens than the smallest bucket: left-padded into bucket 16
+    # (regression: short context used to be dropped entirely)
+    p10 = tr._prompt(1, prev=[5] * 10)
+    assert p10.shape[1] == 1 + 16 + len(base)
+    assert p10[0, 0] == tk.sot_prev
+    np.testing.assert_array_equal(p10[0, 1:17], [5] * 16)
     # 20 tokens -> bucket 16; 70 -> bucket 64
     p20 = tr._prompt(1, prev=list(range(100, 120)))
     assert p20.shape[1] == 1 + 16 + len(base)
@@ -44,3 +48,23 @@ def test_sequential_conditioning_runs(tr, rng):
     res = tr.transcribe(audio)
     assert len(res.segments) == 3             # 3 chunks, sequential
     assert res.audio_seconds == pytest.approx(65.0)
+
+
+def test_initial_prompt_plumbing(tr):
+    """initial_prompt seeds <|startofprev|> context: encoded ids land in
+    the prompt for the batched path (every window) and seed the rolling
+    context in the conditioned path."""
+    tok = tr.tokenizer
+    cfg = tr.cfg
+    t2 = Transcriber(tr.params, cfg, tok, max_new_tokens=6,
+                     temperature_fallback=False, backend="xla",
+                     initial_prompt="hello world")
+    assert t2.initial_prompt_ids
+    row = t2._prompt(1, t2.initial_prompt_ids, "en")[0]
+    assert row[0] == tok.sot_prev
+    # the encoded hint appears right-aligned in the context slot
+    k = len(t2.initial_prompt_ids)
+    np.testing.assert_array_equal(row[17 - k:17], t2.initial_prompt_ids)
+    # end-to-end: a transcribe call with the hint runs and returns a result
+    res = t2.transcribe(np.zeros(16000, np.float32))
+    assert res.audio_seconds == pytest.approx(1.0)

@@ -59,6 +59,12 @@ class Segment:
     temperature: float
     #: word-level timings (filled when Transcriber(word_timestamps=True))
     words: Optional[List["WordTiming"]] = None
+    #: per-window quality diagnostics (openai verbose-segment fields):
+    #: gzip compression ratio of the window's text and the <|nospeech|>
+    #: probability at its first decode position (None when unavailable —
+    #: beam/speculative paths don't record it)
+    compression_ratio: float = 0.0
+    no_speech_prob: Optional[float] = None
 
 
 @dataclass
@@ -120,7 +126,10 @@ class Transcriber:
                  quantize=False, kv_quant: bool = False,
                  draft=None, spec_tokens: int = 8,
                  no_speech_threshold: Optional[float] = 0.6,
-                 initial_prompt: Optional[str] = None):
+                 initial_prompt: Optional[str] = None,
+                 temperatures: Tuple[float, ...] = FALLBACK_TEMPERATURES,
+                 logprob_threshold: float = LOGPROB_THRESHOLD,
+                 compression_threshold: float = COMPRESSION_THRESHOLD):
         #: int8 self+cross KV caches in decode (whisper.QuantKV) — halves
         #: the per-token cache read bytes and per-stream cache memory
         self.kv_quant = kv_quant
@@ -160,6 +169,10 @@ class Transcriber:
         self.initial_prompt_ids: List[int] = (
             tokenizer.encode(" " + initial_prompt.strip())
             if initial_prompt else [])
+        #: openai transcribe knobs (the ladder + its quality gates)
+        self.temperatures = tuple(temperatures)
+        self.logprob_threshold = logprob_threshold
+        self.compression_threshold = compression_threshold
         #: (draft_params, draft_cfg) enables speculative decoding on the
         #: single-chunk greedy path (infer/speculative.py) — token-exact,
         #: lower latency when the draft tracks the target
@@ -305,7 +318,7 @@ class Transcriber:
         cache (core/runtime.setup) the artifacts survive process restarts;
         call this at server startup (cli/stream_server.py does)."""
         tk = self.tokenizer
-        ladder = (FALLBACK_TEMPERATURES if self.temperature_fallback
+        ladder = (self.temperatures if self.temperature_fallback
                   else (0.0,))
         lang = "en" if self.lang == "auto" else self.lang
         out = None
@@ -361,7 +374,8 @@ class Transcriber:
 
         results: List[Optional[Tuple[List[int], float, float]]] = [None] * n
         pending = list(range(n))
-        ladder = (FALLBACK_TEMPERATURES if self.temperature_fallback else (0.0,))
+        ladder = (self.temperatures if self.temperature_fallback
+                  else (self.temperatures[0],))
         for ti, temp in enumerate(ladder):
             if not pending:
                 break
@@ -382,19 +396,23 @@ class Transcriber:
                 ids = [int(t) for t in tokens[row_i, p: lengths[row_i]]
                        if t != tk.eot]
                 text = tk.decode(ids)
-                ok = (avg_lp[row_i] >= LOGPROB_THRESHOLD
-                      and compression_ratio(text) <= COMPRESSION_THRESHOLD)
+                cr = compression_ratio(text)
+                ok = (avg_lp[row_i] >= self.logprob_threshold
+                      and cr <= self.compression_threshold)
                 # openai's silence gate: high <|nospeech|> mass + low
                 # confidence -> this window is silence, not a fallback
                 # candidate (hallucinated text on quiet audio)
                 silent = (nsp is not None
                           and nsp[row_i] > self.no_speech_threshold
-                          and avg_lp[row_i] < LOGPROB_THRESHOLD)
+                          and avg_lp[row_i] < self.logprob_threshold)
                 last = ti == len(ladder) - 1
+                nsv = float(nsp[row_i]) if nsp is not None else None
                 if silent:
-                    results[chunk_i] = ([], float(avg_lp[row_i]), temp)
+                    results[chunk_i] = ([], float(avg_lp[row_i]), temp,
+                                        0.0, nsv)
                 elif ok or last:
-                    results[chunk_i] = (ids, float(avg_lp[row_i]), temp)
+                    results[chunk_i] = (ids, float(avg_lp[row_i]), temp,
+                                        cr, nsv)
                 else:
                     still.append(chunk_i)
             pending = still
@@ -436,17 +454,19 @@ class Transcriber:
             for i, chunk in enumerate(chunks):
                 (res_one, enc1) = self._decode_chunk_batch(
                     chunk[None], prev=prev, lang=lang)
-                ids, avg_lp, temp = res_one[0]
+                ids, avg_lp, temp, cr, nsv = res_one[0]
                 prompt_row = list(self._prompt(1, prev, lang)[0])
                 prev = [] if temp > 0.5 else prev + [
                     t for t in ids if not tk.is_timestamp(t)]
                 offset = i * self.chunk_seconds
                 if self.timestamps:
-                    seg_i = self._split_segments(ids, offset, avg_lp, temp)
+                    seg_i = self._split_segments(ids, offset, avg_lp, temp,
+                                                 cr=cr, nsv=nsv)
                 else:
                     seg_i = [Segment(tk.decode(ids), offset,
                                      offset + self.chunk_seconds, avg_lp,
-                                     temp)]
+                                     temp, compression_ratio=cr,
+                                     no_speech_prob=nsv)]
                 if self.word_timestamps and ids:
                     valid = min(len(audio) - i * self.chunk_samples,
                                 self.chunk_samples)
@@ -471,15 +491,18 @@ class Transcriber:
                 res_grp, enc_grp = self._decode_chunk_batch(group,
                                                             prev=init_ctx,
                                                             lang=lang)
-                for j, (ids, avg_lp, temp) in enumerate(res_grp[:n_valid]):
+                for j, (ids, avg_lp, temp, cr, nsv) in enumerate(
+                        res_grp[:n_valid]):
                     offset = (i + j) * self.chunk_seconds
                     if self.timestamps:
                         seg_i = self._split_segments(ids, offset, avg_lp,
-                                                     temp)
+                                                     temp, cr=cr, nsv=nsv)
                     else:
                         seg_i = [Segment(tk.decode(ids), offset,
                                          offset + self.chunk_seconds,
-                                         avg_lp, temp)]
+                                         avg_lp, temp,
+                                         compression_ratio=cr,
+                                         no_speech_prob=nsv)]
                     if self.word_timestamps and ids:
                         valid = min(len(audio) - (i + j) * self.chunk_samples,
                                     self.chunk_samples)
@@ -506,7 +529,8 @@ class Transcriber:
             wall_seconds=wall)
 
     def _split_segments(self, ids: List[int], offset: float, avg_lp: float,
-                        temp: float) -> List[Segment]:
+                        temp: float, *, cr: float = 0.0,
+                        nsv: Optional[float] = None) -> List[Segment]:
         """Cut a chunk's tokens at timestamp pairs into timed segments."""
         tk = self.tokenizer
         segments: List[Segment] = []
@@ -520,7 +544,9 @@ class Transcriber:
                 else:
                     segments.append(Segment(tk.decode(text_ids),
                                             offset + start_t, offset + ts,
-                                            avg_lp, temp))
+                                            avg_lp, temp,
+                                            compression_ratio=cr,
+                                            no_speech_prob=nsv))
                     start_t = None
                     text_ids = []
             else:
@@ -528,7 +554,9 @@ class Transcriber:
         if text_ids:
             segments.append(Segment(tk.decode(text_ids),
                                     offset + (start_t or 0.0),
-                                    offset + self.chunk_seconds, avg_lp, temp))
+                                    offset + self.chunk_seconds, avg_lp, temp,
+                                    compression_ratio=cr,
+                                    no_speech_prob=nsv))
         return segments
 
 

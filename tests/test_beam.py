@@ -116,7 +116,7 @@ def test_transcriber_beam_mode(rng):
     audio = (0.05 * rng.standard_normal(16000 * 3)).astype(np.float32)
     (res_one, _) = tr._decode_chunk_batch(
         np.asarray(audio[: tr.chunk_samples])[None])
-    ids, avg_lp, temp = res_one[0]
+    ids, avg_lp, temp, _, _ = res_one[0]
     assert temp == 0.0 and np.isfinite(avg_lp)
     assert ids and tok.is_timestamp(ids[0])
     # openai ApplyTimestampRules walk (see test_timestamps.py): the lone

@@ -318,6 +318,10 @@ def cmd_transcribe(argv) -> int:
     p.add_argument("--initial-prompt", default=None,
                    help="context/vocabulary hint fed as <|startofprev|> "
                         "text (openai initial_prompt)")
+    p.add_argument("--task", default="transcribe",
+                   choices=["transcribe", "translate"],
+                   help="whisper task token (translate = any language "
+                        "to English)")
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
@@ -345,7 +349,7 @@ def cmd_transcribe(argv) -> int:
             import jax
             dparams = init_whisper_params(dcfg, jax.random.key(1))
         draft = (dparams, dcfg)
-    tr = Transcriber(params, cfg, tok, lang=args.lang,
+    tr = Transcriber(params, cfg, tok, lang=args.lang, task=args.task,
                      timestamps=args.timestamps,
                      word_timestamps=args.word_timestamps,
                      beam_width=args.beam_width,

@@ -115,7 +115,8 @@ class Transcriber:
 
     def __init__(self, params, cfg: WhisperConfig,
                  tokenizer: WhisperTokenizer, *,
-                 lang: str = "en", max_new_tokens: int = 224,
+                 lang: str = "en", task: str = "transcribe",
+                 max_new_tokens: int = 224,
                  timestamps: bool = False,
                  temperature_fallback: bool = True,
                  condition_on_previous: bool = False,
@@ -148,6 +149,11 @@ class Transcriber:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.lang = lang
+        if task not in ("transcribe", "translate"):
+            raise ValueError(f"task must be transcribe/translate, got {task!r}")
+        #: whisper task token: "transcribe" (same language) or "translate"
+        #: (any language -> English)
+        self.task = task
         self.max_new_tokens = max_new_tokens
         self.timestamps = timestamps
         self.temperature_fallback = temperature_fallback
@@ -209,7 +215,7 @@ class Transcriber:
         first token instead of being DROPPED entirely (short rolling
         context and short initial prompts used to vanish silently)."""
         tk = self.tokenizer
-        seq = tk.sot_sequence(lang=lang or self.lang,
+        seq = tk.sot_sequence(lang=lang or self.lang, task=self.task,
                               timestamps=self.timestamps)
         if prev:
             bucket = max((b for b in self.CONTEXT_BUCKETS if b <= len(prev)),

@@ -68,3 +68,17 @@ def test_initial_prompt_plumbing(tr):
     # end-to-end: a transcribe call with the hint runs and returns a result
     res = t2.transcribe(np.zeros(16000, np.float32))
     assert res.audio_seconds == pytest.approx(1.0)
+
+
+def test_task_translate_prompt(tr):
+    """task='translate' swaps the task token in every prompt (whisper's
+    X->English mode); invalid tasks fail fast."""
+    tok = tr.tokenizer
+    t2 = Transcriber(tr.params, tr.cfg, tok, task="translate",
+                     temperature_fallback=False, backend="xla")
+    row = t2._prompt(1, None, "en")[0]
+    assert tok.translate in row and tok.transcribe not in row
+    base = tr._prompt(1, None, "en")[0]
+    assert tok.transcribe in base and tok.translate not in base
+    with pytest.raises(ValueError, match="task"):
+        Transcriber(tr.params, tr.cfg, tok, task="caption")

@@ -322,6 +322,10 @@ def cmd_transcribe(argv) -> int:
                    choices=["transcribe", "translate"],
                    help="whisper task token (translate = any language "
                         "to English)")
+    p.add_argument("--seek", action="store_true",
+                   help="openai seek loop (with --timestamps): windows "
+                        "advance to the last complete segment instead of "
+                        "fixed 30 s strides — no word cut at boundaries")
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
@@ -350,7 +354,8 @@ def cmd_transcribe(argv) -> int:
             dparams = init_whisper_params(dcfg, jax.random.key(1))
         draft = (dparams, dcfg)
     tr = Transcriber(params, cfg, tok, lang=args.lang, task=args.task,
-                     timestamps=args.timestamps,
+                     timestamps=args.timestamps or args.seek,
+                     seek_by_timestamps=args.seek,
                      word_timestamps=args.word_timestamps,
                      beam_width=args.beam_width,
                      draft=draft, spec_tokens=args.spec_tokens,

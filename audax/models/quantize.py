@@ -87,8 +87,11 @@ def quantize_tree(params: Params, *, embed_keys=("embed",), bits: int = 8,
 
     def rec(node, name):
         if isinstance(node, dict):
+            # MoE expert kernels ([L, E, d, f], 4D) stay float: their
+            # matmuls are the custom ragged/expert einsums in
+            # models/causal_lm.py:_moe_block, not _dense_fwd
             if ("kernel" in node and name not in _SKIP_KEYS
-                    and getattr(node["kernel"], "ndim", 0) >= 2):
+                    and 2 <= getattr(node["kernel"], "ndim", 0) <= 3):
                 return _quantize_dense(node, bits, group)
             out = {}
             for k, v in node.items():

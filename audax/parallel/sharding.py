@@ -69,6 +69,13 @@ WHISPER_TP_RULES: Tuple[Tuple[str, P], ...] = (
 # falls back to replication when kv_heads doesn't divide the model axis.
 CAUSAL_LM_TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r"_q4$|_scale4$", P()),             # transposed int4 layout: replicate
+    # expert parallelism: shard the expert axis of stacked MoE weights
+    # ([L, E, d, f]) over 'model'; with moe_impl="dense" the expert
+    # einsums compute each device's expert slice locally and the combine
+    # contraction all-reduces — attention stays head-sharded on the same
+    # axis (hybrid TP-attention + EP-FFN). Router stays replicated.
+    (r"layers/experts/(gate|up|down)/kernel", P(None, "model", None, None)),
+    (r"layers/router/kernel", P()),
     (r"layers/(q|k|v|gate|up)/kernel", P(None, None, "model")),
     (r"layers/(q|k|v|gate|up)/bias", P(None, "model")),
     (r"layers/(o|down)/kernel", P(None, "model", None)),

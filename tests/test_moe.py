@@ -1,0 +1,209 @@
+"""Mixture-of-experts causal LM: HF Qwen3-MoE parity (random tiny config,
+no network), ragged==dense impl equivalence, KV-cache decode consistency,
+gradient flow, and expert-parallel sharding on the 8-CPU mesh.
+
+The reference's decoder family is Qwen3 (.charles/music2midi/model.py:209);
+Qwen3-MoE is the sparse member of that family — a new model capability
+with an expert-parallel axis (SURVEY.md §2.3 parallelism inventory).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audax.core.config import MeshConfig
+from audax.models.causal_lm import (CausalLMConfig, embed_tokens,
+                                    init_causal_lm, init_lm_cache,
+                                    lm_decode_step, lm_forward,
+                                    port_causal_lm_from_hf)
+
+MOE_TINY = CausalLMConfig(vocab_size=96, d_model=32, layers=2, heads=4,
+                          kv_heads=2, ffn_dim=64, qk_norm=True,
+                          tie_embeddings=True, rope_theta=1e6,
+                          num_experts=4, experts_per_tok=2, moe_ffn_dim=48)
+
+
+def _hf_qwen3_moe(norm_topk_prob=True, num_experts=4, top_k=2):
+    torch = pytest.importorskip("torch")
+    try:
+        from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+    except ImportError:
+        pytest.skip("transformers lacks Qwen3Moe")
+    hc = Qwen3MoeConfig(
+        vocab_size=MOE_TINY.vocab_size, hidden_size=MOE_TINY.d_model,
+        num_hidden_layers=MOE_TINY.layers,
+        num_attention_heads=MOE_TINY.heads,
+        num_key_value_heads=MOE_TINY.kv_heads,
+        intermediate_size=MOE_TINY.ffn_dim,
+        moe_intermediate_size=MOE_TINY.moe_ffn_dim,
+        num_experts=num_experts, num_experts_per_tok=top_k,
+        norm_topk_prob=norm_topk_prob, decoder_sparse_step=1,
+        mlp_only_layers=[], head_dim=8, rope_theta=1e6,
+        tie_word_embeddings=True, max_position_embeddings=64,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    return Qwen3MoeForCausalLM(hc).eval()
+
+
+@pytest.mark.parametrize("impl", ["ragged", "dense"])
+@pytest.mark.parametrize("norm_topk", [True, False])
+def test_qwen3_moe_logit_parity(impl, norm_topk, rng):
+    torch = pytest.importorskip("torch")
+    hf = _hf_qwen3_moe(norm_topk_prob=norm_topk)
+    params, cfg = port_causal_lm_from_hf(hf)
+    assert cfg.num_experts == 4 and cfg.experts_per_tok == 2
+    assert cfg.norm_topk_prob == norm_topk
+    cfg = dataclasses.replace(cfg, moe_impl=impl)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 9)).astype(np.int32)
+    ours = np.asarray(lm_forward(params, cfg, jnp.asarray(tokens)))
+    with torch.no_grad():
+        theirs = hf(torch.tensor(tokens.astype(np.int64))).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-5, rtol=1e-4)
+
+
+def test_moe_impls_agree(rng):
+    params = init_causal_lm(MOE_TINY, jax.random.key(0))
+    toks = jnp.asarray(rng.integers(0, MOE_TINY.vocab_size, (2, 7)),
+                       jnp.int32)
+    ragged = lm_forward(params, MOE_TINY, toks)
+    dense = lm_forward(params,
+                       dataclasses.replace(MOE_TINY, moe_impl="dense"), toks)
+    np.testing.assert_allclose(np.asarray(ragged), np.asarray(dense),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["ragged", "dense"])
+def test_moe_decode_matches_full(impl, rng):
+    cfg = dataclasses.replace(MOE_TINY, moe_impl=impl)
+    params = init_causal_lm(cfg, jax.random.key(0))
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)), jnp.int32)
+    full = lm_forward(params, cfg, toks)
+    cache = init_lm_cache(cfg, batch=2, max_len=8)
+    outs = []
+    for t in range(5):
+        emb = embed_tokens(params, toks[:, t])
+        logits, cache = lm_decode_step(params, cfg, emb, jnp.int32(t), cache)
+        outs.append(logits)
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stepped), np.asarray(full),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_moe_grads_flow_and_agree(rng):
+    """CE-loss grads reach router AND expert weights, are finite, and the
+    ragged impl's grads match the dense impl's (same math, different
+    dispatch)."""
+    params = init_causal_lm(MOE_TINY, jax.random.key(0))
+    toks = jnp.asarray(rng.integers(0, MOE_TINY.vocab_size, (2, 6)),
+                       jnp.int32)
+
+    def loss(p, cfg):
+        logits = lm_forward(p, cfg, toks[:, :-1])
+        lp = jax.nn.log_softmax(logits, -1)
+        return -jnp.take_along_axis(lp, toks[:, 1:, None], -1).mean()
+
+    g_r = jax.grad(loss)(params, MOE_TINY)
+    g_d = jax.grad(loss)(params,
+                         dataclasses.replace(MOE_TINY, moe_impl="dense"))
+    for path in (("layers", "router", "kernel"),
+                 ("layers", "experts", "gate", "kernel"),
+                 ("layers", "experts", "down", "kernel")):
+        a, b = g_r, g_d
+        for k in path:
+            a, b = a[k], b[k]
+        assert np.isfinite(np.asarray(a)).all()
+        assert float(jnp.abs(a).max()) > 0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-3)
+
+
+def test_moe_expert_parallel_matches_replicated(rng):
+    """EP=2 on the CPU mesh: expert axis sharded over 'model'
+    (CAUSAL_LM_TP_RULES), attention heads sharded on the same axis —
+    forward logits equal the single-device result."""
+    from audax.parallel.mesh import make_mesh
+    from audax.parallel.sharding import CAUSAL_LM_TP_RULES, shard_params
+
+    params = init_causal_lm(MOE_TINY, jax.random.key(0))
+    cfg = dataclasses.replace(MOE_TINY, moe_impl="dense")
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 7)), jnp.int32)
+    ref = np.asarray(lm_forward(params, cfg, toks))
+
+    mesh = make_mesh(MeshConfig(model=2))
+    sharded = shard_params(params, mesh, rules=CAUSAL_LM_TP_RULES)
+    ek = sharded["layers"]["experts"]["gate"]["kernel"]
+    assert "model" in ek.sharding.spec  # experts actually sharded
+    with mesh:
+        got = np.asarray(jax.jit(lm_forward, static_argnums=1)(
+            sharded, cfg, toks))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_moe_quantize_skips_experts():
+    """int8 serving quantization leaves 4D expert kernels float (their
+    matmuls are the custom MoE einsums, not _dense_fwd)."""
+    from audax.models.quantize import quantize_tree
+    params = init_causal_lm(MOE_TINY, jax.random.key(0))
+    q = quantize_tree(params)
+    assert "kernel" in q["layers"]["experts"]["gate"]          # untouched
+    assert "kernel_q" in q["layers"]["q"]                       # dense quantized
+    assert "kernel_q" in q["layers"]["router"]                  # router too
+    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
+    out = lm_forward(q, MOE_TINY, toks)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_two_tower_composes_with_moe_decoder(rng):
+    """The two-tower's decoder is 'any CausalLMConfig' — an MoE decoder
+    (the sparse member of the reference's Qwen3 family) must train-forward
+    and KV-generate through the same adapter fusion unchanged."""
+    from audax.core.config import TwoTowerConfig, WhisperConfig
+    from audax.models.two_tower import TwoTowerModel, init_adapter
+    from audax.models.whisper import init_whisper_params
+
+    audio = WhisperConfig(n_mels=8, n_audio_ctx=16, d_model=24,
+                          encoder_layers=1, decoder_layers=1, heads=2,
+                          vocab_size=40, n_text_ctx=8)
+    tt = TwoTowerConfig(adapter_heads=4, top_k_unfrozen_layers=1,
+                        max_target_tokens=16)
+    lm_params = init_causal_lm(MOE_TINY, jax.random.key(1))
+    adapter = init_adapter(jax.random.key(2), audio.d_model,
+                           MOE_TINY.d_model, heads=tt.adapter_heads)
+    model = TwoTowerModel(init_whisper_params(audio, jax.random.key(0)),
+                          audio, {"adapter": adapter, "lm": lm_params},
+                          MOE_TINY, tt)
+    mel = jnp.asarray(rng.standard_normal(
+        (2, 2 * audio.n_audio_ctx, audio.n_mels)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, MOE_TINY.vocab_size, (2, 6)),
+                      jnp.int32)
+    enc = model.encode_audio(mel)
+    logits = model.forward(model.params, enc, ids)
+    assert logits.shape == (2, 6, MOE_TINY.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+    tokens, lengths = model.generate(model.params, enc, start_id=1,
+                                     end_id=2, max_len=8, temperature=0.0)
+    assert tokens.shape == (2, 8) and lengths.shape == (2,)
+
+
+def test_moe_port_rejects_mixed_stacks():
+    torch = pytest.importorskip("torch")
+    try:
+        from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+    except ImportError:
+        pytest.skip("transformers lacks Qwen3Moe")
+    hc = Qwen3MoeConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+        moe_intermediate_size=48, num_experts=4, num_experts_per_tok=2,
+        decoder_sparse_step=1, mlp_only_layers=[0], head_dim=8,
+        tie_word_embeddings=True, max_position_embeddings=64,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = Qwen3MoeForCausalLM(hc).eval()
+    with pytest.raises(NotImplementedError):
+        port_causal_lm_from_hf(hf)

@@ -25,7 +25,7 @@ Params = Dict[str, Any]
 __all__ = ["CausalLMConfig", "init_causal_lm", "lm_forward", "lm_logits",
            "embed_tokens", "forward_with_embeds", "LMKVCache",
            "init_lm_cache", "lm_decode_step", "resize_embeddings",
-           "port_causal_lm_from_hf"]
+           "port_causal_lm_from_hf", "load_balance_loss"]
 
 
 @dataclass(frozen=True)
@@ -235,10 +235,38 @@ def _moe_router(layer, cfg: CausalLMConfig, h: jnp.ndarray
     w, idx = lax.top_k(probs, cfg.experts_per_tok)        # [N, k]
     if cfg.norm_topk_prob:
         w = w / w.sum(-1, keepdims=True)
-    return w.astype(h.dtype), idx
+    return w.astype(h.dtype), idx, logits
 
 
-def _moe_block(layer, cfg: CausalLMConfig, x: jnp.ndarray) -> jnp.ndarray:
+def load_balance_loss(router_logits: jnp.ndarray, num_experts: int,
+                      top_k: int,
+                      attention_mask: Optional[jnp.ndarray] = None
+                      ) -> jnp.ndarray:
+    """Switch-Transformer auxiliary load-balancing loss (eqs. 4-6),
+    HF ``load_balancing_loss_func`` parity: fraction-of-tokens-routed ×
+    mean-router-prob, summed over experts (and top-k slots), × E.
+
+    router_logits [L, N, E] as returned by ``lm_forward(...,
+    return_router_logits=True)`` (N = B*T); attention_mask [B, T] masks
+    padding tokens out of both statistics."""
+    l, n, e = router_logits.shape
+    probs = jax.nn.softmax(router_logits.reshape(l * n, e).astype(
+        jnp.float32), axis=-1)
+    _, sel = lax.top_k(probs, top_k)
+    sel_mask = jax.nn.one_hot(sel, e, dtype=jnp.float32)    # [LN, k, E]
+    if attention_mask is None:
+        tokens_per_expert = sel_mask.mean(0)                # [k, E]
+        router_prob = probs.mean(0)                         # [E]
+    else:
+        am = jnp.tile(attention_mask.reshape(-1).astype(jnp.float32), l)
+        denom = am.sum()
+        tokens_per_expert = (sel_mask * am[:, None, None]).sum(0) / denom
+        router_prob = (probs * am[:, None]).sum(0) / denom
+    return (tokens_per_expert * router_prob[None, :]).sum() * num_experts
+
+
+def _moe_block(layer, cfg: CausalLMConfig, x: jnp.ndarray,
+               return_router_logits: bool = False):
     """Sparse-MoE SwiGLU FFN (Qwen3-MoE family; no shared expert).
 
     TPU-first shape of the two impls (cfg.moe_impl):
@@ -261,7 +289,7 @@ def _moe_block(layer, cfg: CausalLMConfig, x: jnp.ndarray) -> jnp.ndarray:
     b, t, d = x.shape
     n = b * t
     h = rms_norm(layer["mlp_norm"], x, cfg.rms_eps).reshape(n, d)
-    w, idx = _moe_router(layer, cfg, h)
+    w, idx, router_logits = _moe_router(layer, cfg, h)
     ex = layer["experts"]
     gk = ex["gate"]["kernel"].astype(h.dtype)             # [E, d, fe]
     uk = ex["up"]["kernel"].astype(h.dtype)
@@ -287,7 +315,8 @@ def _moe_block(layer, cfg: CausalLMConfig, x: jnp.ndarray) -> jnp.ndarray:
         y = jnp.einsum("nkd,nk->nd", o, w)
     else:
         raise ValueError(f"unknown moe_impl {cfg.moe_impl!r}")
-    return y.reshape(b, t, d)
+    out = y.reshape(b, t, d)
+    return (out, router_logits) if return_router_logits else out
 
 
 # ------------------------------------------------------------- forward ----
@@ -300,12 +329,15 @@ def embed_tokens(params: Params, tokens: jnp.ndarray,
 def forward_with_embeds(params: Params, cfg: CausalLMConfig,
                         embeds: jnp.ndarray,
                         attention_mask: Optional[jnp.ndarray] = None,
-                        dtype=jnp.float32) -> jnp.ndarray:
+                        dtype=jnp.float32,
+                        return_router_logits: bool = False):
     """Hidden-states forward from input embeddings (the two-tower fusion
     entry point; reference feeds fused embeds at model.py:281-288).
 
     attention_mask: [B, T] 1=real — padding is masked from keys.
-    Returns final hidden states [B, T, d] (pre-logits)."""
+    Returns final hidden states [B, T, d] (pre-logits); with
+    ``return_router_logits`` (MoE training) also the per-layer router
+    logits [L, B*T, E] for ``load_balance_loss``."""
     b, t, _ = embeds.shape
     x = embeds.astype(dtype)
     positions = jnp.arange(t)
@@ -313,15 +345,20 @@ def forward_with_embeds(params: Params, cfg: CausalLMConfig,
     # case rides the flash kernel (the XLA twin folds causal AND mask)
     mask = (attention_mask[:, None, None, :].astype(bool)
             if attention_mask is not None else None)
+    with_router = return_router_logits and cfg.num_experts > 0
 
     def body(x, layer):
         attn, _ = _attn_block(layer, cfg, x, positions, mask, causal=True)
         x = x + attn
+        if with_router:
+            y, rl = _moe_block(layer, cfg, x, return_router_logits=True)
+            return x + y, rl
         x = x + _mlp_block(layer, cfg, x)
         return x, None
 
-    x, _ = lax.scan(body, x, params["layers"])
-    return rms_norm(params["norm"], x, cfg.rms_eps)
+    x, router_logits = lax.scan(body, x, params["layers"])
+    hidden = rms_norm(params["norm"], x, cfg.rms_eps)
+    return (hidden, router_logits) if with_router else hidden
 
 
 def lm_logits(params: Params, cfg: CausalLMConfig, hidden: jnp.ndarray
@@ -335,11 +372,18 @@ def lm_logits(params: Params, cfg: CausalLMConfig, hidden: jnp.ndarray
 
 def lm_forward(params: Params, cfg: CausalLMConfig, tokens: jnp.ndarray,
                attention_mask: Optional[jnp.ndarray] = None,
-               dtype=jnp.float32) -> jnp.ndarray:
-    """tokens [B, T] -> logits [B, T, V]."""
-    hidden = forward_with_embeds(params, cfg, embed_tokens(params, tokens, dtype),
-                                 attention_mask, dtype)
-    return lm_logits(params, cfg, hidden)
+               dtype=jnp.float32, return_router_logits: bool = False):
+    """tokens [B, T] -> logits [B, T, V]. For MoE configs,
+    ``return_router_logits=True`` additionally returns the stacked
+    per-layer router logits [L, B*T, E] (feed to ``load_balance_loss``
+    with the same attention_mask for the training aux loss)."""
+    out = forward_with_embeds(params, cfg, embed_tokens(params, tokens, dtype),
+                              attention_mask, dtype,
+                              return_router_logits=return_router_logits)
+    if return_router_logits and cfg.num_experts > 0:
+        hidden, router_logits = out
+        return lm_logits(params, cfg, hidden), router_logits
+    return lm_logits(params, cfg, out)
 
 
 # ---------------------------------------------------------------- decode --

@@ -157,6 +157,49 @@ def test_moe_quantize_skips_experts():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_load_balance_loss_matches_hf(with_mask, rng):
+    """MoE training aux loss: Switch eq. 4-6 via HF load_balancing_loss_func
+    parity, with and without padding masks — on router logits produced by
+    the real forward (return_router_logits=True)."""
+    torch = pytest.importorskip("torch")
+    from audax.models.causal_lm import load_balance_loss
+    hf = _hf_qwen3_moe()
+    params, cfg = port_causal_lm_from_hf(hf)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    if with_mask:
+        am = np.ones((2, 8), np.int32)
+        am[1, 5:] = 0
+    else:
+        am = None
+    logits, router_logits = lm_forward(
+        params, cfg, jnp.asarray(tokens),
+        attention_mask=None if am is None else jnp.asarray(am),
+        return_router_logits=True)
+    assert router_logits.shape == (cfg.layers, 16, cfg.num_experts)
+    ours = float(load_balance_loss(
+        router_logits, cfg.num_experts, cfg.experts_per_tok,
+        None if am is None else jnp.asarray(am)))
+    with torch.no_grad():
+        out = hf(torch.tensor(tokens.astype(np.int64)),
+                 attention_mask=(None if am is None
+                                 else torch.tensor(am.astype(np.int64))),
+                 output_router_logits=True)
+    from transformers.models.qwen3_moe.modeling_qwen3_moe import (
+        load_balancing_loss_func)
+    theirs = float(load_balancing_loss_func(
+        out.router_logits, cfg.num_experts, cfg.experts_per_tok,
+        None if am is None else torch.tensor(am.astype(np.int64))))
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+    # and it differentiates: grads reach the router
+    def aux(p):
+        _, rl = lm_forward(p, cfg, jnp.asarray(tokens),
+                           return_router_logits=True)
+        return load_balance_loss(rl, cfg.num_experts, cfg.experts_per_tok)
+    g = jax.grad(aux)(params)["layers"]["router"]["kernel"]
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+
 def test_two_tower_composes_with_moe_decoder(rng):
     """The two-tower's decoder is 'any CausalLMConfig' — an MoE decoder
     (the sparse member of the reference's Qwen3 family) must train-forward

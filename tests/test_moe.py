@@ -260,6 +260,50 @@ def test_two_tower_composes_with_moe_decoder(rng):
     assert tokens.shape == (2, 8) and lengths.shape == (2,)
 
 
+def test_two_tower_train_step_with_moe_decoder(rng):
+    """The jitted two-tower train step takes grads through the MoE decoder
+    (ragged_dot VJP) and the top-K unfreeze mask broadcasts over the 4D
+    stacked expert leaves: top layer's experts move, bottom layer's don't."""
+    from audax.core.config import TwoTowerConfig, WhisperConfig
+    from audax.models.two_tower import TwoTowerModel, init_adapter
+    from audax.models.whisper import init_whisper_params
+    from audax.train.two_tower import (TwoTowerState,
+                                       init_two_tower_optimizer,
+                                       make_two_tower_step)
+
+    audio = WhisperConfig(n_mels=8, n_audio_ctx=16, d_model=24,
+                          encoder_layers=1, decoder_layers=1, heads=2,
+                          vocab_size=40, n_text_ctx=8)
+    tt = TwoTowerConfig(adapter_heads=4, top_k_unfrozen_layers=1,
+                        max_target_tokens=16, adapter_lr=3e-3, lm_lr=1e-3)
+    lm_params = init_causal_lm(MOE_TINY, jax.random.key(1))
+    adapter = init_adapter(jax.random.key(2), audio.d_model,
+                           MOE_TINY.d_model, heads=tt.adapter_heads)
+    model = TwoTowerModel(init_whisper_params(audio, jax.random.key(0)),
+                          audio, {"adapter": adapter, "lm": lm_params},
+                          MOE_TINY, tt)
+    tx, mask = init_two_tower_optimizer(model)
+    state = TwoTowerState(step=jnp.int32(0), params=model.params,
+                          opt_state=tx.init(model.params), tx=tx,
+                          layer_mask=mask)
+    train_step, _ = make_two_tower_step(model)
+    batch = {
+        "mel": jnp.asarray(rng.standard_normal(
+            (2, 2 * audio.n_audio_ctx, audio.n_mels)).astype(np.float32)),
+        "input_ids": jnp.asarray(
+            rng.integers(1, MOE_TINY.vocab_size, (2, 6)), jnp.int32),
+        "attention_mask": jnp.ones((2, 6), jnp.int32),
+    }
+    new_state, metrics = train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    before = np.asarray(model.params["lm"]["layers"]["experts"]["gate"]
+                        ["kernel"])
+    after = np.asarray(new_state.params["lm"]["layers"]["experts"]["gate"]
+                       ["kernel"])
+    assert np.abs(after[-1] - before[-1]).max() > 0    # top layer trains
+    np.testing.assert_array_equal(after[0], before[0])  # bottom frozen
+
+
 def test_moe_port_rejects_mixed_stacks():
     torch = pytest.importorskip("torch")
     try:

@@ -305,6 +305,11 @@ class TwoTowerConfig(EnvConfig):
     # microbatches per optimizer step (gradient_accumulation_steps
     # semantics, AB/fineTune.py:165); batch_size must be divisible by it
     accum_steps: int = 1
+    # MoE decoders only: weight of the Switch load-balancing aux loss
+    # (models/causal_lm.py:load_balance_loss; HF router_aux_loss_coef
+    # semantics). 0 disables. With accum_steps > 1 the aux statistics are
+    # per-microbatch (token-weighted), the standard per-forward form.
+    moe_aux_coef: float = 0.0
     epochs: int = 10
     seed: int = 0
 

@@ -226,10 +226,11 @@ def _mlp_block(layer, cfg, x):
 
 
 def _moe_router(layer, cfg: CausalLMConfig, h: jnp.ndarray
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Router weights/indices, HF Qwen3MoeSparseMoeBlock semantics
-    (softmax over ALL experts in f32, THEN top-k, then optional renorm,
-    cast back to the activation dtype)."""
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(top-k weights [N, k], expert indices [N, k], raw router logits
+    [N, E]) — HF Qwen3MoeSparseMoeBlock semantics (softmax over ALL
+    experts in f32, THEN top-k, then optional renorm, cast back to the
+    activation dtype); the logits feed ``load_balance_loss``."""
     logits = _dense_fwd(layer["router"], h)               # [N, E]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     w, idx = lax.top_k(probs, cfg.experts_per_tok)        # [N, k]
@@ -345,6 +346,9 @@ def forward_with_embeds(params: Params, cfg: CausalLMConfig,
     # case rides the flash kernel (the XLA twin folds causal AND mask)
     mask = (attention_mask[:, None, None, :].astype(bool)
             if attention_mask is not None else None)
+    if return_router_logits and cfg.num_experts == 0:
+        raise ValueError("return_router_logits requires an MoE config "
+                         "(num_experts > 0)")
     with_router = return_router_logits and cfg.num_experts > 0
 
     def body(x, layer):

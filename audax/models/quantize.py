@@ -37,9 +37,12 @@ Params = Dict[str, Any]
 __all__ = ["quantize_matrix", "quantize_tree", "dequant_dense",
            "embed_lookup", "embed_logits", "tree_bytes"]
 
-#: dicts under these keys hold conv kernels ([W, I, O]) — the two encoder
-#: convs run once per utterance and stay float.
-_SKIP_KEYS = {"conv1", "conv2"}
+#: dicts under these keys stay float: the two encoder convs ([W, I, O])
+#: run once per utterance, and the MoE router's output feeds a DISCRETE
+#: top-k — quantization error there flips expert selection (whole-expert
+#: output differences), not a ~0.4% matmul perturbation. Router weights
+#: are O(d*E), negligible next to the experts.
+_SKIP_KEYS = {"conv1", "conv2", "router"}
 
 
 def quantize_matrix(k: jnp.ndarray, axis: int = -2

@@ -171,30 +171,57 @@ class TwoTowerModel(NamedTuple):
     def forward(self, params: Params, enc: jnp.ndarray,
                 input_ids: jnp.ndarray,
                 attention_mask: Optional[jnp.ndarray] = None,
-                dtype=jnp.float32) -> jnp.ndarray:
+                dtype=jnp.float32, return_router_logits: bool = False):
         """Teacher-forced logits [B, T, V]; audio enters via the adapter
-        fusing every text position with audio context (reference :263-288)."""
+        fusing every text position with audio context (reference :263-288).
+        ``return_router_logits`` (MoE decoders) also returns the stacked
+        per-layer router logits for the load-balancing aux loss."""
         text = embed_tokens(params["lm"], input_ids, dtype)
         fused = adapter_apply(params["adapter"], text, enc,
                               self.cfg.adapter_heads)
-        hidden = forward_with_embeds(params["lm"], self.lm_cfg, fused,
-                                     attention_mask, dtype)
-        return lm_logits(params["lm"], self.lm_cfg, hidden)
+        out = forward_with_embeds(params["lm"], self.lm_cfg, fused,
+                                  attention_mask, dtype,
+                                  return_router_logits=return_router_logits)
+        if return_router_logits:
+            hidden, router_logits = out
+            return lm_logits(params["lm"], self.lm_cfg, hidden), router_logits
+        return lm_logits(params["lm"], self.lm_cfg, out)
 
     def loss_sum(self, params: Params, enc: jnp.ndarray,
                  input_ids: jnp.ndarray, attention_mask: jnp.ndarray,
                  dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(summed shifted CE over non-pad positions, token count) — the
         un-normalized form gradient accumulation needs to reproduce the
-        exact full-batch mean across microbatches."""
+        exact full-batch mean across microbatches.
+
+        MoE decoders with ``cfg.moe_aux_coef > 0`` add the Switch
+        load-balancing aux loss (HF router_aux_loss_coef semantics),
+        folded in as ``coef * aux * count`` so the normalized loss is
+        ``CE_mean + coef * aux``; under gradient accumulation the aux
+        statistics are per-microbatch (the standard per-forward form)."""
         import optax
-        logits = self.forward(params, enc, input_ids, attention_mask, dtype)
+        want_aux = (self.lm_cfg.num_experts > 0
+                    and self.cfg.moe_aux_coef > 0)
+        if want_aux:
+            logits, router_logits = self.forward(
+                params, enc, input_ids, attention_mask, dtype,
+                return_router_logits=True)
+        else:
+            logits = self.forward(params, enc, input_ids, attention_mask,
+                                  dtype)
         shift_logits = logits[:, :-1].astype(jnp.float32)
         shift_labels = input_ids[:, 1:]
         mask = attention_mask[:, 1:].astype(jnp.float32)
         losses = optax.softmax_cross_entropy_with_integer_labels(
             shift_logits, shift_labels)
-        return (losses * mask).sum(), mask.sum()
+        total, count = (losses * mask).sum(), mask.sum()
+        if want_aux:
+            from audax.models.causal_lm import load_balance_loss
+            aux = load_balance_loss(router_logits, self.lm_cfg.num_experts,
+                                    self.lm_cfg.experts_per_tok,
+                                    attention_mask)
+            total = total + self.cfg.moe_aux_coef * aux * count
+        return total, count
 
     def loss(self, params: Params, enc: jnp.ndarray, input_ids: jnp.ndarray,
              attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:

@@ -19,7 +19,7 @@ from typing import Any, Callable, Dict
 import jax
 import numpy as np
 
-__all__ = ["trace", "time_fn", "flops_estimate_matmul"]
+__all__ = ["trace", "time_fn", "flops_estimate_matmul", "slope_timed"]
 
 
 @contextlib.contextmanager
@@ -63,3 +63,40 @@ def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 2,
 
 def flops_estimate_matmul(m: int, n: int, k: int) -> int:
     return 2 * m * n * k
+
+
+def slope_timed(fn, args, iters=(100, 1100), repeats: int = 5) -> float:
+    """Per-op device latency (seconds) via slope timing: run the op in
+    fori_loops of two lengths and take (t_long - t_short) / (n_long -
+    n_short), cancelling dispatch + fetch overhead (one jitted call and a
+    4-byte result fetch per measurement — the axon-tunnel-safe pattern).
+
+    The loop CARRIES a perturbation of the first argument (`+ acc * 0.0`,
+    unfoldable for floats) so XLA cannot hoist the otherwise
+    loop-invariant op out of the loop — without it, hoisting produced
+    negative slopes and skewed kernel A/Bs (ROADMAP #19). Best-of-
+    ``repeats`` per loop length rides out multi-tenant chip variance.
+    """
+    import jax.numpy as jnp
+
+    def make(nit):
+        @jax.jit
+        def run(*a):
+            def body(i, acc):
+                a0 = (a[0].astype(jnp.float32) + acc * 0.0
+                      ).astype(a[0].dtype)
+                return acc + fn(a0, *a[1:]).astype(jnp.float32).ravel()[0]
+            return jax.lax.fori_loop(0, nit, body, jnp.float32(0))
+        return run
+
+    f1, f2 = make(iters[0]), make(iters[1])
+    np.asarray(f1(*args)); np.asarray(f2(*args))   # compile both
+    best = []
+    for f in (f1, f2):
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(f(*args))
+            ts.append(time.perf_counter() - t0)
+        best.append(min(ts))
+    return (best[1] - best[0]) / (iters[1] - iters[0])

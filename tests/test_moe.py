@@ -179,10 +179,18 @@ def test_moe_quantize_skips_experts():
     q = quantize_tree(params)
     assert "kernel" in q["layers"]["experts"]["gate"]          # untouched
     assert "kernel_q" in q["layers"]["q"]                       # dense quantized
-    assert "kernel_q" in q["layers"]["router"]                  # router too
+    # router stays FLOAT: quant error there flips discrete top-k expert
+    # selection (whole-expert divergence), and it's O(d*E) anyway
+    assert "kernel" in q["layers"]["router"]
+    assert "kernel_q" not in q["layers"]["router"]
     toks = jnp.asarray([[1, 2, 3]], jnp.int32)
     out = lm_forward(q, MOE_TINY, toks)
     assert np.isfinite(np.asarray(out)).all()
+    # float router => identical expert selection => quantized outputs stay
+    # within ordinary weight-quant noise of the float model
+    ref = np.asarray(lm_forward(params, MOE_TINY, toks))
+    nrmse = np.sqrt(((np.asarray(out) - ref) ** 2).mean()) / ref.std()
+    assert nrmse < 0.05, nrmse
 
 
 @pytest.mark.parametrize("with_mask", [False, True])
@@ -302,6 +310,48 @@ def test_two_tower_train_step_with_moe_decoder(rng):
                        ["kernel"])
     assert np.abs(after[-1] - before[-1]).max() > 0    # top layer trains
     np.testing.assert_array_equal(after[0], before[0])  # bottom frozen
+
+
+def test_two_tower_moe_aux_loss_reachable(rng):
+    """cfg.moe_aux_coef wires load_balance_loss into the two-tower loss:
+    coef > 0 changes the loss by exactly coef * aux and pushes gradients
+    into the router (which pure CE also reaches, but the aux term must
+    change them)."""
+    import dataclasses as dc
+    from audax.core.config import TwoTowerConfig, WhisperConfig
+    from audax.models.two_tower import TwoTowerModel, init_adapter
+    from audax.models.whisper import init_whisper_params
+
+    audio = WhisperConfig(n_mels=8, n_audio_ctx=16, d_model=24,
+                          encoder_layers=1, decoder_layers=1, heads=2,
+                          vocab_size=40, n_text_ctx=8)
+    lm_params = init_causal_lm(MOE_TINY, jax.random.key(1))
+    adapter = init_adapter(jax.random.key(2), audio.d_model,
+                           MOE_TINY.d_model, heads=4)
+    audio_params = init_whisper_params(audio, jax.random.key(0))
+    mel = jnp.asarray(rng.standard_normal(
+        (2, 2 * audio.n_audio_ctx, audio.n_mels)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, MOE_TINY.vocab_size, (2, 6)),
+                      jnp.int32)
+    am = jnp.ones((2, 6), jnp.int32)
+
+    losses, router_grads = {}, {}
+    for coef in (0.0, 0.5):
+        tt = TwoTowerConfig(adapter_heads=4, top_k_unfrozen_layers=1,
+                            max_target_tokens=16, moe_aux_coef=coef)
+        model = TwoTowerModel(audio_params, audio,
+                              {"adapter": adapter, "lm": lm_params},
+                              MOE_TINY, tt)
+        enc = model.encode_audio(mel)
+        losses[coef] = float(model.loss(model.params, enc, ids, am))
+        g = jax.grad(lambda p: model.loss(p, enc, ids, am))(model.params)
+        router_grads[coef] = np.asarray(g["lm"]["layers"]["router"]["kernel"])
+    assert losses[0.5] != losses[0.0]
+    # the difference IS coef * aux (aux >= 1 by construction: sum of
+    # fraction*prob products * E >= 1 at any routing)
+    aux = (losses[0.5] - losses[0.0]) / 0.5
+    assert aux >= 0.99, aux
+    assert np.abs(router_grads[0.5] - router_grads[0.0]).max() > 0
 
 
 def test_moe_port_rejects_mixed_stacks():

@@ -15,29 +15,7 @@ p1, s1 = quantize_int4(w)
 p2, s2 = quantize_int4_v2(w)
 wbf = w.astype(jnp.bfloat16)
 
-def loop_timed(fn, args, iters=(100, 1100)):
-    # the loop-carried perturbation of the first arg stops XLA hoisting
-    # the (otherwise loop-invariant) op out of the fori_loop — without it
-    # slopes go negative/garbage (measured; see tools/w4a8_probe.py)
-    def make(nit):
-        @jax.jit
-        def run(*a):
-            def body(i, acc):
-                a0 = (a[0].astype(jnp.float32) + acc * 0.0
-                      ).astype(a[0].dtype)
-                return acc + fn(a0, *a[1:]).astype(jnp.float32).ravel()[0]
-            return jax.lax.fori_loop(0, nit, body, jnp.float32(0))
-        return run
-    f1, f2 = make(iters[0]), make(iters[1])
-    np.asarray(f1(*args)); np.asarray(f2(*args))
-    best = []
-    for f, nit in ((f1, iters[0]), (f2, iters[1])):
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter(); np.asarray(f(*args))
-            ts.append(time.perf_counter() - t0)
-        best.append(min(ts))
-    return (best[1] - best[0]) / (iters[1] - iters[0])
+from audax.utils.profiling import slope_timed as loop_timed
 
 pk = k_dim * n * 0.5 / 2**30
 for name, fn, args, byts in [

@@ -112,26 +112,7 @@ def run_variant(kernel, x, packed, scales, *, block_n=1024):
     return out[:m, :n]
 
 
-def loop_timed(fn, args, iters=(100, 1100)):
-    def make(nit):
-        @jax.jit
-        def run(*a):
-            def body(i, acc):
-                a0 = (a[0].astype(jnp.float32) + acc * 0.0
-                      ).astype(a[0].dtype)
-                return acc + fn(a0, *a[1:]).astype(jnp.float32).ravel()[0]
-            return jax.lax.fori_loop(0, nit, body, jnp.float32(0))
-        return run
-    f1, f2 = make(iters[0]), make(iters[1])
-    np.asarray(f1(*args)); np.asarray(f2(*args))
-    best = []
-    for f, nit in ((f1, iters[0]), (f2, iters[1])):
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter(); np.asarray(f(*args))
-            ts.append(time.perf_counter() - t0)
-        best.append(min(ts))
-    return (best[1] - best[0]) / (iters[1] - iters[0])
+from audax.utils.profiling import slope_timed as loop_timed  # noqa: E402
 
 
 if __name__ == "__main__":

@@ -25,38 +25,6 @@ setup()
 from audax.ops.int4_matmul import quantize_int4, dequantize_int4, int4_matmul
 
 
-def _w4a8_kernel(l_ref, xq_ref, xs_ref, xg_ref, w_ref, s_ref, o_ref, *,
-                 group: int):
-    """One [M, nb] block: int8 activations x int4-unpacked-to-int8 weights.
-
-    xq [M, K] int8 (pre-quantized per row); xs [M, 1] f32 row scales;
-    xg [M, G] f32 per-group sums of xq (zero-point correction, computed
-    outside so the kernel never reduces over K); w [1, K//2, nb] packed;
-    s [1, G, nb] f32 group scales.
-    """
-    xq = xq_ref[...]
-    xs = xs_ref[...]                                # [M, 1] f32
-    xg = xg_ref[...]                                # [M, G] f32
-    w = w_ref[0]                                    # [K//2, nb] uint8
-    s = s_ref[0]                                    # [G, nb] f32
-    m = xq.shape[0]
-    num_g = s.shape[0]
-    lo = (jnp.bitwise_and(w, jnp.uint8(0xF)).astype(jnp.int8) - 8)
-    hi = (jnp.right_shift(w, jnp.uint8(4)).astype(jnp.int8) - 8)
-    halves = (lo, hi)
-    acc = jnp.zeros((m, w.shape[1]), jnp.float32)
-    for gi in range(num_g):
-        half = halves[0] if gi < num_g // 2 else halves[1]
-        base = (gi if gi < num_g // 2 else gi - num_g // 2) * group
-        wg = half[base:base + group, :]             # [group, nb] int8 (q-8... no: q)
-        xqg = xq[:, gi * group:(gi + 1) * group]    # [M, group] int8
-        part = jax.lax.dot_general(
-            xqg, wg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)       # [M, nb] s32
-        acc = acc + part.astype(jnp.float32) * s[gi:gi + 1, :]
-    o_ref[...] = (acc * xs).astype(o_ref.dtype)
-
-
 def w4a8_matmul(x, packed, scales, *, block_n=1024, interpret=False):
     stacked = packed.ndim == 3
     if not stacked:
@@ -73,15 +41,9 @@ def w4a8_matmul(x, packed, scales, *, block_n=1024, interpret=False):
     xs = jnp.maximum(jnp.max(jnp.abs(x2), axis=-1, keepdims=True), 1e-12)
     xs = xs / 127.0
     xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
-    # per-group sums of xq for the -8 zero-point fold (f32: exact for
-    # |sum| < 2^24, true here: 128 * 127 << 2^24)
-    xg = jnp.sum(xq.astype(jnp.float32).reshape(m, num_g, group), axis=-1)
-    # fold the -8 correction into the group scale term:
-    # o = xs * sum_g s_g * (xq_g @ q_g - 8 * sum(xq_g))
     m_p = max(8, -(-m // 8) * 8)
     xq = jnp.pad(xq, ((0, m_p - m), (0, 0)))
     xs_p = jnp.pad(xs, ((0, m_p - m), (0, 0)))
-    xg_p = jnp.pad(xg, ((0, m_p - m), (0, 0)))
     nb = min(block_n, -(-n // 128) * 128)
     grid = (-(-n // nb),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -91,8 +53,6 @@ def w4a8_matmul(x, packed, scales, *, block_n=1024, interpret=False):
             pl.BlockSpec((m_p, k_dim), lambda j, lref: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m_p, 1), lambda j, lref: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_p, num_g), lambda j, lref: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kh, nb), lambda j, lref: (lref[0], 0, j),
                          memory_space=pltpu.VMEM),
@@ -110,16 +70,17 @@ def w4a8_matmul(x, packed, scales, *, block_n=1024, interpret=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(layv, xq, xs_p, xg_p, packed, scales)
+    )(layv, xq, xs_p, packed, scales)
     return out[:m, :n].reshape(*lead, n)
 
 
-def _w4a8_kernel_zp(l_ref, xq_ref, xs_ref, xg_ref, w_ref, s_ref, o_ref, *,
+def _w4a8_kernel_zp(l_ref, xq_ref, xs_ref, w_ref, s_ref, o_ref, *,
                     group: int):
-    """Variant folding the zero-point via the precomputed group sums."""
+    """int8 activations x int4-unpacked-to-int8 weights; the -8 nibble
+    zero point is subtracted during the unpack itself (int8 range is
+    wide enough), so no separate correction term is needed."""
     xq = xq_ref[...]
     xs = xs_ref[...]
-    xg = xg_ref[...]
     w = w_ref[0]
     s = s_ref[0]
     m = xq.shape[0]
@@ -141,29 +102,7 @@ def _w4a8_kernel_zp(l_ref, xq_ref, xs_ref, xg_ref, w_ref, s_ref, o_ref, *,
     o_ref[...] = (acc * xs).astype(o_ref.dtype)
 
 
-def loop_timed(fn, args, iters=(100, 1100)):
-    """Slope timing with a loop-carried perturbation of the first arg so
-    XLA cannot hoist the loop-invariant op out of the fori_loop (hoisting
-    produced negative slopes)."""
-    def make(nit):
-        @jax.jit
-        def run(*a):
-            def body(i, acc):
-                a0 = (a[0].astype(jnp.float32) + acc * 0.0
-                      ).astype(a[0].dtype)
-                return acc + fn(a0, *a[1:]).astype(jnp.float32).ravel()[0]
-            return jax.lax.fori_loop(0, nit, body, jnp.float32(0))
-        return run
-    f1, f2 = make(iters[0]), make(iters[1])
-    np.asarray(f1(*args)); np.asarray(f2(*args))
-    best = []
-    for f, nit in ((f1, iters[0]), (f2, iters[1])):
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter(); np.asarray(f(*args))
-            ts.append(time.perf_counter() - t0)
-        best.append(min(ts))
-    return (best[1] - best[0]) / (iters[1] - iters[0])
+from audax.utils.profiling import slope_timed as loop_timed  # noqa: E402
 
 
 if __name__ == "__main__":

@@ -292,15 +292,29 @@ def _moe_block(layer, cfg: CausalLMConfig, x: jnp.ndarray,
     h = rms_norm(layer["mlp_norm"], x, cfg.rms_eps).reshape(n, d)
     w, idx, router_logits = _moe_router(layer, cfg, h)
     ex = layer["experts"]
-    gk = ex["gate"]["kernel"].astype(h.dtype)             # [E, d, fe]
-    uk = ex["up"]["kernel"].astype(h.dtype)
-    dk = ex["down"]["kernel"].astype(h.dtype)             # [E, fe, d]
+
+    def ek(name):
+        """Expert weights [E, K, N] in the activation dtype + optional
+        int8 per-(expert, out-channel) scale [E, N] (the cast fuses into
+        the consuming einsum exactly like _dense_fwd's int8 path)."""
+        p = ex[name]
+        if "kernel_q" in p:
+            return p["kernel_q"].astype(h.dtype), p["kernel_scale"]
+        return p["kernel"].astype(h.dtype), None
+
+    gk, gsc = ek("gate")                                  # [E, d, fe]
+    uk, usc = ek("up")
+    dk, dsc = ek("down")                                  # [E, fe, d]
     if cfg.moe_impl == "dense":
         comb = jnp.zeros((n, cfg.num_experts), w.dtype)
         comb = comb.at[jnp.arange(n)[:, None], idx].add(w)  # [N, E]
-        g = jnp.einsum("nd,edf->enf", h, gk)
-        u = jnp.einsum("nd,edf->enf", h, uk)
-        o = jnp.einsum("enf,efd->end", jax.nn.silu(g) * u, dk)
+
+        def scale(t, s):                                  # t [E, N?, out]
+            return t if s is None else t * s[:, None, :].astype(t.dtype)
+
+        g = scale(jnp.einsum("nd,edf->enf", h, gk), gsc)
+        u = scale(jnp.einsum("nd,edf->enf", h, uk), usc)
+        o = scale(jnp.einsum("enf,efd->end", jax.nn.silu(g) * u, dk), dsc)
         y = jnp.einsum("end,ne->nd", o, comb)
     elif cfg.moe_impl == "ragged":
         k = cfg.experts_per_tok
@@ -309,9 +323,14 @@ def _moe_block(layer, cfg: CausalLMConfig, x: jnp.ndarray,
         tok = order // k
         xr = h[tok]                                       # [N*k, d]
         gs = jnp.bincount(fidx, length=cfg.num_experts)
-        g = lax.ragged_dot(xr, gk, gs)
-        u = lax.ragged_dot(xr, uk, gs)
-        o = lax.ragged_dot(jax.nn.silu(g) * u, dk, gs)    # [N*k, d]
+        row_e = fidx[order]                               # row -> expert
+
+        def scale(t, s):                                  # t [N*k, out]
+            return t if s is None else t * s[row_e].astype(t.dtype)
+
+        g = scale(lax.ragged_dot(xr, gk, gs), gsc)
+        u = scale(lax.ragged_dot(xr, uk, gs), usc)
+        o = scale(lax.ragged_dot(jax.nn.silu(g) * u, dk, gs), dsc)
         o = o[jnp.argsort(order)].reshape(n, k, d)        # back to slot order
         y = jnp.einsum("nkd,nk->nd", o, w)
     else:

@@ -90,12 +90,22 @@ def quantize_tree(params: Params, *, embed_keys=("embed",), bits: int = 8,
 
     def rec(node, name):
         if isinstance(node, dict):
-            # MoE expert kernels ([L, E, d, f], 4D) stay float: their
-            # matmuls are the custom ragged/expert einsums in
-            # models/causal_lm.py:_moe_block, not _dense_fwd
-            if ("kernel" in node and name not in _SKIP_KEYS
-                    and 2 <= getattr(node["kernel"], "ndim", 0) <= 3):
-                return _quantize_dense(node, bits, group)
+            # MoE expert kernels ([L, E, d, f], 4D — in MoE models the
+            # experts ARE the parameter memory) get int8 with one scale
+            # per (expert, output channel); their matmuls are the expert
+            # einsums in models/causal_lm.py:_moe_block, which fuse the
+            # int8->activation-dtype cast the same way _dense_fwd does.
+            # The int4 tier keeps experts float: the nibble-packed pallas
+            # kernel handles [<=1 stacked axis, K, N] layouts only.
+            if "kernel" in node and name not in _SKIP_KEYS:
+                nd = getattr(node["kernel"], "ndim", 0)
+                if 2 <= nd <= 3:
+                    return _quantize_dense(node, bits, group)
+                if nd == 4 and bits == 8:
+                    q, s = quantize_matrix(node["kernel"], axis=-2)
+                    return {"kernel_q": q, "kernel_scale": s,
+                            **{k: v for k, v in node.items()
+                               if k != "kernel"}}
             out = {}
             for k, v in node.items():
                 if k in embed_keys and getattr(v, "ndim", 0) == 2:

@@ -110,10 +110,24 @@ def moe_expert_parallel(layer, cfg: CausalLMConfig, x: jnp.ndarray,
         xe = lax.all_to_all(xd, ep_axis, split_axis=0, concat_axis=1,
                             tiled=True)                      # [E/M, M*C, d]
         ex = layer["experts"]
-        g = jnp.einsum("ecd,edf->ecf", xe, ex["gate"]["kernel"].astype(h.dtype))
-        u = jnp.einsum("ecd,edf->ecf", xe, ex["up"]["kernel"].astype(h.dtype))
-        o = jnp.einsum("ecf,efd->ecd", jax.nn.silu(g) * u,
-                       ex["down"]["kernel"].astype(h.dtype))
+
+        def ek(name):
+            """Local expert weights in the activation dtype + optional
+            int8 per-(expert, out-channel) scale (models/quantize.py)."""
+            p = ex[name]
+            if "kernel_q" in p:
+                return p["kernel_q"].astype(h.dtype), p["kernel_scale"]
+            return p["kernel"].astype(h.dtype), None
+
+        def scale(t, s):                                     # t [E/M, C', out]
+            return t if s is None else t * s[:, None, :].astype(t.dtype)
+
+        gk, gsc = ek("gate")
+        uk, usc = ek("up")
+        dk, dsc = ek("down")
+        g = scale(jnp.einsum("ecd,edf->ecf", xe, gk), gsc)
+        u = scale(jnp.einsum("ecd,edf->ecf", xe, uk), usc)
+        o = scale(jnp.einsum("ecf,efd->ecd", jax.nn.silu(g) * u, dk), dsc)
         # return expert outputs to the tokens' home devices
         od = lax.all_to_all(o, ep_axis, split_axis=1, concat_axis=0,
                             tiled=True)                      # [E, C, d]
@@ -124,8 +138,11 @@ def moe_expert_parallel(layer, cfg: CausalLMConfig, x: jnp.ndarray,
            "experts": layer["experts"]}
     specs = {"mlp_norm": jax.tree.map(lambda _: P(), sub["mlp_norm"]),
              "router": jax.tree.map(lambda _: P(), sub["router"]),
-             "experts": jax.tree.map(lambda _: P(ep_axis, None, None),
-                                     sub["experts"])}
+             # expert leaves are sharded on their leading (expert) axis:
+             # kernels [E, K, N] and int8 scales [E, N] alike
+             "experts": jax.tree.map(
+                 lambda a: P(ep_axis, *([None] * (a.ndim - 1))),
+                 sub["experts"])}
     sharded = shard_map(
         local, mesh=mesh,
         in_specs=(P(ep_axis, None), specs),

@@ -74,6 +74,7 @@ CAUSAL_LM_TP_RULES: Tuple[Tuple[str, P], ...] = (
     # einsums compute each device's expert slice locally and the combine
     # contraction all-reduces — attention stays head-sharded on the same
     # axis (hybrid TP-attention + EP-FFN). Router stays replicated.
+    (r"layers/experts/(gate|up|down)/kernel_scale", P(None, "model", None)),
     (r"layers/experts/(gate|up|down)/kernel", P(None, "model", None, None)),
     (r"layers/router/kernel", P()),
     (r"layers/(q|k|v|gate|up)/kernel", P(None, None, "model")),

@@ -171,26 +171,83 @@ def test_moe_all_to_all_ep_matches_single_device(rng):
     assert np.isfinite(got_drop).all()
 
 
-def test_moe_quantize_skips_experts():
-    """int8 serving quantization leaves 4D expert kernels float (their
-    matmuls are the custom MoE einsums, not _dense_fwd)."""
+def test_moe_int8_quantization(rng):
+    """int8 serving quantization covers the experts (in MoE models they
+    ARE the parameter memory): per-(expert, out-channel) scales, float
+    router (its output feeds a DISCRETE top-k — quant error there flips
+    expert selection, not a matmul perturbation), small output noise in
+    both impls, and KV-cached decode still matches the quantized full
+    forward."""
+    import dataclasses as dc
     from audax.models.quantize import quantize_tree
     params = init_causal_lm(MOE_TINY, jax.random.key(0))
     q = quantize_tree(params)
-    assert "kernel" in q["layers"]["experts"]["gate"]          # untouched
+    eg = q["layers"]["experts"]["gate"]
+    assert eg["kernel_q"].shape == (MOE_TINY.layers, 4, MOE_TINY.d_model,
+                                    MOE_TINY.moe_ffn_dim)
+    assert eg["kernel_q"].dtype == jnp.int8
+    assert eg["kernel_scale"].shape == (MOE_TINY.layers, 4,
+                                        MOE_TINY.moe_ffn_dim)
     assert "kernel_q" in q["layers"]["q"]                       # dense quantized
-    # router stays FLOAT: quant error there flips discrete top-k expert
-    # selection (whole-expert divergence), and it's O(d*E) anyway
-    assert "kernel" in q["layers"]["router"]
+    assert "kernel" in q["layers"]["router"]                    # router FLOAT
     assert "kernel_q" not in q["layers"]["router"]
-    toks = jnp.asarray([[1, 2, 3]], jnp.int32)
-    out = lm_forward(q, MOE_TINY, toks)
-    assert np.isfinite(np.asarray(out)).all()
-    # float router => identical expert selection => quantized outputs stay
-    # within ordinary weight-quant noise of the float model
+    toks = jnp.asarray(rng.integers(0, MOE_TINY.vocab_size, (2, 7)),
+                       jnp.int32)
     ref = np.asarray(lm_forward(params, MOE_TINY, toks))
-    nrmse = np.sqrt(((np.asarray(out) - ref) ** 2).mean()) / ref.std()
-    assert nrmse < 0.05, nrmse
+    for impl in ("ragged", "dense"):
+        cfg = dc.replace(MOE_TINY, moe_impl=impl)
+        out = np.asarray(lm_forward(q, cfg, toks))
+        nrmse = np.sqrt(((out - ref) ** 2).mean()) / ref.std()
+        assert nrmse < 0.05, (impl, nrmse)
+    # decode consistency under quantized experts
+    full_q = np.asarray(lm_forward(q, MOE_TINY, toks))
+    cache = init_lm_cache(MOE_TINY, batch=2, max_len=8)
+    outs = []
+    for t in range(7):
+        emb = embed_tokens(q, toks[:, t])
+        lg, cache = lm_decode_step(q, MOE_TINY, emb, jnp.int32(t), cache)
+        outs.append(np.asarray(lg))
+    np.testing.assert_allclose(np.stack(outs, 1), full_q, atol=2e-5,
+                               rtol=1e-4)
+    # int4 tier: experts stay float (the nibble kernel handles
+    # [<=1 stacked axis, K, N] layouts only); dense weights pack
+    q4 = quantize_tree(params, bits=4)
+    assert "kernel" in q4["layers"]["experts"]["gate"]
+    assert "kernel_q4" in q4["layers"]["q"]
+
+
+def test_moe_quantized_expert_parallel(rng):
+    """Both EP paths run with int8 experts: the declarative dense-combine
+    sharding and the GShard all_to_all schedule each match the
+    single-device QUANTIZED forward exactly."""
+    import dataclasses as dc
+    from audax.models.causal_lm import _moe_block
+    from audax.models.quantize import quantize_tree
+    from audax.parallel.ep import moe_expert_parallel
+    from audax.parallel.mesh import make_mesh
+    from audax.parallel.sharding import CAUSAL_LM_TP_RULES, shard_params
+
+    params = quantize_tree(init_causal_lm(MOE_TINY, jax.random.key(0)))
+    cfg = dc.replace(MOE_TINY, moe_impl="dense")
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 8)), jnp.int32)
+    ref = np.asarray(lm_forward(params, cfg, toks))
+    mesh = make_mesh(MeshConfig(model=2))
+    sharded = shard_params(params, mesh, rules=CAUSAL_LM_TP_RULES)
+    ek = sharded["layers"]["experts"]["gate"]
+    assert "model" in ek["kernel_q"].sharding.spec
+    assert "model" in ek["kernel_scale"].sharding.spec
+    with mesh:
+        got = np.asarray(jax.jit(lm_forward, static_argnums=1)(
+            sharded, cfg, toks))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+    # all_to_all schedule, quantized experts
+    layer0 = jax.tree.map(lambda a: a[0], params["layers"])
+    x = jnp.asarray(rng.standard_normal((2, 8, MOE_TINY.d_model))
+                    .astype(np.float32))
+    blk_ref = np.asarray(_moe_block(layer0, MOE_TINY, x))
+    mesh4 = make_mesh(MeshConfig(model=4))
+    got_a2a = np.asarray(moe_expert_parallel(layer0, MOE_TINY, x, mesh4))
+    np.testing.assert_allclose(got_a2a, blk_ref, atol=1e-5, rtol=1e-4)
 
 
 @pytest.mark.parametrize("with_mask", [False, True])

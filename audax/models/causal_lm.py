@@ -293,10 +293,27 @@ def _moe_block(layer, cfg: CausalLMConfig, x: jnp.ndarray,
     w, idx, router_logits = _moe_router(layer, cfg, h)
     ex = layer["experts"]
 
+    # decode fast path for QUANTIZED experts: lax.ragged_dot cannot fuse an
+    # int8->activation cast (it's a custom TPU op), so the `.astype` below
+    # would materialize an all-expert dequantized copy EVERY step — measured
+    # 23x slower than bf16 at B=1 (tools/moe_decode_probe4.py). When the
+    # selected slots don't exceed the expert count (n*k <= E, i.e. decode
+    # batch sizes), scan the slots and dynamic_slice + dequantize one
+    # expert at a time: traffic is exactly the selected experts' int8
+    # bytes — the fastest decode variant measured (0.118 ms vs 0.132
+    # bf16-ragged at n=1, E=128, k=8, d=2048, fe=768 on v5e).
+    if ("kernel_q" in ex["gate"] and cfg.moe_impl == "ragged"
+            and n * cfg.experts_per_tok <= cfg.num_experts):
+        y = _moe_selected_scan(ex, cfg, h, idx, w)
+        out = y.reshape(b, t, d)
+        return (out, router_logits) if return_router_logits else out
+
     def ek(name):
         """Expert weights [E, K, N] in the activation dtype + optional
-        int8 per-(expert, out-channel) scale [E, N] (the cast fuses into
-        the consuming einsum exactly like _dense_fwd's int8 path)."""
+        int8 per-(expert, out-channel) scale [E, N]. The cast fuses into
+        the dense branch's einsums (like _dense_fwd's int8 path); in the
+        ragged branch it materializes once — fine at prefill/training
+        sizes where all experts' weights are read regardless."""
         p = ex[name]
         if "kernel_q" in p:
             return p["kernel_q"].astype(h.dtype), p["kernel_scale"]
@@ -337,6 +354,43 @@ def _moe_block(layer, cfg: CausalLMConfig, x: jnp.ndarray,
         raise ValueError(f"unknown moe_impl {cfg.moe_impl!r}")
     out = y.reshape(b, t, d)
     return (out, router_logits) if return_router_logits else out
+
+
+def _moe_selected_scan(ex, cfg: CausalLMConfig, h: jnp.ndarray,
+                       idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Selected-experts MoE FFN: scan the n*k (token, expert) slots,
+    ``dynamic_slice`` ONE expert's tensors from HBM per step, dequantize
+    in-register, matmul, and accumulate router-weighted outputs.
+
+    Exists for the int8-expert decode path (see _moe_block); works for
+    float experts too but ragged_dot is slightly faster there. HBM
+    traffic = the selected experts' stored bytes, nothing else.
+    """
+    n, d = h.shape
+    k = cfg.experts_per_tok
+    fe = cfg.moe_ffn
+    fidx = idx.reshape(-1)                                # [n*k]
+    tok = jnp.arange(n * k) // k
+    ww = w.reshape(-1)
+
+    def mat(name, e, x, kd, nd):
+        p = ex[name]
+        if "kernel_q" in p:
+            m = lax.dynamic_slice(p["kernel_q"], (e, 0, 0), (1, kd, nd))[0]
+            s = lax.dynamic_slice(p["kernel_scale"], (e, 0), (1, nd))[0]
+            return (x @ m.astype(x.dtype)) * s.astype(x.dtype)
+        m = lax.dynamic_slice(p["kernel"], (e, 0, 0), (1, kd, nd))[0]
+        return x @ m.astype(x.dtype)
+
+    def body(acc, sl):
+        e, t, wi = sl
+        x = h[t]
+        g = jax.nn.silu(mat("gate", e, x, d, fe)) * mat("up", e, x, d, fe)
+        acc = acc.at[t].add(mat("down", e, g, fe, d) * wi.astype(acc.dtype))
+        return acc, None
+
+    acc, _ = lax.scan(body, jnp.zeros((n, d), h.dtype), (fidx, tok, ww))
+    return acc
 
 
 # ------------------------------------------------------------- forward ----

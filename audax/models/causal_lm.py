@@ -302,7 +302,8 @@ def _moe_block(layer, cfg: CausalLMConfig, x: jnp.ndarray,
     # expert at a time: traffic is exactly the selected experts' int8
     # bytes — the fastest decode variant measured (0.118 ms vs 0.132
     # bf16-ragged at n=1, E=128, k=8, d=2048, fe=768 on v5e).
-    if ("kernel_q" in ex["gate"] and cfg.moe_impl == "ragged"
+    if (("kernel_q" in ex["gate"] or "kernel_q4" in ex["gate"])
+            and cfg.moe_impl == "ragged"
             and n * cfg.experts_per_tok <= cfg.num_experts):
         y = _moe_selected_scan(ex, cfg, h, idx, w)
         out = y.reshape(b, t, d)
@@ -310,11 +311,21 @@ def _moe_block(layer, cfg: CausalLMConfig, x: jnp.ndarray,
 
     def ek(name):
         """Expert weights [E, K, N] in the activation dtype + optional
-        int8 per-(expert, out-channel) scale [E, N]. The cast fuses into
-        the dense branch's einsums (like _dense_fwd's int8 path); in the
-        ragged branch it materializes once — fine at prefill/training
-        sizes where all experts' weights are read regardless."""
+        int8 per-(expert, out-channel) scale [E, N]. The int8 cast fuses
+        into the dense branch's einsums (like _dense_fwd's int8 path); in
+        the ragged branch it materializes once — fine at prefill/training
+        sizes where all experts' weights are read regardless. int4
+        experts dequantize whole here too (prefill); their decode path is
+        the selected scan above."""
         p = ex[name]
+        if "kernel_q4" in p:
+            from audax.ops.int4_matmul import dequantize_int4
+            q4, s4 = p["kernel_q4"], p["kernel_scale4"]
+            if q4.ndim == 4:          # whole-stack decode view ([L, E, ...])
+                li = p["_layer_idx"]
+                q4 = lax.dynamic_index_in_dim(q4, li, 0, keepdims=False)
+                s4 = lax.dynamic_index_in_dim(s4, li, 0, keepdims=False)
+            return dequantize_int4(q4, s4, h.dtype), None
         if "kernel_q" in p:
             return p["kernel_q"].astype(h.dtype), p["kernel_scale"]
         return p["kernel"].astype(h.dtype), None
@@ -375,6 +386,19 @@ def _moe_selected_scan(ex, cfg: CausalLMConfig, h: jnp.ndarray,
 
     def mat(name, e, x, kd, nd):
         p = ex[name]
+        if "kernel_q4" in p:
+            # nibble-packed experts: the pallas kernel's stacked-axis
+            # scalar prefetch selects the expert (and layer, through a
+            # flat [L*E, K/2, N] view at decode) in its index maps — HBM
+            # traffic is the selected expert's PACKED bytes
+            from audax.ops.int4_matmul import int4_matmul
+            pk, sc = p["kernel_q4"], p["kernel_scale4"]
+            sel = e
+            if pk.ndim == 4:           # [L, E, K/2, N] whole-stack view
+                sel = p["_layer_idx"] * pk.shape[1] + e
+                pk = pk.reshape((-1,) + pk.shape[2:])
+                sc = sc.reshape((-1,) + sc.shape[2:])
+            return int4_matmul(x[None], pk, sc, layer=sel)[0]
         if "kernel_q" in p:
             m = lax.dynamic_slice(p["kernel_q"], (e, 0, 0), (1, kd, nd))[0]
             s = lax.dynamic_slice(p["kernel_scale"], (e, 0), (1, nd))[0]

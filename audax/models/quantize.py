@@ -91,17 +91,26 @@ def quantize_tree(params: Params, *, embed_keys=("embed",), bits: int = 8,
     def rec(node, name):
         if isinstance(node, dict):
             # MoE expert kernels ([L, E, d, f], 4D — in MoE models the
-            # experts ARE the parameter memory) get int8 with one scale
-            # per (expert, output channel); their matmuls are the expert
-            # einsums in models/causal_lm.py:_moe_block, which fuse the
-            # int8->activation-dtype cast the same way _dense_fwd does.
-            # The int4 tier keeps experts float: the nibble-packed pallas
-            # kernel handles [<=1 stacked axis, K, N] layouts only.
+            # experts ARE the parameter memory) quantize too. int8: one
+            # scale per (expert, output channel); the expert einsums in
+            # models/causal_lm.py fuse the cast like _dense_fwd, and the
+            # decode path dequantizes per SELECTED expert
+            # (_moe_selected_scan — lax.ragged_dot cannot fuse the cast).
+            # int4 (the capacity tier — a 30B-A3B-class MoE fits one v5e
+            # at 4 bits): nibble-packed per expert; the pallas kernel's
+            # stacked-axis scalar prefetch selects the (layer, expert)
+            # pair through a flat [L*E, K/2, N] view at decode.
             if "kernel" in node and name not in _SKIP_KEYS:
                 nd = getattr(node["kernel"], "ndim", 0)
                 if 2 <= nd <= 3:
                     return _quantize_dense(node, bits, group)
-                if nd == 4 and bits == 8:
+                if nd == 4:
+                    if bits == 4:
+                        from audax.ops.int4_matmul import quantize_int4
+                        q, s = quantize_int4(node["kernel"], group=group)
+                        return {"kernel_q4": q, "kernel_scale4": s,
+                                **{k: v for k, v in node.items()
+                                   if k != "kernel"}}
                     q, s = quantize_matrix(node["kernel"], axis=-2)
                     return {"kernel_q": q, "kernel_scale": s,
                             **{k: v for k, v in node.items()

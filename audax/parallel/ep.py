@@ -115,6 +115,11 @@ def moe_expert_parallel(layer, cfg: CausalLMConfig, x: jnp.ndarray,
             """Local expert weights in the activation dtype + optional
             int8 per-(expert, out-channel) scale (models/quantize.py)."""
             p = ex[name]
+            if "kernel_q4" in p:
+                raise ValueError(
+                    "int4 experts are the single-chip capacity tier "
+                    "(opaque pallas layout; GSPMD cannot partition it) — "
+                    "use float or int8 experts for expert parallelism")
             if "kernel_q" in p:
                 return p["kernel_q"].astype(h.dtype), p["kernel_scale"]
             return p["kernel"].astype(h.dtype), None

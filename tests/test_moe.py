@@ -209,11 +209,61 @@ def test_moe_int8_quantization(rng):
         outs.append(np.asarray(lg))
     np.testing.assert_allclose(np.stack(outs, 1), full_q, atol=2e-5,
                                rtol=1e-4)
-    # int4 tier: experts stay float (the nibble kernel handles
-    # [<=1 stacked axis, K, N] layouts only); dense weights pack
+    # int4 capacity tier: experts nibble-pack too ([L, E, K/2, N])
     q4 = quantize_tree(params, bits=4)
-    assert "kernel" in q4["layers"]["experts"]["gate"]
+    eg4 = q4["layers"]["experts"]["gate"]
+    assert eg4["kernel_q4"].shape == (MOE_TINY.layers, 4,
+                                      MOE_TINY.d_model // 2,
+                                      MOE_TINY.moe_ffn_dim)
+    assert eg4["kernel_q4"].dtype == jnp.uint8
     assert "kernel_q4" in q4["layers"]["q"]
+
+
+def test_moe_int4_quantization(rng):
+    """int4 experts: prefill (whole-set dequant + ragged/dense) and decode
+    (selected-expert pallas matmul through the flat [L*E, K/2, N] stacked
+    view) all EXACTLY match a float model running on the explicitly
+    dequantized weights (the fake-quant twin) — kernel math isolated from
+    RTN noise. The noise itself only gets a loose sanity bound: at these
+    tiny dims (d_model=32) 4-bit RTN perturbs h enough to flip the
+    router's discrete top-k on some tokens (measured NRMSE ~0.35; int8
+    stays <0.05), which is selection change, not kernel error."""
+    import dataclasses as dc
+    from audax.models.quantize import quantize_tree
+    from tests.test_quantize import _dequant_int4_twin
+    params = init_causal_lm(MOE_TINY, jax.random.key(0))
+    q4 = quantize_tree(params, bits=4)
+    toks = jnp.asarray(rng.integers(0, MOE_TINY.vocab_size, (2, 7)),
+                       jnp.int32)
+    ref = np.asarray(lm_forward(params, MOE_TINY, toks))
+    twin = _dequant_int4_twin(q4)
+    ref_fq = np.asarray(lm_forward(twin, MOE_TINY, toks))
+    for impl in ("ragged", "dense"):
+        cfg = dc.replace(MOE_TINY, moe_impl=impl)
+        out = np.asarray(lm_forward(q4, cfg, toks))
+        np.testing.assert_allclose(out, ref_fq, atol=2e-5, rtol=1e-4,
+                                   err_msg=impl)
+        nrmse = np.sqrt(((out - ref) ** 2).mean()) / ref.std()
+        assert nrmse < 0.5, (impl, nrmse)
+    # decode (selected-scan int4 path; n*k=4 <= E=4) vs full int4 forward
+    full_q = np.asarray(lm_forward(q4, MOE_TINY, toks))
+    cache = init_lm_cache(MOE_TINY, batch=2, max_len=8)
+    outs = []
+    for t in range(7):
+        emb = embed_tokens(q4, toks[:, t])
+        lg, cache = lm_decode_step(q4, MOE_TINY, emb, jnp.int32(t), cache)
+        outs.append(np.asarray(lg))
+    np.testing.assert_allclose(np.stack(outs, 1), full_q, atol=5e-5,
+                               rtol=1e-4)
+    # EP refuses the opaque int4 layout with a clear message
+    from audax.models.causal_lm import _moe_block
+    from audax.parallel.ep import moe_expert_parallel
+    from audax.parallel.mesh import make_mesh
+    layer0 = jax.tree.map(lambda a: a[0], q4["layers"])
+    x = jnp.asarray(rng.standard_normal((2, 8, MOE_TINY.d_model))
+                    .astype(np.float32))
+    with pytest.raises(ValueError, match="int4 experts"):
+        moe_expert_parallel(layer0, MOE_TINY, x, make_mesh(MeshConfig(model=4)))
 
 
 def test_moe_quantized_expert_parallel(rng):

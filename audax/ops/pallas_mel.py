@@ -354,7 +354,8 @@ def fused_logmel_frames(
 
 
 # --------------------------------------------------------------- public ----
-@functools.partial(jax.jit, static_argnames=("cfg", "out_dtype", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "out_dtype", "interpret",
+                                             "whisper_post"))
 def log_mel_pallas(
     x: jax.Array, cfg: MelConfig, out_dtype=jnp.float32, interpret: bool = False,
     *, whisper_post: bool = True,

@@ -210,3 +210,27 @@ def test_whisper_log_epilogue_batch_independent(rng):
     together = np.asarray(log_mel_xla(batch, cfg))
     solo = np.asarray(log_mel_xla(jnp.asarray(quiet), cfg))
     np.testing.assert_allclose(together[1], solo, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_frontend_pallas_traceable_on_any_host():
+    """The public frontend must TRACE with backend='pallas' regardless of
+    host (jax.eval_shape = abstract trace, no kernel execution).
+
+    Regression: ``whisper_post`` was missing from log_mel_pallas's jit
+    static_argnames, so under the outer _frontend_impl jit it arrived as a
+    traced bool and `cfg.log_mode == "whisper" and whisper_post` crashed —
+    breaking EVERY whisper-mode serving path on real TPU while CPU tests
+    (xla backend, correctly static) stayed green. Urbansound configs
+    short-circuited before touching the tracer, so bench.py hid it too.
+    """
+    import jax
+    from audax.frontend import LogMelFrontend
+    for fe, t_expect in [
+        (LogMelFrontend.whisper(80, backend="pallas"), 3000),
+        (LogMelFrontend.whisper(128, backend="pallas"), 3000),
+        (LogMelFrontend.urbansound(2, backend="pallas"), 501),
+    ]:
+        n = int(fe.cfg.sample_rate * (30.0 if t_expect == 3000 else 4.0))
+        out = jax.eval_shape(fe, jax.ShapeDtypeStruct((1, n), jnp.float32))
+        assert out.shape == (1, t_expect, fe.cfg.n_mels), out.shape

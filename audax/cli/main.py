@@ -326,6 +326,16 @@ def cmd_transcribe(argv) -> int:
                    help="openai seek loop (with --timestamps): windows "
                         "advance to the last complete segment instead of "
                         "fixed 30 s strides — no word cut at boundaries")
+    p.add_argument("--clip-timestamps", default=None,
+                   help="comma-separated start,end,... seconds: transcribe "
+                        "only these ranges (openai clip_timestamps; last "
+                        "end defaults to end-of-file)")
+    p.add_argument("--hallucination-silence-threshold", type=float,
+                   default=None,
+                   help="with --word-timestamps --timestamps: skip silent "
+                        "gaps longer than this around segments whose word "
+                        "probabilities/durations look hallucinated "
+                        "(openai hallucination_silence_threshold)")
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
@@ -353,10 +363,15 @@ def cmd_transcribe(argv) -> int:
             import jax
             dparams = init_whisper_params(dcfg, jax.random.key(1))
         draft = (dparams, dcfg)
+    hal = args.hallucination_silence_threshold
     tr = Transcriber(params, cfg, tok, lang=args.lang, task=args.task,
-                     timestamps=args.timestamps or args.seek,
+                     timestamps=args.timestamps or args.seek
+                     or hal is not None,
                      seek_by_timestamps=args.seek,
-                     word_timestamps=args.word_timestamps,
+                     clip_timestamps=args.clip_timestamps,
+                     hallucination_silence_threshold=hal,
+                     word_timestamps=args.word_timestamps
+                     or hal is not None,
                      beam_width=args.beam_width,
                      draft=draft, spec_tokens=args.spec_tokens,
                      no_speech_threshold=(args.no_speech_threshold

@@ -28,7 +28,8 @@ from audax.models.whisper import (_merge_heads, _mlp, _split_heads, dense,
                                   layer_norm)
 
 __all__ = ["WordTiming", "cross_attention_weights", "dtw_path",
-           "word_timings"]
+           "word_timings", "merge_punctuations",
+           "PREPEND_PUNCTUATIONS", "APPEND_PUNCTUATIONS"]
 
 SECONDS_PER_FRAME = 0.02      # encoder frame = 2 mel hops = 20 ms
 
@@ -174,12 +175,50 @@ def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.array(ti[::-1]), np.array(fi[::-1])
 
 
+#: openai-whisper's transcribe(prepend_punctuations/append_punctuations)
+#: defaults — membership is SUBSTRING semantics, matching upstream's
+#: ``word in punctuations`` checks
+PREPEND_PUNCTUATIONS = "\"'\u201c\u00bf([{-"
+APPEND_PUNCTUATIONS = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001"
+
+
+def merge_punctuations(words: List[WordTiming],
+                       prepend: str = PREPEND_PUNCTUATIONS,
+                       append: str = APPEND_PUNCTUATIONS
+                       ) -> List[WordTiming]:
+    """Fold standalone punctuation words into their neighbours
+    (openai-whisper ``merge_punctuations``): an opening quote/bracket
+    attaches to the FOLLOWING word (extending its start), a closing
+    quote/period/comma to the PRECEDING word (extending its end). The
+    content word's probability is kept — the punctuation's alignment
+    confidence is noise."""
+    out: List[WordTiming] = []
+    pending: List[WordTiming] = []          # prepends awaiting a word
+    for w in words:
+        if w.word and w.word in prepend:
+            pending.append(w)
+        elif out and w.word and w.word in append and not pending:
+            prev = out[-1]
+            out[-1] = WordTiming(prev.word + w.word, prev.start,
+                                 w.end, prev.probability)
+        else:
+            if pending:
+                w = WordTiming("".join(p.word for p in pending) + w.word,
+                               pending[0].start, w.end, w.probability)
+                pending = []
+            out.append(w)
+    out.extend(pending)                      # trailing prepends: keep as-is
+    return out
+
+
 def word_timings(
     weights: np.ndarray,          # [L, S] alignment matrix (higher = aligned)
     token_ids: Sequence[int],     # the L generated tokens (text+timestamps)
     tokenizer,
     *, n_frames: Optional[int] = None,
     mass: Optional[np.ndarray] = None,   # [L, S] softmax attention mass
+    prepend_punctuations: str = PREPEND_PUNCTUATIONS,
+    append_punctuations: str = APPEND_PUNCTUATIONS,
 ) -> List[WordTiming]:
     """Token->frame DTW path merged into per-word timings.
 
@@ -252,4 +291,5 @@ def word_timings(
             cur_bytes += piece[i0:]
             cur_tokens.append(idx)
     flush()
-    return words
+    return merge_punctuations(words, prepend_punctuations,
+                              append_punctuations)

@@ -25,7 +25,8 @@ import numpy as np
 from audax.core.config import WhisperConfig
 from audax.core.logging import get_logger
 from audax.frontend import LogMelFrontend
-from audax.infer.align import (WordTiming,
+from audax.infer.align import (APPEND_PUNCTUATIONS, PREPEND_PUNCTUATIONS,
+                               WordTiming,
                                cross_attention_weights,
                                word_timings)
 from audax.infer.decode import (GenerateResult, TimestampRules,
@@ -48,6 +49,75 @@ def compression_ratio(text: str) -> float:
     if not data:
         return 0.0
     return len(data) / len(zlib.compress(data))
+
+
+# ------------------------------------------- hallucination heuristics -----
+# openai-whisper transcribe.py's word_anomaly_score / is_segment_anomaly /
+# silence-skip logic, as pure functions over Segment lists (unit-testable
+# without a model).
+
+def _word_anomaly_score(w: "WordTiming") -> float:
+    score = 0.0
+    if w.probability < 0.15:
+        score += 1.0
+    dur = w.end - w.start
+    if dur < 0.133:
+        score += (0.133 - dur) * 15
+    if dur > 2.0:
+        score += dur - 2.0
+    return score
+
+
+def _is_segment_anomaly(seg: Optional["Segment"]) -> bool:
+    if seg is None or not seg.words:
+        return False
+    punct = PREPEND_PUNCTUATIONS + APPEND_PUNCTUATIONS
+    ws = [w for w in seg.words if w.word not in punct][:8]
+    if not ws:
+        return False
+    score = sum(_word_anomaly_score(w) for w in ws)
+    return score >= 3 or score + 0.01 >= len(ws)
+
+
+def hallucination_filter(seg_i: List["Segment"], *, offset: float,
+                         window_end: float, total_s: float,
+                         threshold: float, last_speech_ts: float
+                         ) -> Tuple[List["Segment"], Optional[float]]:
+    """openai's hallucination_silence_threshold window pass.
+
+    ``seg_i`` is one window's segments (ABSOLUTE times, words attached).
+    Returns (segments to keep, forced next-seek time in seconds or None):
+    an anomalous first segment preceded by > threshold of silence skips
+    the window to the speech onset; an anomalous segment surrounded by
+    silence (or more anomalies) truncates the window's output and re-seeks
+    to its start so the next window re-reads that audio.
+    """
+    first = next((s for s in seg_i if s.words), None)
+    if first is not None and _is_segment_anomaly(first):
+        gap = first.start - offset
+        if gap > threshold:
+            return [], offset + gap
+    kept = list(seg_i)
+    hal_last_end = last_speech_ts
+    for si, seg in enumerate(kept):
+        if not seg.words:
+            continue
+        if _is_segment_anomaly(seg):
+            nxt = next((s for s in kept[si + 1:] if s.words), None)
+            hal_next_start = nxt.words[0].start if nxt else window_end
+            silence_before = (seg.start - hal_last_end > threshold
+                              or seg.start < threshold
+                              or seg.start - offset < 2.0)
+            silence_after = (hal_next_start - seg.end > threshold
+                             or _is_segment_anomaly(nxt)
+                             or window_end - seg.end < 2.0)
+            if silence_before and silence_after:
+                forced = max(offset + 1.0, seg.start)
+                if total_s - seg.end < threshold:
+                    forced = total_s       # nothing worth re-reading
+                return kept[:si], forced
+        hal_last_end = seg.words[-1].end
+    return kept, None
 
 
 @dataclass
@@ -131,7 +201,11 @@ class Transcriber:
                  temperatures: Tuple[float, ...] = FALLBACK_TEMPERATURES,
                  logprob_threshold: float = LOGPROB_THRESHOLD,
                  compression_threshold: float = COMPRESSION_THRESHOLD,
-                 seek_by_timestamps: bool = False):
+                 seek_by_timestamps: bool = False,
+                 clip_timestamps=None,
+                 hallucination_silence_threshold: Optional[float] = None,
+                 prepend_punctuations: str = PREPEND_PUNCTUATIONS,
+                 append_punctuations: str = APPEND_PUNCTUATIONS):
         #: int8 self+cross KV caches in decode (whisper.QuantKV) — halves
         #: the per-token cache read bytes and per-stream cache memory
         self.kv_quant = kv_quant
@@ -185,6 +259,22 @@ class Transcriber:
         #: so no word is cut at a window boundary. Sequential by nature —
         #: throughput-critical batch work should leave this off.
         self.seek_by_timestamps = seek_by_timestamps
+        #: openai clip_timestamps: "start,end,start,end,..." seconds (or a
+        #: list of floats; last end defaults to end-of-file) — only these
+        #: ranges are transcribed, each with its own absolute offsets
+        self.clip_timestamps = clip_timestamps
+        #: openai hallucination_silence_threshold (needs word_timestamps):
+        #: skip silent gaps longer than this when a segment looks
+        #: hallucinated (anomalous word probabilities/durations)
+        if hallucination_silence_threshold is not None and not (
+                word_timestamps and timestamps):
+            raise ValueError("hallucination_silence_threshold requires "
+                             "word_timestamps=True and timestamps=True "
+                             "(openai transcribe contract)")
+        self.hallucination_silence_threshold = hallucination_silence_threshold
+        #: punctuation merge sets for word timings (openai defaults)
+        self.prepend_punctuations = prepend_punctuations
+        self.append_punctuations = append_punctuations
         #: (draft_params, draft_cfg) enables speculative decoding on the
         #: single-chunk greedy path (infer/speculative.py) — token-exact,
         #: lower latency when the draft tracks the target
@@ -297,7 +387,9 @@ class Transcriber:
         mass_rows = np.asarray(mass[0])[sl]
         return word_timings(rows, prompt_and_ids[prompt_len:],
                             self.tokenizer, n_frames=n_frames,
-                            mass=mass_rows)
+                            mass=mass_rows,
+                            prepend_punctuations=self.prepend_punctuations,
+                            append_punctuations=self.append_punctuations)
 
     def _attach_words(self, segments: List[Segment],
                       words: List[WordTiming], offset: float) -> None:
@@ -430,6 +522,30 @@ class Transcriber:
             pending = still
         return results, enc
 
+    def _parse_clips(self, total_s: float) -> List[Tuple[float, float]]:
+        """openai clip_timestamps: comma-separated (or list of) seconds,
+        consumed as start,end pairs; a missing last end means end-of-file.
+        Ranges clamp to the audio and must be non-overlapping ascending."""
+        raw = self.clip_timestamps
+        if isinstance(raw, str):
+            vals = [float(v) for v in raw.split(",") if v.strip()]
+        else:
+            vals = [float(v) for v in raw]
+        if not vals:
+            return [(0.0, total_s)]
+        if len(vals) % 2:
+            vals.append(total_s)
+        if any(b < a for a, b in zip(vals, vals[1:])):
+            raise ValueError(f"clip_timestamps must be ascending "
+                             f"non-overlapping pairs, got {raw!r}")
+        pairs = []
+        for s, e in zip(vals[::2], vals[1::2]):
+            s = max(min(s, total_s), 0.0)
+            e = max(min(e, total_s), 0.0)
+            if e > s:
+                pairs.append((s, e))
+        return pairs or [(0.0, total_s)]
+
     def transcribe(self, audio: np.ndarray, *, batch_chunks: int = 4
                    ) -> TranscriptionResult:
         """audio: 1-D float waveform at 16 kHz. Long audio is split into 30 s
@@ -437,6 +553,47 @@ class Transcriber:
         time instead, SURVEY.md §5)."""
         audio = np.asarray(audio, np.float32).reshape(-1)
         t0 = time.perf_counter()
+        sr = self.frontend.cfg.sample_rate
+        total_s = len(audio) / sr
+        lang = self.lang
+        if lang == "auto":
+            # detection stays local to this call: a reused Transcriber (e.g.
+            # batch_transcribe_to_csv) must re-detect per file
+            first = audio[:self.chunk_samples]
+            if len(first) < self.chunk_samples:
+                first = np.pad(first, (0, self.chunk_samples - len(first)))
+            mel0 = self.frontend(jnp.asarray(first)[None])
+            enc0 = encode(self.params, self.cfg, mel0, self.dtype)
+            detected, _ = detect_language(self.params, self.cfg,
+                                          self.tokenizer, enc0, self.dtype)
+            lang = detected[0]
+            log.info("detected language: %s", lang)
+        if self.clip_timestamps:
+            segments = []
+            for cs, ce in self._parse_clips(total_s):
+                sub = audio[int(cs * sr): int(ce * sr)]
+                for s in self._transcribe_segments(sub, batch_chunks, lang):
+                    s.start = round(s.start + cs, 3)
+                    s.end = round(s.end + cs, 3)
+                    if s.words:
+                        s.words = [WordTiming(w.word, round(w.start + cs, 3),
+                                              round(w.end + cs, 3),
+                                              w.probability)
+                                   for w in s.words]
+                    segments.append(s)
+        else:
+            segments = self._transcribe_segments(audio, batch_chunks, lang)
+        wall = time.perf_counter() - t0
+        return TranscriptionResult(
+            text="".join(s.text for s in segments).strip(),
+            segments=segments,
+            audio_seconds=total_s,
+            wall_seconds=wall)
+
+    def _transcribe_segments(self, audio: np.ndarray, batch_chunks: int,
+                             lang: str) -> List[Segment]:
+        """Chunked decode of one contiguous waveform -> Segments with times
+        relative to ``audio``'s start (``transcribe`` adds clip offsets)."""
         n = len(audio)
         chunks = []
         for start in range(0, max(n, 1), self.chunk_samples):
@@ -447,19 +604,10 @@ class Transcriber:
                 chunk = np.pad(chunk, (0, self.chunk_samples - len(chunk)))
             chunks.append(chunk)
         tk = self.tokenizer
-        lang = self.lang
-        if lang == "auto":
-            # detection stays local to this call: a reused Transcriber (e.g.
-            # batch_transcribe_to_csv) must re-detect per file
-            mel0 = self.frontend(jnp.asarray(chunks[0])[None])
-            enc0 = encode(self.params, self.cfg, mel0, self.dtype)
-            detected, _ = detect_language(self.params, self.cfg, tk, enc0,
-                                          self.dtype)
-            lang = detected[0]
-            log.info("detected language: %s", lang)
         segments: List[Segment] = []
         seq_mode = self.condition_on_previous or (
-            self.timestamps and self.seek_by_timestamps)
+            self.timestamps and self.seek_by_timestamps) or (
+            self.hallucination_silence_threshold is not None)
         if seq_mode:
             # sequential: each window's prompt carries the previous text
             # (reset after a high-temperature fallback, whisper convention);
@@ -472,6 +620,7 @@ class Transcriber:
             prev: List[int] = list(self.initial_prompt_ids)
             sr = self.frontend.cfg.sample_rate
             seek = 0
+            last_speech = 0.0          # hallucination filter's speech cursor
             while seek < max(n, 1):
                 chunk = audio[seek: seek + self.chunk_samples]
                 valid = len(chunk)
@@ -499,9 +648,30 @@ class Transcriber:
                         seg_i, self._align_words(enc1[0], len(prompt_row),
                                                  prompt_row + ids, valid),
                         offset)
+                forced_seek: Optional[float] = None
+                thr = self.hallucination_silence_threshold
+                if (thr is not None and self.word_timestamps
+                        and valid == self.chunk_samples):
+                    window_end = offset + valid / sr
+                    seg_i, forced_seek = hallucination_filter(
+                        seg_i, offset=offset, window_end=window_end,
+                        total_s=n / sr, threshold=thr,
+                        last_speech_ts=last_speech)
+                    word_ends = [w.end for s in seg_i
+                                 for w in (s.words or [])]
+                    if word_ends:
+                        last_speech = max(last_speech, word_ends[-1])
+                        # trailing-silence skip: re-seek to the last spoken
+                        # word instead of past >threshold of silence
+                        if (forced_seek is None
+                                and window_end - word_ends[-1] > thr):
+                            forced_seek = word_ends[-1]
                 segments.extend(seg_i)
                 advance = self.chunk_samples
-                if (self.timestamps and self.seek_by_timestamps and seg_i
+                if forced_seek is not None:
+                    # a floor of 1 s guarantees forward progress
+                    advance = max(int(forced_seek * sr) - seek, sr)
+                elif (self.timestamps and self.seek_by_timestamps and seg_i
                         and valid == self.chunk_samples):
                     last_end = max(s.end for s in seg_i) - offset
                     # seek to the last segment boundary; a floor of 1 s
@@ -548,7 +718,6 @@ class Transcriber:
                                               prompt_row + ids, valid),
                             offset)
                     segments.extend(seg_i)
-        wall = time.perf_counter() - t0
         total_s = n / self.frontend.cfg.sample_rate
         # the final chunk is zero-padded to chunk_seconds: clamp segment
         # spans to the real audio duration (a 35 s file must not report a
@@ -558,11 +727,7 @@ class Transcriber:
                 s.end = total_s
             if s.start > s.end:
                 s.start = s.end
-        return TranscriptionResult(
-            text="".join(s.text for s in segments).strip(),
-            segments=segments,
-            audio_seconds=total_s,
-            wall_seconds=wall)
+        return segments
 
     def _split_segments(self, ids: List[int], offset: float, avg_lp: float,
                         temp: float, *, cr: float = 0.0,

@@ -185,3 +185,116 @@ def test_seek_by_timestamps(setup, rng):
     # running at all proves forward progress) and the last decode window
     # reached the audio tail
     assert max(ends, default=0.0) > 40.0
+
+
+# ------------------------------------------- openai transcribe knobs ------
+def test_merge_punctuations():
+    """Standalone punctuation words fold into neighbours with openai's
+    prepend/append semantics; timings extend to cover the punctuation."""
+    from audax.infer.align import WordTiming, merge_punctuations
+    words = [WordTiming('"', 0.0, 0.1, 0.2),
+             WordTiming("hello", 0.1, 0.5, 0.9),
+             WordTiming(",", 0.5, 0.6, 0.3),
+             WordTiming("world", 0.6, 1.0, 0.8),
+             WordTiming(".", 1.0, 1.1, 0.4)]
+    out = merge_punctuations(words)
+    assert [w.word for w in out] == ['"hello,', 'world.']
+    assert out[0].start == 0.0 and out[0].end == 0.6
+    assert out[0].probability == 0.9          # content word's confidence
+    assert out[1].start == 0.6 and out[1].end == 1.1
+    # words attached to their neighbours already (no spaces) pass through
+    plain = [WordTiming("hi,", 0.0, 0.3, 0.9), WordTiming("there", 0.3, 0.6, 0.8)]
+    assert merge_punctuations(plain) == plain
+    # a trailing opener with no following word is kept, not dropped
+    tail = [WordTiming("hey", 0.0, 0.3, 0.9), WordTiming('(', 0.3, 0.4, 0.2)]
+    assert [w.word for w in merge_punctuations(tail)] == ["hey", "("]
+
+
+def _seg(start, end, word_probs, *, dur=0.3):
+    """Segment whose words evenly tile [start, end] with given probs."""
+    from audax.infer.align import WordTiming
+    from audax.infer.transcribe import Segment
+    n = len(word_probs)
+    step = (end - start) / max(n, 1)
+    words = [WordTiming(f"w{i}", round(start + i * step, 3),
+                        round(start + i * step + min(dur, step), 3), p)
+             for i, p in enumerate(word_probs)]
+    return Segment("x", start, end, -0.3, 0.0, words=words)
+
+
+def test_segment_anomaly_score():
+    from audax.infer.transcribe import _is_segment_anomaly
+    # confident, normal-duration words: not anomalous
+    assert not _is_segment_anomaly(_seg(0.0, 2.0, [0.9, 0.8, 0.9, 0.9]))
+    # rock-bottom probabilities: anomalous (score >= len(words))
+    assert _is_segment_anomaly(_seg(0.0, 2.0, [0.01, 0.02, 0.01, 0.02]))
+    assert not _is_segment_anomaly(None)
+
+
+def test_hallucination_filter_leading_gap():
+    """An anomalous first segment preceded by > threshold of silence skips
+    the window to the speech onset and emits nothing."""
+    from audax.infer.transcribe import hallucination_filter
+    seg = _seg(38.0, 40.0, [0.01, 0.01, 0.01])
+    kept, forced = hallucination_filter(
+        [seg], offset=30.0, window_end=60.0, total_s=120.0,
+        threshold=2.0, last_speech_ts=29.0)
+    assert kept == []
+    assert forced == pytest.approx(38.0)
+
+
+def test_hallucination_filter_surrounded():
+    """An anomalous segment surrounded by silence truncates the window's
+    output and re-seeks to its start; good segments before it survive."""
+    from audax.infer.transcribe import hallucination_filter
+    good = _seg(30.0, 33.0, [0.9, 0.9, 0.9])
+    bad = _seg(40.0, 42.0, [0.01, 0.01, 0.01])
+    kept, forced = hallucination_filter(
+        [good, bad], offset=30.0, window_end=60.0, total_s=120.0,
+        threshold=2.0, last_speech_ts=29.5)
+    assert kept == [good]
+    assert forced == pytest.approx(40.0)
+    # same shape but with the anomaly close to its neighbours: nothing cut
+    bad2 = _seg(33.5, 35.0, [0.01, 0.01, 0.01])
+    follow = _seg(35.5, 38.0, [0.9, 0.9])
+    kept2, forced2 = hallucination_filter(
+        [good, bad2, follow], offset=30.0, window_end=60.0, total_s=120.0,
+        threshold=2.0, last_speech_ts=29.5)
+    assert kept2 == [good, bad2, follow] and forced2 is None
+
+
+@pytest.mark.fast
+def test_clip_timestamps(setup, rng):
+    """clip_timestamps restricts transcription to the given ranges; segment
+    times carry each clip's absolute offset."""
+    params, cfg, tok = setup
+    sr = 16000
+    win = cfg.n_audio_ctx * 2 * 160 / sr            # model window seconds
+    tr = Transcriber(params, cfg, tok, max_new_tokens=6, backend="xla",
+                     clip_timestamps=f"0,{win},{3 * win},{4 * win}")
+    audio = (0.1 * rng.standard_normal(int(5 * win * sr))).astype(np.float32)
+    res = tr.transcribe(audio)
+    assert res.audio_seconds == pytest.approx(5 * win)
+    assert res.segments, "clips should produce segments"
+    for s in res.segments:
+        inside_a = 0.0 <= s.start <= win + 1e-6 and s.end <= win + 1e-6
+        inside_b = (3 * win - 1e-6 <= s.start <= 4 * win + 1e-6
+                    and s.end <= 4 * win + 1e-6)
+        assert inside_a or inside_b, (s.start, s.end)
+    assert any(s.start >= 3 * win - 1e-6 for s in res.segments)
+    # list form + trailing open range
+    tr2 = Transcriber(params, cfg, tok, max_new_tokens=6, backend="xla",
+                      clip_timestamps=[4 * win])
+    res2 = tr2.transcribe(audio)
+    assert all(s.start >= 4 * win - 1e-6 for s in res2.segments)
+    # malformed ranges fail loudly
+    tr3 = Transcriber(params, cfg, tok, max_new_tokens=6, backend="xla",
+                      clip_timestamps="10,5")
+    with pytest.raises(ValueError, match="ascending"):
+        tr3.transcribe(audio)
+
+
+def test_hallucination_threshold_requires_word_timestamps(setup):
+    params, cfg, tok = setup
+    with pytest.raises(ValueError, match="word_timestamps"):
+        Transcriber(params, cfg, tok, hallucination_silence_threshold=2.0)

@@ -99,3 +99,28 @@ def test_moe_quantized_decode_trace(pallas, bits):
         lambda p, e, c: lm_decode_step(p, MCFG, e, jnp.int32(0), c),
         params, emb, cache)
     assert lg.shape == (1, MCFG.vocab_size)
+
+
+def test_continuous_and_speculative_kernels_trace(pallas):
+    """The continuous-batching ragged decode (per-slot [B] pos vector into
+    the stacked decode kernel) and the speculative verifier's K-row span
+    decode trace with the pallas backends forced."""
+    from audax.models.whisper import (decode_span, decode_step_ragged,
+                                      init_kv_cache, precompute_cross_kv)
+    params = init_whisper_params(WCFG, jax.random.key(0))
+    enc = jax.ShapeDtypeStruct((3, WCFG.n_audio_ctx, WCFG.d_model),
+                               jnp.float32)
+    cache = init_kv_cache(WCFG, batch=3, max_len=16)
+    cross = jax.eval_shape(
+        lambda p, e: precompute_cross_kv(p, WCFG, e), params, enc)
+    tok = jax.ShapeDtypeStruct((3,), jnp.int32)
+    pos = jax.ShapeDtypeStruct((3,), jnp.int32)
+    lg, _ = jax.eval_shape(
+        lambda p, t, po, c, x: decode_step_ragged(p, WCFG, t, po, c, x),
+        params, tok, pos, cache, cross)
+    assert lg.shape == (3, WCFG.vocab_size)
+    span = jax.ShapeDtypeStruct((3, 8), jnp.int32)
+    lg2, _ = jax.eval_shape(
+        lambda p, t, c, x: decode_span(p, WCFG, t, jnp.int32(1), c, x),
+        params, span, cache, cross)
+    assert lg2.shape == (3, 8, WCFG.vocab_size)

@@ -58,7 +58,8 @@ __all__ = ["pipeline_apply", "encode_pipelined", "lm_forward_pipelined",
 
 
 def pipeline_apply(layers, block: Callable, micro, mesh: Mesh,
-                   *, stage_axis: str = "stage", remat: bool = False):
+                   *, stage_axis: str = "stage",
+                   data_axis: Optional[str] = None, remat: bool = False):
     """Run ``micro`` through the scan-stacked ``layers`` as a GPipe ring
     over the ``stage`` mesh axis.
 
@@ -71,6 +72,12 @@ def pipeline_apply(layers, block: Callable, micro, mesh: Mesh,
     count; it is sliced by PartitionSpec — pass the stack whole. Returns
     the same structure as ``micro``. Differentiable end-to-end (see
     module docstring).
+
+    ``data_axis`` composes PP x DP on a (stage, data) mesh: the mb dim
+    shards over ``data`` (each data shard runs its own ring over its
+    slice of every microbatch; the stage ring never crosses the data
+    axis) and the backward's layer-grad psum over ``data`` comes from the
+    shard_map transpose — no schedule changes.
     """
     n_stages = mesh.shape[stage_axis]
     n_micro = jax.tree.leaves(micro)[0].shape[0]
@@ -127,11 +134,12 @@ def pipeline_apply(layers, block: Callable, micro, mesh: Mesh,
         return outputs
 
     layer_spec = P(stage_axis)                  # slice the stacked layer axis
+    micro_spec = P(None, data_axis) if data_axis else P()
     return shard_map(
         stage_fn, mesh=mesh,
         in_specs=(jax.tree.map(lambda _: layer_spec, layers),
-                  jax.tree.map(lambda _: P(), micro)),
-        out_specs=jax.tree.map(lambda _: P(), micro),
+                  jax.tree.map(lambda _: micro_spec, micro)),
+        out_specs=jax.tree.map(lambda _: micro_spec, micro),
     )(layers, micro)
 
 
@@ -145,7 +153,8 @@ def _check_divisible(n_layers: int, n_stages: int, batch: int, n_micro: int):
 
 def encode_pipelined(
     params, cfg: WhisperConfig, mel: jnp.ndarray, mesh: Mesh,
-    *, stage_axis: str = "stage", n_micro: int = 4, dtype=jnp.float32,
+    *, stage_axis: str = "stage", data_axis: Optional[str] = None,
+    n_micro: int = 4, dtype=jnp.float32,
     remat: bool = False,
 ) -> jnp.ndarray:
     """mel [B, T_frames, n_mels] -> encoder states, encoder layers pipelined
@@ -165,14 +174,16 @@ def encode_pipelined(
         return x
 
     out = pipeline_apply(params["encoder"]["layers"], block, micro, mesh,
-                         stage_axis=stage_axis, remat=remat)
+                         stage_axis=stage_axis, data_axis=data_axis,
+                         remat=remat)
     out = out.reshape(b, *x.shape[1:])
     return layer_norm(params["encoder"]["ln"], out)
 
 
 def lm_forward_pipelined(
     params, cfg: CausalLMConfig, tokens: jnp.ndarray, mesh: Mesh,
-    *, stage_axis: str = "stage", n_micro: int = 4,
+    *, stage_axis: str = "stage", data_axis: Optional[str] = None,
+    n_micro: int = 4,
     attention_mask: Optional[jnp.ndarray] = None, dtype=jnp.float32,
     remat: bool = False,
 ) -> jnp.ndarray:
@@ -199,7 +210,8 @@ def lm_forward_pipelined(
             return x + _mlp_block(layer, cfg, x)
 
         out = pipeline_apply(params["layers"], block, micro_x, mesh,
-                             stage_axis=stage_axis, remat=remat)
+                             stage_axis=stage_axis, data_axis=data_axis,
+                             remat=remat)
     else:
         micro_m = attention_mask.astype(x.dtype).reshape(
             n_micro, b // n_micro, t)
@@ -213,7 +225,8 @@ def lm_forward_pipelined(
             return x + _mlp_block(layer, cfg, x), lane
 
         out, _ = pipeline_apply(params["layers"], block, (micro_x, micro_m),
-                                mesh, stage_axis=stage_axis, remat=remat)
+                                mesh, stage_axis=stage_axis,
+                                data_axis=data_axis, remat=remat)
     hidden = rms_norm(params["norm"], out.reshape(b, t, d), cfg.rms_eps)
     return lm_logits(params, cfg, hidden)
 
@@ -234,7 +247,8 @@ def pp_layer_specs(tree, mesh: Mesh, *, stage_axis: str = "stage"):
 
 
 def make_pp_lm_train_step(cfg: CausalLMConfig, mesh: Mesh, optimizer,
-                          *, stage_axis: str = "stage", n_micro: int = 4,
+                          *, stage_axis: str = "stage",
+                          data_axis: Optional[str] = None, n_micro: int = 4,
                           remat: bool = False):
     """Jitted pipeline-parallel causal-LM training step.
 

@@ -10,10 +10,25 @@ Suite hygiene:
     (the inner-loop subset); everything else carries the ``slow`` marker.
 """
 
-import jax
+import os
 
-# Env vars (JAX_PLATFORMS / XLA_FLAGS) are unreliable here: `import pytest`
-# already pulls in jax via a plugin, and a TPU plugin force-registers itself
+# XLA:CPU kills the whole process if a virtual-device collective rendezvous
+# misses a 40 s hard deadline — on a small/loaded host (this box has shown
+# up with 1 vCPU) honest compute + scheduling noise can exceed that. Raise
+# the deadlines well past any real hang threshold; the per-test watchdog
+# below still catches genuine deadlocks. XLA reads XLA_FLAGS lazily at
+# backend init, which happens after conftest import even though jax itself
+# is already imported by a pytest plugin.
+_xf = os.environ.get("XLA_FLAGS", "")
+if "collective_call_terminate" not in _xf:
+    os.environ["XLA_FLAGS"] = (
+        _xf + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200").strip()
+
+import jax  # noqa: E402
+
+# Env vars (JAX_PLATFORMS) are unreliable here: `import pytest` already
+# pulls in jax via a plugin, and a TPU plugin force-registers itself
 # regardless of JAX_PLATFORMS. The config API pins things before backend init.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)

@@ -139,3 +139,43 @@ def test_pp_lm_train_step_matches_replicated(rng):
     # the memory win is real: layer leaves live sharded over 'stage'
     q_sh = p_pp["layers"]["q"]["kernel"].sharding
     assert q_sh.spec == jax.sharding.PartitionSpec("stage")
+
+
+def test_pp_dp_composed_train_step(rng):
+    """PP x DP on a (stage, data) mesh: batch sharded over 'data', layer
+    stack over 'stage'. Loss and updates equal the replicated AdamW step
+    (the shard_map transpose supplies the data-axis grad psum)."""
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("stage", "data"))
+    opt = optax.adamw(1e-3)
+    params = init_causal_lm(LM_CFG, jax.random.key(3))
+    toks = jnp.asarray(rng.integers(0, LM_CFG.vocab_size, (8, 9)), jnp.int32)
+
+    def loss_pl(p, tk):
+        inp = jnp.maximum(tk[:, :-1], 0)
+        logits = lm_forward(p, LM_CFG, inp)
+        labels = tk[:, 1:]
+        valid = labels >= 0
+        lse = jax.nn.log_softmax(logits, -1)
+        ll = jnp.take_along_axis(lse, jnp.maximum(labels, 0)[..., None],
+                                 -1)[..., 0]
+        return -(ll * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+    step = make_pp_lm_train_step(LM_CFG, mesh, opt, n_micro=2,
+                                 data_axis="data", remat=True)
+    p_pp = jax.device_put(params, pp_layer_specs(params, mesh))
+    s_pp = jax.device_put(opt.init(params),
+                          pp_layer_specs(opt.init(params), mesh))
+    tk_sh = jax.device_put(toks, NamedSharding(mesh, P("data")))
+    p_pl, s_pl = params, opt.init(params)
+    for _ in range(2):
+        p_pp, s_pp, l_pp = step(p_pp, s_pp, tk_sh)
+        l_pl, g = jax.value_and_grad(loss_pl)(p_pl, toks)
+        up, s_pl = opt.update(g, s_pl, p_pl)
+        p_pl = optax.apply_updates(p_pl, up)
+        np.testing.assert_allclose(float(l_pp), float(l_pl),
+                                   atol=1e-5, rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3), p_pp, p_pl)

@@ -53,12 +53,23 @@ def setup(*, cpu: bool = False, cache_dir: str | None = None) -> None:
     if cpu:
         jax.config.update("jax_platforms", "cpu")
     if not _DONE:
-        base = (cache_dir or os.environ.get("AUDAX_JAX_CACHE")
-                or os.path.expanduser("~/.cache/audax_jax_cache"))
-        cache = os.path.join(base, _host_fingerprint())
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:  # cache flags unavailable on exotic builds
-            pass
+        # persistent cache for ACCELERATOR backends only. XLA:CPU's cached
+        # AOT executables are unreliable in this jaxlib: the serialized
+        # entries carry tuning pseudo-features (prefer-no-scatter/gather)
+        # that fail the loader's host-feature check even on the machine
+        # that compiled them, and the resulting load path executed
+        # pathologically slowly (a multichip dryrun that compiles fresh in
+        # minutes could not finish ONE cached train step in two). CPU
+        # compiles here are seconds-scale anyway; the cache exists for the
+        # tunneled TPU, whose first compiles take minutes.
+        if jax.default_backend() != "cpu":
+            base = (cache_dir or os.environ.get("AUDAX_JAX_CACHE")
+                    or os.path.expanduser("~/.cache/audax_jax_cache"))
+            cache = os.path.join(base, _host_fingerprint())
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:  # cache flags unavailable on exotic builds
+                pass
         _DONE = True

@@ -17,33 +17,38 @@ because ``block_until_ready`` does not block there.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 _DONE = False
 
 
-def _host_fingerprint() -> str:
-    """Short hash of the host CPU's identity (model + ISA flags).
+def _backend_is_cpu(jax) -> bool:
+    """Whether this process will run on the CPU backend — WITHOUT forcing
+    backend initialization when the platform is already pinned by config
+    (setup() must stay config-only for callers that pin devices after it,
+    e.g. the multichip dryrun's in-process CPU pinning). Only when the
+    platform is ambiguous do we ask the backend (which initializes it —
+    those callers were about to anyway)."""
+    plat = jax.config.jax_platforms
+    if plat:
+        return str(plat).split(",")[0] == "cpu"
+    return jax.default_backend() == "cpu"
 
-    XLA:CPU persists AOT-compiled executables whose code is specialized to
-    the *compiling* machine's ISA features; loading them on a different
-    host is at best slow and at worst fatal (observed: a cache carried
-    across hosts made a virtual-device collective rendezvous miss its 40 s
-    hard deadline and abort the process — the cache loader itself warns
-    "could lead to execution errors such as SIGILL"). JAX's cache key does
-    not include the host ISA, so we fold it into the cache *path*: each
-    distinct machine gets its own cache and cross-host reuse can't happen.
-    """
-    try:
-        with open("/proc/cpuinfo") as f:
-            lines = [ln for ln in f.read().splitlines()
-                     if ln.startswith(("model name", "flags"))]
-        ident = "\n".join(sorted(set(lines))) or "unknown"
-    except OSError:
-        import platform
-        ident = platform.processor() or platform.machine() or "unknown"
-    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+def raise_cpu_collective_deadlines() -> None:
+    """Lift XLA:CPU's collective-rendezvous deadlines (warn 20 s /
+    TERMINATE THE PROCESS at 40 s by default) to levels only a genuine
+    deadlock exceeds. On a small or loaded host, honest compute between
+    virtual-device collectives can pass 40 s (observed: a 1-vCPU box
+    running a test suite aborted the multichip dryrun). Must run BEFORE
+    backend initialization — XLA reads XLA_FLAGS lazily at client init.
+    Callers: tests/conftest.py, __graft_entry__.dryrun_multichip."""
+    xf = os.environ.get("XLA_FLAGS", "")
+    if "collective_call_terminate" not in xf:
+        os.environ["XLA_FLAGS"] = (
+            xf + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        ).strip()
 
 
 def setup(*, cpu: bool = False, cache_dir: str | None = None) -> None:
@@ -54,18 +59,19 @@ def setup(*, cpu: bool = False, cache_dir: str | None = None) -> None:
         jax.config.update("jax_platforms", "cpu")
     if not _DONE:
         # persistent cache for ACCELERATOR backends only. XLA:CPU's cached
-        # AOT executables are unreliable in this jaxlib: the serialized
-        # entries carry tuning pseudo-features (prefer-no-scatter/gather)
-        # that fail the loader's host-feature check even on the machine
-        # that compiled them, and the resulting load path executed
-        # pathologically slowly (a multichip dryrun that compiles fresh in
-        # minutes could not finish ONE cached train step in two). CPU
-        # compiles here are seconds-scale anyway; the cache exists for the
-        # tunneled TPU, whose first compiles take minutes.
-        if jax.default_backend() != "cpu":
-            base = (cache_dir or os.environ.get("AUDAX_JAX_CACHE")
-                    or os.path.expanduser("~/.cache/audax_jax_cache"))
-            cache = os.path.join(base, _host_fingerprint())
+        # AOT executables are unreliable in this jaxlib: entries reload
+        # with "machine feature +prefer-no-gather not supported" loader
+        # errors even on the machine that compiled them, and the load path
+        # executed pathologically slowly (a multichip dryrun that compiles
+        # fresh in minutes could not finish ONE cached train step in two);
+        # a cache carried across hosts is outright fatal (rendezvous
+        # abort). CPU compiles here are seconds-scale anyway; the cache
+        # exists for the tunneled TPU, whose first compiles take minutes —
+        # and whose serialized executables target the TPU, not the host
+        # CPU, so the cache survives host swaps.
+        if not _backend_is_cpu(jax):
+            cache = (cache_dir or os.environ.get("AUDAX_JAX_CACHE")
+                     or os.path.expanduser("~/.cache/audax_jax_cache"))
             try:
                 jax.config.update("jax_compilation_cache_dir", cache)
                 jax.config.update(

@@ -631,9 +631,6 @@ class Transcriber:
                     chunk[None], prev=prev, lang=lang)
                 ids, avg_lp, temp, cr, nsv = res_one[0]
                 prompt_row = list(self._prompt(1, prev, lang)[0])
-                if self.condition_on_previous:
-                    prev = [] if temp > 0.5 else prev + [
-                        t for t in ids if not tk.is_timestamp(t)]
                 offset = seek / sr
                 if self.timestamps:
                     seg_i = self._split_segments(ids, offset, avg_lp, temp,
@@ -649,14 +646,16 @@ class Transcriber:
                                                  prompt_row + ids, valid),
                         offset)
                 forced_seek: Optional[float] = None
+                dropped = False
                 thr = self.hallucination_silence_threshold
-                if (thr is not None and self.word_timestamps
-                        and valid == self.chunk_samples):
+                if thr is not None and self.word_timestamps:
                     window_end = offset + valid / sr
+                    n_before = len(seg_i)
                     seg_i, forced_seek = hallucination_filter(
                         seg_i, offset=offset, window_end=window_end,
                         total_s=n / sr, threshold=thr,
                         last_speech_ts=last_speech)
+                    dropped = len(seg_i) < n_before
                     word_ends = [w.end for s in seg_i
                                  for w in (s.words or [])]
                     if word_ends:
@@ -664,8 +663,23 @@ class Transcriber:
                         # trailing-silence skip: re-seek to the last spoken
                         # word instead of past >threshold of silence
                         if (forced_seek is None
+                                and valid == self.chunk_samples
                                 and window_end - word_ends[-1] > thr):
                             forced_seek = word_ends[-1]
+                if self.condition_on_previous:
+                    # the rolling context takes only SURVIVING segments —
+                    # extending it before the hallucination filter would
+                    # re-prompt the next window with the very text the
+                    # filter just rejected (openai extends all_tokens from
+                    # kept segments only)
+                    if temp > 0.5:
+                        prev = []
+                    elif dropped:
+                        prev = prev + tk.encode(
+                            "".join(s.text for s in seg_i))
+                    else:
+                        prev = prev + [t for t in ids
+                                       if not tk.is_timestamp(t)]
                 segments.extend(seg_i)
                 advance = self.chunk_samples
                 if forced_seek is not None:

@@ -262,16 +262,13 @@ def make_pp_lm_train_step(cfg: CausalLMConfig, mesh: Mesh, optimizer,
     """
 
     def loss_fn(params, tokens):
+        from audax.train.seq2seq import seq2seq_loss
         inp = jnp.maximum(tokens[:, :-1], 0)
         logits = lm_forward_pipelined(params, cfg, inp, mesh,
                                       stage_axis=stage_axis,
+                                      data_axis=data_axis,
                                       n_micro=n_micro, remat=remat)
-        labels = tokens[:, 1:]
-        valid = labels >= 0
-        lse = jax.nn.log_softmax(logits, -1)
-        ll = jnp.take_along_axis(lse, jnp.maximum(labels, 0)[..., None],
-                                 -1)[..., 0]
-        return -(ll * valid).sum() / jnp.maximum(valid.sum(), 1)
+        return seq2seq_loss(logits, tokens[:, 1:])
 
     @jax.jit
     def step(params, opt_state, tokens):

@@ -10,20 +10,16 @@ Suite hygiene:
     (the inner-loop subset); everything else carries the ``slow`` marker.
 """
 
-import os
-
 # XLA:CPU kills the whole process if a virtual-device collective rendezvous
 # misses a 40 s hard deadline — on a small/loaded host (this box has shown
-# up with 1 vCPU) honest compute + scheduling noise can exceed that. Raise
-# the deadlines well past any real hang threshold; the per-test watchdog
-# below still catches genuine deadlocks. XLA reads XLA_FLAGS lazily at
+# up with 1 vCPU) honest compute + scheduling noise can exceed that; the
+# per-test watchdog below still catches genuine deadlocks. Importing
+# audax.core.runtime does not import jax; XLA reads XLA_FLAGS lazily at
 # backend init, which happens after conftest import even though jax itself
 # is already imported by a pytest plugin.
-_xf = os.environ.get("XLA_FLAGS", "")
-if "collective_call_terminate" not in _xf:
-    os.environ["XLA_FLAGS"] = (
-        _xf + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=1200").strip()
+from audax.core.runtime import raise_cpu_collective_deadlines
+
+raise_cpu_collective_deadlines()
 
 import jax  # noqa: E402
 

@@ -107,7 +107,9 @@ def test_pp_lm_train_step_matches_replicated(rng):
     toks[:, 7:] = -100                                  # collator pad mask
     toks = jnp.asarray(toks)
 
-    # replicated oracle: same loss, same optimizer, plain forward
+    # replicated oracle: same loss, same optimizer, plain forward.
+    # The CE is re-derived here ON PURPOSE — an independent oracle must not
+    # share audax/train/seq2seq.py:seq2seq_loss with the code under test.
     def loss_pl(p, tk):
         inp = jnp.maximum(tk[:, :-1], 0)
         logits = lm_forward(p, LM_CFG, inp)
@@ -153,6 +155,7 @@ def test_pp_dp_composed_train_step(rng):
     params = init_causal_lm(LM_CFG, jax.random.key(3))
     toks = jnp.asarray(rng.integers(0, LM_CFG.vocab_size, (8, 9)), jnp.int32)
 
+    # independent oracle (deliberately not seq2seq_loss — see above)
     def loss_pl(p, tk):
         inp = jnp.maximum(tk[:, :-1], 0)
         logits = lm_forward(p, LM_CFG, inp)
@@ -162,6 +165,13 @@ def test_pp_dp_composed_train_step(rng):
         ll = jnp.take_along_axis(lse, jnp.maximum(labels, 0)[..., None],
                                  -1)[..., 0]
         return -(ll * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+    # the data axis is really plumbed: pipeline outputs come back sharded
+    from audax.parallel.pp import pipeline_apply
+    micro = jnp.zeros((2, 4, LM_CFG.d_model))
+    ident = pipeline_apply(params["layers"], lambda x, l: x, micro, mesh,
+                           data_axis="data")
+    assert "data" in jax.tree.leaves(ident)[0].sharding.spec
 
     step = make_pp_lm_train_step(LM_CFG, mesh, opt, n_micro=2,
                                  data_axis="data", remat=True)

@@ -1176,6 +1176,92 @@ def cmd_demo(argv) -> int:
     return 0
 
 
+#: decoder dims per --lm-size: (d_model, layers, heads, kv_heads). Shared
+#: by train-lm / train-music / infer-music so a pretrained LM checkpoint
+#: always matches the two-tower that loads it.
+_LM_DIMS = {"tiny": (128, 4, 4, 2), "small": (256, 6, 8, 4),
+            "base": (512, 12, 8, 4)}
+
+
+def _lm_preset(size: str, vocab_size: int):
+    from audax.models.causal_lm import CausalLMConfig
+    d, layers, heads, kv = _LM_DIMS[size]
+    return CausalLMConfig(vocab_size=vocab_size, d_model=d, layers=layers,
+                          heads=heads, kv_heads=kv)
+
+
+@command("train-lm")
+def cmd_train_lm(argv) -> int:
+    """Pretrain a Qwen-family causal LM on a text corpus.
+
+    The reference's music decoder is a hub-downloaded pretrained Qwen
+    (music2midi/model.py:209-213); this is the hubless counterpart —
+    e.g. pretrain on the ABC corpus from the gentokens stages, then
+    ``train-music --lm-ckpt <out-dir>/best`` starts the two-tower from a
+    music-aware decoder instead of random init."""
+    p = argparse.ArgumentParser(prog="audax train-lm")
+    p.add_argument("--corpus", nargs="+", required=True,
+                   help="text files or directories (*.txt/*.abc) to train on")
+    p.add_argument("--tokenizer-dir", required=True,
+                   help="BPE dir (symbolic/bpe.py format, e.g. from "
+                        "gentokens-bpe)")
+    p.add_argument("--out-dir", default="artifacts/lm")
+    p.add_argument("--lm-size", default="small",
+                   choices=sorted(_LM_DIMS))
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--seq-len", type=int, default=256)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--accum-steps", type=int, default=1)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--eval-every", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+    from audax.core.runtime import setup as _setup
+    from audax.models.causal_lm import init_causal_lm
+    from audax.symbolic.bpe import BPE
+    from audax.train.lm import LMTrainConfig, fit_lm
+    from audax.train.metrics_sink import MetricsSink
+
+    _setup()
+    bpe = BPE.load(args.tokenizer_dir)
+    paths = []
+    for c in args.corpus:
+        if os.path.isdir(c):
+            paths.extend(sorted(os.path.join(c, f) for f in os.listdir(c)
+                                if f.endswith((".txt", ".abc"))))
+        else:
+            paths.extend(sorted(glob.glob(c)) or [c])
+    ids: list = []
+    for path in paths:
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            ids.extend(bpe.encode(fh.read()))
+        ids.extend(bpe.encode("\n\n"))          # document separator
+    log.info("corpus: %d files -> %d tokens (vocab %d)", len(paths),
+             len(ids), len(bpe))
+    cfg = _lm_preset(args.lm_size, len(bpe))
+    train_cfg = LMTrainConfig(
+        learning_rate=args.lr, max_steps=args.steps,
+        batch_size=args.batch_size, seq_len=args.seq_len,
+        accum_steps=args.accum_steps, dtype=args.dtype,
+        eval_every=args.eval_every, seed=args.seed)
+    params = init_causal_lm(cfg, jax.random.key(args.seed))
+    sink = MetricsSink("lm", config={"model": cfg.__dict__.copy(),
+                                     "train": train_cfg.__dict__.copy()})
+    _, history = fit_lm(params, cfg, train_cfg, np.asarray(ids, np.int32),
+                        ckpt_dir=args.out_dir, sink=sink)
+    sink.close()
+    if history:
+        last = history[-1]
+        print({k: round(v, 4) for k, v in last.items()})
+    print(args.out_dir)
+    return 0
+
+
 @command("train-music")
 def cmd_train_music(argv) -> int:
     """Two-tower audio->ABC training (reference: music2midi/train.py main)."""
@@ -1195,13 +1281,17 @@ def cmd_train_music(argv) -> int:
                    help="run note-level P/R/F1 generation eval every N epochs")
     p.add_argument("--lm-size", default="small",
                    choices=["tiny", "small", "base"])
+    p.add_argument("--lm-ckpt", default="",
+                   help="pretrained decoder weights from `train-lm` (orbax "
+                        "path, e.g. artifacts/lm/best) — the reference "
+                        "starts from a pretrained Qwen; this is the hubless "
+                        "equivalent. Dims must match --lm-size")
     args = p.parse_args(argv)
 
     import jax
     from audax.core.config import TwoTowerConfig, WhisperConfig
     from audax.core.runtime import setup as _setup
     from audax.data.music_dataset import MusicDataset
-    from audax.models.causal_lm import CausalLMConfig
     from audax.models.two_tower import build_two_tower
     from audax.symbolic.bpe import BPE
     from audax.train.metrics_sink import MetricsSink
@@ -1217,18 +1307,21 @@ def cmd_train_music(argv) -> int:
     if args.accum_steps:
         tt = replace(tt, accum_steps=args.accum_steps)
 
-    lm_dims = {"tiny": (128, 4, 4, 2), "small": (256, 6, 8, 4),
-               "base": (512, 12, 8, 4)}[args.lm_size]
-    lm_cfg = CausalLMConfig(vocab_size=2048, d_model=lm_dims[0],
-                            layers=lm_dims[1], heads=lm_dims[2],
-                            kv_heads=lm_dims[3])
+    lm_cfg = _lm_preset(args.lm_size, 2048)
     audio_cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
                  "small": WhisperConfig.small}[tt.whisper_size]()
 
     bpe = BPE.load(args.tokenizer_dir)
     ds = MusicDataset(args.parquet, bpe, max_tokens=tt.max_target_tokens)
+    lm_params = None
+    if args.lm_ckpt:
+        from audax.train.checkpoints import load_pytree
+        lm_params = load_pytree(args.lm_ckpt)
+        lm_vocab = lm_params["embed"].shape[0]
+        lm_cfg = replace(lm_cfg, vocab_size=lm_vocab)
+        log.info("pretrained decoder: %s (vocab %d)", args.lm_ckpt, lm_vocab)
     model = build_two_tower(tt, audio_cfg, lm_cfg, len(bpe),
-                            jax.random.key(tt.seed))
+                            jax.random.key(tt.seed), lm_params=lm_params)
     print(model_report(
         {"whisper(frozen)": model.audio_params,
          "adapter": model.params["adapter"], "lm": model.params["lm"]},
@@ -1264,6 +1357,10 @@ def cmd_infer_music(argv) -> int:
                    help="concurrent decode slots (--wav-dir mode)")
     p.add_argument("--lm-size", default="small",
                    choices=["tiny", "small", "base"])
+    p.add_argument("--lm-ckpt", default="",
+                   help="pretrained decoder weights from `train-lm` — must "
+                        "match what training used (trainable-only "
+                        "checkpoints rebuild the frozen layers from here)")
     args = p.parse_args(argv)
 
     import jax
@@ -1273,23 +1370,23 @@ def cmd_infer_music(argv) -> int:
     from audax.core.runtime import setup as _setup
     from audax.data.audio_io import read_wav, resample, to_mono
     from audax.frontend import LogMelFrontend, pad_or_trim
-    from audax.models.causal_lm import CausalLMConfig
     from audax.models.two_tower import build_two_tower
     from audax.symbolic.bpe import BPE
     from audax.train.two_tower import load_trainable_checkpoint
 
     _setup()
     tt = TwoTowerConfig.from_env()
-    lm_dims = {"tiny": (128, 4, 4, 2), "small": (256, 6, 8, 4),
-               "base": (512, 12, 8, 4)}[args.lm_size]
-    lm_cfg = CausalLMConfig(vocab_size=2048, d_model=lm_dims[0],
-                            layers=lm_dims[1], heads=lm_dims[2],
-                            kv_heads=lm_dims[3])
+    lm_cfg = _lm_preset(args.lm_size, 2048)
     audio_cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
                  "small": WhisperConfig.small}[tt.whisper_size]()
     bpe = BPE.load(args.tokenizer_dir)
+    lm_params = None
+    if args.lm_ckpt:
+        from audax.train.checkpoints import load_pytree
+        lm_params = load_pytree(args.lm_ckpt)
+        lm_cfg = replace(lm_cfg, vocab_size=lm_params["embed"].shape[0])
     model = build_two_tower(tt, audio_cfg, lm_cfg, len(bpe),
-                            jax.random.key(0))
+                            jax.random.key(0), lm_params=lm_params)
     model = load_trainable_checkpoint(args.ckpt, model)
     start = bpe.vocab.get("<abc_start>", 0)
     end = bpe.vocab.get("<abc_end>", 1)

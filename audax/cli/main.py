@@ -1216,6 +1216,14 @@ def cmd_train_lm(argv) -> int:
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--eval-every", type=int, default=100)
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help=">0 pretrains a Qwen3-MoE-family decoder: N experts "
+                        "(ragged impl) with the Switch load-balancing aux "
+                        "loss; see --moe-top-k/--moe-ffn-dim")
+    p.add_argument("--moe-top-k", type=int, default=2)
+    p.add_argument("--moe-ffn-dim", type=int, default=0,
+                   help="per-expert FFN width (default: dense ffn_dim / "
+                        "top_k — iso-FLOPs with the dense preset)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -1244,6 +1252,11 @@ def cmd_train_lm(argv) -> int:
     log.info("corpus: %d files -> %d tokens (vocab %d)", len(paths),
              len(ids), len(bpe))
     cfg = _lm_preset(args.lm_size, len(bpe))
+    if args.moe_experts:
+        cfg = replace(cfg, num_experts=args.moe_experts,
+                      experts_per_tok=args.moe_top_k,
+                      moe_ffn_dim=args.moe_ffn_dim
+                      or max(cfg.ffn_dim // args.moe_top_k, 16))
     train_cfg = LMTrainConfig(
         learning_rate=args.lr, max_steps=args.steps,
         batch_size=args.batch_size, seq_len=args.seq_len,

@@ -50,6 +50,9 @@ class LMTrainConfig:
     dtype: str = "float32"           # compute dtype; params stay f32
     eval_every: int = 100
     eval_windows: int = 16           # held-out packed windows
+    #: MoE models: Switch load-balancing aux loss coefficient
+    #: (HF Qwen3-MoE router_aux_loss_coef default)
+    aux_loss_coef: float = 0.001
     seed: int = 0
 
 
@@ -102,11 +105,26 @@ def make_lm_train_step(model_cfg: CausalLMConfig, train_cfg: LMTrainConfig,
     dtype = jnp.bfloat16 if train_cfg.dtype == "bfloat16" else jnp.float32
     accum = max(1, train_cfg.accum_steps)
 
+    moe = model_cfg.num_experts > 0
+
     def batch_loss(params, windows):
+        """(summed CE, token count); MoE models add the Switch
+        load-balancing aux loss (scaled by the microbatch's token count so
+        accumulation normalizes it with the CE)."""
         inp = jnp.maximum(windows[:, :-1], 0)
         labels = windows[:, 1:]
-        logits = lm_forward(params, model_cfg, inp, dtype=dtype)
-        return seq2seq_loss_sum(logits.astype(jnp.float32), labels)
+        if moe:
+            logits, router = lm_forward(params, model_cfg, inp, dtype=dtype,
+                                        return_router_logits=True)
+        else:
+            logits = lm_forward(params, model_cfg, inp, dtype=dtype)
+        total, count = seq2seq_loss_sum(logits.astype(jnp.float32), labels)
+        if moe and train_cfg.aux_loss_coef:
+            from audax.models.causal_lm import load_balance_loss
+            aux = load_balance_loss(router, model_cfg.num_experts,
+                                    model_cfg.experts_per_tok)
+            total = total + train_cfg.aux_loss_coef * aux * count
+        return total, count
 
     def loss_fn(params, windows):
         if accum == 1:

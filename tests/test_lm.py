@@ -105,3 +105,29 @@ def test_train_lm_cli(tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(out, "best.json"))
     assert os.path.exists(os.path.join(out, "config.json"))
+
+
+def test_fit_lm_moe_with_aux_loss(tmp_path):
+    """MoE pretraining: CE + Switch aux loss trains (finite, decreasing CE)
+    and the router stays balanced enough to keep the aux term small."""
+    from audax.models.causal_lm import load_balance_loss
+    cfg = CausalLMConfig(vocab_size=64, d_model=32, layers=2, heads=4,
+                         kv_heads=2, ffn_dim=64, num_experts=4,
+                         experts_per_tok=2, moe_ffn_dim=32, qk_norm=True)
+    rng = np.random.default_rng(1)
+    motif = rng.integers(0, cfg.vocab_size, 16)
+    corpus = np.tile(motif, 300).astype(np.int32)
+    params = init_causal_lm(cfg, jax.random.key(3))
+    tc = LMTrainConfig(max_steps=40, batch_size=8, seq_len=32,
+                       eval_every=20, eval_windows=4, learning_rate=1e-2,
+                       warmup_steps=5)
+    trained, history = fit_lm(params, cfg, tc, corpus)
+    assert history[-1]["eval_loss"] < history[0]["eval_loss"]
+    # router balance after training: aux loss near its balanced floor (E
+    # when perfectly uniform, HF normalization) — not collapsed (>> E)
+    toks = jnp.asarray(corpus[:65][None])
+    _, router = lm_forward(trained, cfg, toks[:, :-1],
+                           return_router_logits=True)
+    aux = float(load_balance_loss(router, cfg.num_experts,
+                                  cfg.experts_per_tok))
+    assert np.isfinite(aux) and aux < 3.0 * cfg.num_experts

@@ -1374,6 +1374,16 @@ def cmd_infer_music(argv) -> int:
                    help="pretrained decoder weights from `train-lm` — must "
                         "match what training used (trainable-only "
                         "checkpoints rebuild the frozen layers from here)")
+    p.add_argument("--constrained", action="store_true",
+                   help="restrict sampling to the tokenizer's added/special "
+                        "ABC token set (the reference's abandoned 'mask out "
+                        "non-ABC tokens' variant, model.py:346-417, working;"
+                        " meaningful when a general-text vocab was extended "
+                        "with ABC tokens)")
+    p.add_argument("--prompt", default="",
+                   help="teacher-forced ABC header after <abc_start> (e.g. "
+                        "'X:1\\nK:C\\n'; reference model.py:363-366). "
+                        "Single-wav mode only")
     args = p.parse_args(argv)
 
     import jax
@@ -1413,13 +1423,14 @@ def cmd_infer_music(argv) -> int:
             log.warning("%s: resampled %d -> %d Hz", path, rate, sr)
         return x
 
+    allowed = bpe.added_token_ids() if args.constrained else None
     if args.wav_dir:
         from audax.infer.continuous import ContinuousGenerator
         g = ContinuousGenerator(
             model, bpe=bpe, start_id=start, end_id=end, slots=args.slots,
             window_seconds=args.chunk_seconds,
             max_new_tokens=args.max_tokens - 1,
-            temperature=args.temperature)
+            temperature=args.temperature, allowed_ids=allowed)
         names = sorted(f for f in os.listdir(args.wav_dir)
                        if f.lower().endswith(".wav"))
         for i, name in enumerate(names):
@@ -1437,10 +1448,11 @@ def cmd_infer_music(argv) -> int:
     n = int(args.chunk_seconds * sr)
     mel = frontend(pad_or_trim(jnp.asarray(x[:n]), n)[None])
     enc = model.encode_audio(mel)
+    prompt_ids = bpe.encode(args.prompt) if args.prompt else None
     tokens, lengths = model.generate(
         model.params, enc, start_id=start, end_id=end,
         max_len=args.max_tokens, temperature=args.temperature,
-        rng=jax.random.key(0))
+        rng=jax.random.key(0), allowed_ids=allowed, prompt_ids=prompt_ids)
     ids = np.asarray(tokens)[0, 1: int(np.asarray(lengths)[0]) - 1]
     print(bpe.decode([int(i) for i in ids], skip_specials=True))
     return 0

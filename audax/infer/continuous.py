@@ -555,7 +555,7 @@ def _gen_admit(audio_params, adapter_params, state: _GenState, mels,
     static_argnames=("lm_cfg", "eos_id", "n_steps", "dtype",
                      "temperature", "mesh"),
     donate_argnames=("state",))
-def _gen_chunk(params, lm_cfg, state: _GenState, *,
+def _gen_chunk(params, lm_cfg, state: _GenState, allowed_mask=None, *,
                eos_id: int, n_steps: int, dtype,
                temperature: float, mesh=None) -> _GenState:
     """Ragged two-tower decode chunk: embed → adapter-fuse (precomputed
@@ -586,6 +586,11 @@ def _gen_chunk(params, lm_cfg, state: _GenState, *,
         logits, cache = lm_decode_step(params["lm"], lm_cfg, emb, st.pos,
                                        st.cache, dtype)
         logits = logits.astype(jnp.float32)
+        if allowed_mask is not None:
+            # constrained decoding (the reference's abandoned "mask out
+            # non-ABC tokens" variant, model.py:346-417, made to work)
+            logits = jnp.where(allowed_mask[None], logits,
+                               jnp.finfo(jnp.float32).min)
         if temperature == 0.0:
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
         else:
@@ -620,11 +625,18 @@ class ContinuousGenerator(_SlotEngine):
                  params=None, slots: int = 4, window_seconds: float = 10.0,
                  max_new_tokens: int = 256, temperature: float = 0.7,
                  steps_per_sync: int = 32, dtype=jnp.float32,
-                 backend: Optional[str] = None, mesh=None):
+                 backend: Optional[str] = None, mesh=None,
+                 allowed_ids=None):
         self.model = model
         self.params = params if params is not None else model.params
         self.mesh = mesh
         self.bpe = bpe
+        #: constrained decoding: permit only these ids (+ end_id)
+        self.allowed_mask = None
+        if allowed_ids is not None:
+            ids = jnp.asarray(list(allowed_ids) + [end_id], jnp.int32)
+            self.allowed_mask = jnp.zeros(
+                (model.lm_cfg.vocab_size,), bool).at[ids].set(True)
         self.slots = slots
         self.dtype = dtype
         self.temperature = float(temperature)
@@ -694,7 +706,7 @@ class ContinuousGenerator(_SlotEngine):
 
     def _chunk(self) -> None:
         self._state = _gen_chunk(
-            self.params, self.model.lm_cfg, self._state,
+            self.params, self.model.lm_cfg, self._state, self.allowed_mask,
             eos_id=self._stop_id,
             n_steps=self.steps_per_sync, dtype=self.dtype,
             temperature=self.temperature, mesh=self.mesh)

@@ -236,14 +236,32 @@ class TwoTowerModel(NamedTuple):
                  start_id: int, end_id: int, max_len: int = 256,
                  temperature: float = 0.7,
                  rng: Optional[jax.Array] = None,
+                 allowed_ids=None,
+                 prompt_ids=None,
                  dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Sample ABC ids [B, max_len]; returns (tokens, lengths).
+
+        ``allowed_ids``: constrain sampling to this id set (+ ``end_id``) —
+        the reference ATTEMPTED exactly this ("mask out non-ABC tokens",
+        model.py:346-417) but abandoned it non-working; here the mask is a
+        [V] bool folded into the logits inside the jitted decode loop.
+        ``prompt_ids``: teacher-forced prefix after ``start_id`` (the
+        reference's ABC-header prompt, model.py:363-366) — forced
+        positions never terminate generation.
 
         Dispatches to a def-site-jitted impl: eager per-call use (the
         note-F1 eval, inference CLI) would otherwise re-trace the decode
         while_loop every call — fresh closure identity, CLAUDE.md gotcha."""
         rng = rng if rng is not None else jax.random.key(0)
-        return _generate_jit(params, enc, rng, lm_cfg=self.lm_cfg,
+        vocab = self.lm_cfg.vocab_size
+        mask = None
+        if allowed_ids is not None:
+            ids = jnp.asarray(list(allowed_ids) + [end_id], jnp.int32)
+            mask = jnp.zeros((vocab,), bool).at[ids].set(True)
+        prompt = (jnp.asarray(list(prompt_ids), jnp.int32)
+                  if prompt_ids else None)
+        return _generate_jit(params, enc, rng, mask, prompt,
+                             lm_cfg=self.lm_cfg,
                              heads=self.cfg.adapter_heads,
                              start_id=start_id, end_id=end_id,
                              max_len=max_len, temperature=temperature,
@@ -254,14 +272,20 @@ class TwoTowerModel(NamedTuple):
     jax.jit,
     static_argnames=("lm_cfg", "heads", "start_id", "end_id", "max_len",
                      "temperature", "dtype"))
-def _generate_jit(params: Params, enc: jnp.ndarray, rng: jax.Array, *,
+def _generate_jit(params: Params, enc: jnp.ndarray, rng: jax.Array,
+                  allowed_mask: Optional[jnp.ndarray],
+                  prompt: Optional[jnp.ndarray], *,
                   lm_cfg: CausalLMConfig, heads: int, start_id: int,
                   end_id: int, max_len: int, temperature: float,
                   dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b = enc.shape[0]
+    p_len = 0 if prompt is None else prompt.shape[0]
     cache = init_lm_cache(lm_cfg, b, max_len, dtype)
     tokens = jnp.full((b, max_len), end_id, jnp.int32)
     tokens = tokens.at[:, 0].set(start_id)
+    if p_len:
+        tokens = tokens.at[:, 1: 1 + p_len].set(
+            jnp.broadcast_to(prompt[None], (b, p_len)))
 
     adapter = params["adapter"]
     lm = params["lm"]
@@ -286,15 +310,22 @@ def _generate_jit(params: Params, enc: jnp.ndarray, rng: jax.Array, *,
         emb = step_embed(c.tokens[:, c.pos])
         logits, cache = lm_decode_step(lm, lm_cfg, emb, c.pos, c.cache,
                                        dtype)
+        if allowed_mask is not None:
+            logits = jnp.where(allowed_mask[None], logits, -jnp.inf)
         key = jax.random.fold_in(rng, c.pos)
         if temperature == 0.0:
             nxt = jnp.argmax(logits, -1).astype(jnp.int32)
         else:
             nxt = jax.random.categorical(key, logits / temperature,
                                          -1).astype(jnp.int32)
+        forced = c.pos < p_len            # positions 1..p_len are prompt
+        if p_len:
+            pi = jnp.clip(c.pos, 0, p_len - 1)
+            nxt = jnp.where(forced, prompt[pi], nxt)
         nxt = jnp.where(c.done, end_id, nxt)
         tokens = c.tokens.at[:, c.pos + 1].set(nxt)
-        newly = jnp.logical_and(~c.done, nxt == end_id)
+        newly = jnp.logical_and(~c.done,
+                                jnp.logical_and(nxt == end_id, ~forced))
         done = jnp.logical_or(c.done, newly)
         lengths = jnp.where(newly, c.pos + 2, c.lengths)
         return Carry(c.pos + 1, tokens, cache, done, lengths)

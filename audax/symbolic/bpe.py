@@ -215,6 +215,15 @@ class BPE:
         self.id_to_token = {i: t for t, i in self.vocab.items()}
         return added
 
+    def added_token_ids(self) -> List[int]:
+        """Ids of the special/appended atomic tokens (train-time specials +
+        everything from ``add_tokens``). The reference read these from
+        added_tokens.json to build its constrained-decoding allowlist
+        (model.py:369-377); meaningful when a general-text vocab was
+        extended with ABC tokens — then this IS the ABC token set."""
+        return [self.vocab[t] for t in self.special_tokens
+                if t in self.vocab]
+
     def __len__(self) -> int:
         return len(self.vocab)
 

@@ -333,3 +333,19 @@ def test_generator_quantized_params_drop_in(tt_model, rng):
     res = {r.request_id: r for r in g.run()}
     ref = _gen_reference(tt_model, samples, max_new=5, params=qp)
     assert res["q"].tokens == ref
+
+
+def test_generator_constrained(tt_model, rng):
+    """Engine-level constrained decoding: every emitted token of every
+    request is in the allowed set."""
+    allowed = [5, 9, 12, 33]
+    g = ContinuousGenerator(tt_model, start_id=START, end_id=END, slots=2,
+                            window_seconds=WIN_S, max_new_tokens=6,
+                            temperature=0.7, steps_per_sync=3,
+                            allowed_ids=allowed)
+    for i in range(3):
+        g.submit(f"c{i}", 0.05 * rng.standard_normal(8000)
+                 .astype(np.float32), seed=i)
+    ok = set(allowed) | {END}
+    for r in g.run():
+        assert set(r.tokens) <= ok, r.tokens

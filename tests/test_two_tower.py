@@ -361,3 +361,42 @@ def test_music_transcription_proof_learns(tmp_path):
     assert len(rows) == 8
     assert all(set(r) == {"file", "target_abc", "previous", "trained"}
                for r in rows)
+
+
+def test_generate_constrained_and_prompted(model, rng):
+    """Constrained decoding (the reference's abandoned 'mask out non-ABC
+    tokens' variant, model.py:346-417) emits ONLY allowed ids; a prompt
+    header is teacher-forced after <abc_start> and never terminates
+    generation even if it contains the end id's neighbours."""
+    batch = _batch(rng)
+    enc = model.encode_audio(batch["mel"])
+    allowed = [5, 9, 12, 33]
+    tokens, lengths = model.generate(
+        model.params, enc, start_id=1, end_id=2, max_len=24,
+        temperature=0.7, rng=jax.random.key(4), allowed_ids=allowed)
+    ok = set(allowed) | {2}
+    t = np.asarray(tokens)
+    for b in range(t.shape[0]):
+        gen = t[b, 1: int(np.asarray(lengths)[b])]
+        assert set(gen.tolist()) <= ok, gen
+    # prompt forcing: exact prefix, generation continues past it
+    prompt = [7, 8, 9, 10]
+    tokens_p, lengths_p = model.generate(
+        model.params, enc, start_id=1, end_id=2, max_len=24,
+        temperature=0.7, rng=jax.random.key(4), prompt_ids=prompt)
+    tp = np.asarray(tokens_p)
+    np.testing.assert_array_equal(tp[:, 1:5],
+                                  np.tile(prompt, (tp.shape[0], 1)))
+    assert (np.asarray(lengths_p) > 5).all()
+    # both together: prompt tokens may lie OUTSIDE the allowed set (forced
+    # positions bypass the mask); free positions respect it
+    tokens_b, lengths_b = model.generate(
+        model.params, enc, start_id=1, end_id=2, max_len=24,
+        temperature=0.7, rng=jax.random.key(4), allowed_ids=allowed,
+        prompt_ids=prompt)
+    tb = np.asarray(tokens_b)
+    np.testing.assert_array_equal(tb[:, 1:5],
+                                  np.tile(prompt, (tb.shape[0], 1)))
+    for b in range(tb.shape[0]):
+        free = tb[b, 5: int(np.asarray(lengths_b)[b])]
+        assert set(free.tolist()) <= ok, free

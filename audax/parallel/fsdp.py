@@ -46,8 +46,8 @@ __all__ = ["fsdp_specs", "shard_params_fsdp", "fsdp_shard_state"]
 def _valid(spec: P, shape, mesh: Mesh) -> P:
     """Replicate params whose sharded dims don't divide the mesh axis
     (same fallback rule as sharding.shard_params); drop trivial (size-1)
-    mesh axes so they don't block the FSDP dim — on a pure-DP mesh a TP
-    rule's 'model' placement is replication anyway."""
+    or ABSENT mesh axes so they don't block the FSDP dim — on a pure-DP
+    ("data",) mesh a TP rule's 'model' placement is replication anyway."""
     out = []
     for dim, axis in enumerate(spec):
         if axis is None:
@@ -55,7 +55,7 @@ def _valid(spec: P, shape, mesh: Mesh) -> P:
             continue
         size = 1
         for a in (axis if isinstance(axis, tuple) else (axis,)):
-            size *= mesh.shape[a]
+            size *= mesh.shape.get(a, 1)
         if size == 1:
             out.append(None)
             continue

@@ -168,15 +168,19 @@ def _eval_loss(params, model_cfg: CausalLMConfig, windows: np.ndarray,
 
 
 def fit_lm(params: Any, model_cfg: CausalLMConfig, train_cfg: LMTrainConfig,
-           corpus_ids: np.ndarray, *, mesh=None, ckpt_dir: Optional[str] = None,
+           corpus_ids: np.ndarray, *, mesh=None, fsdp: bool = False,
+           ckpt_dir: Optional[str] = None,
            sink=None) -> Tuple[Any, List[Dict]]:
     """Train ``params`` on ``corpus_ids`` (one flat token stream).
 
     Held-out eval: the LAST ``eval_windows`` packed windows are reserved
     for perplexity and never trained on. With a mesh, window batches are
-    placed sharded over 'data' (XLA inserts the grad all-reduce). Saves
-    orbax checkpoints (latest + best-by-eval-loss) when ``ckpt_dir`` is
-    set. Returns (trained params, history of metric dicts)."""
+    placed sharded over 'data' (XLA inserts the grad all-reduce);
+    ``fsdp=True`` additionally shards params + Adam moments over 'data'
+    (ZeRO-3, parallel/fsdp.py) — the unchanged step compiles to
+    all-gather-on-use + reduce-scatter. Saves orbax checkpoints (latest +
+    best-by-eval-loss) when ``ckpt_dir`` is set. Returns (trained params,
+    history of metric dicts)."""
     windows = pack_corpus(corpus_ids, train_cfg.seq_len)
     n_eval = min(train_cfg.eval_windows,
                  max(0, len(windows) - train_cfg.batch_size))
@@ -188,12 +192,21 @@ def fit_lm(params: Any, model_cfg: CausalLMConfig, train_cfg: LMTrainConfig,
         train_w = np.tile(train_w, (reps, 1))
     dtype = jnp.bfloat16 if train_cfg.dtype == "bfloat16" else jnp.float32
     step = make_lm_train_step(model_cfg, train_cfg)
-    state = init_lm_state(params, train_cfg)
+    # the donating step consumes its input buffers; train a COPY so the
+    # caller's params survive (grid searches / repeated fits reuse them)
+    state = init_lm_state(jax.tree.map(lambda a: jnp.array(a, copy=True),
+                                       params), train_cfg)
     sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sharding = NamedSharding(mesh, P("data"))
-        state = jax.device_put(state, NamedSharding(mesh, P()))
+        if fsdp:
+            from audax.parallel.fsdp import fsdp_shard_state
+            from audax.parallel.sharding import CAUSAL_LM_TP_RULES
+            state = fsdp_shard_state(state, mesh,
+                                     rules=CAUSAL_LM_TP_RULES)
+        else:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
     rng = np.random.default_rng(train_cfg.seed)
     manager = None
     if ckpt_dir:

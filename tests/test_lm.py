@@ -131,3 +131,36 @@ def test_fit_lm_moe_with_aux_loss(tmp_path):
     aux = float(load_balance_loss(router, cfg.num_experts,
                                   cfg.experts_per_tok))
     assert np.isfinite(aux) and aux < 3.0 * cfg.num_experts
+
+
+def test_fit_lm_dp_and_fsdp_match_single_device():
+    """fit_lm on an 8-device data mesh (replicated params, then ZeRO-3
+    FSDP) reproduces the single-device losses — same windows, same PRNG
+    batch order — and FSDP really shards the parameters over 'data'."""
+    from jax.sharding import Mesh
+    from audax.train.lm import init_lm_state
+    # big enough that leaves clear fsdp's min_size replication floor
+    big = CausalLMConfig(vocab_size=96, d_model=64, layers=2, heads=4,
+                         kv_heads=2, ffn_dim=128, tie_embeddings=True)
+    rng = np.random.default_rng(2)
+    corpus = np.tile(rng.integers(0, big.vocab_size, 24), 200).astype(
+        np.int32)
+    cfg = LMTrainConfig(max_steps=6, batch_size=16, seq_len=32,
+                        eval_every=3, eval_windows=4, learning_rate=5e-3,
+                        warmup_steps=2)
+    params = init_causal_lm(big, jax.random.key(5))
+    _, ref = fit_lm(params, big, cfg, corpus)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    for use_fsdp in (False, True):
+        _, got = fit_lm(params, big, cfg, corpus, mesh=mesh,
+                        fsdp=use_fsdp)
+        for a, b in zip(ref, got):
+            assert a["loss"] == pytest.approx(b["loss"], rel=2e-4), \
+                (use_fsdp, ref, got)
+    # placement check: ZeRO-3 shards leaves over 'data'
+    from audax.parallel.fsdp import fsdp_shard_state
+    from audax.parallel.sharding import CAUSAL_LM_TP_RULES
+    st = fsdp_shard_state(init_lm_state(params, cfg), mesh,
+                          rules=CAUSAL_LM_TP_RULES)
+    spec = st.params["layers"]["q"]["kernel"].sharding.spec
+    assert "data" in jax.tree.leaves(tuple(spec)), spec

@@ -9,10 +9,14 @@ of the ContinuousBatcher, finished slots are refilled mid-decode
 (infer/continuous.py), and concurrency costs no extra compiles.
 
 Endpoints:
-  * ``POST /v1/audio/transcriptions[?format=m4a&max_tokens=64]`` — body is
-    the raw audio file bytes (wav native; m4a/AAC/mp3/ogg/flac through the
-    in-process C++ decoder). Response JSON:
-    ``{"text", "avg_logprob", "tokens", "audio_seconds"}``.
+  * ``POST /v1/audio/transcriptions[?format=m4a&max_tokens=64&``
+    ``response_format=json]`` — body is the raw audio file bytes (wav
+    native; m4a/AAC/mp3/ogg/flac through the in-process C++ decoder).
+    ``response_format`` mirrors the OpenAI audio API: ``json`` (default:
+    ``{"text", "avg_logprob", "tokens", "audio_seconds"}``), ``text``,
+    ``verbose_json``, ``srt``, ``vtt`` (one cue spanning the decoded
+    window — window serving carries no per-segment times; use the
+    Transcriber CLI/API for timed multi-segment subtitles).
   * ``GET /healthz`` — ``{"ok", "live", "pending"}``.
 
 Threading model: HTTP handler threads only enqueue audio and block on an
@@ -240,6 +244,10 @@ class _Handler(BaseHTTPRequestHandler):
         if not fmt.isalnum():
             self._json(400, {"error": "bad format"})
             return
+        rfmt = q.get("response_format", ["json"])[0].lower()
+        if rfmt not in ("json", "text", "verbose_json", "srt", "vtt"):
+            self._json(400, {"error": f"bad response_format: {rfmt}"})
+            return
         try:
             fd, tmp = tempfile.mkstemp(suffix="." + fmt)
             try:
@@ -310,9 +318,33 @@ class _Handler(BaseHTTPRequestHandler):
         except KeyError:         # scheduler died while we waited
             self._json(503, {"error": f"serving is down: {sched.dead}"})
             return
-        self._json(200, {"text": r.text, "avg_logprob": r.avg_logprob,
-                         "tokens": r.tokens,
-                         "audio_seconds": r.audio_seconds})
+        if rfmt == "json":
+            self._json(200, {"text": r.text, "avg_logprob": r.avg_logprob,
+                             "tokens": r.tokens,
+                             "audio_seconds": r.audio_seconds})
+        elif rfmt == "verbose_json":
+            self._json(200, {
+                "task": "transcribe", "duration": r.audio_seconds,
+                "text": r.text,
+                "segments": [{"id": 0, "start": 0.0,
+                              "end": r.audio_seconds, "text": r.text,
+                              "avg_logprob": r.avg_logprob,
+                              "tokens": r.tokens}]})
+        else:
+            from audax.infer.transcribe import (Segment,
+                                                TranscriptionResult)
+            from audax.infer.writers import render_result
+            res = TranscriptionResult(
+                r.text, [Segment(r.text, 0.0, r.audio_seconds,
+                                 r.avg_logprob, 0.0)],
+                r.audio_seconds, 0.0)
+            out = render_result(res, "txt" if rfmt == "text" else rfmt)
+            payload = out.encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
 
 
 class _Server(ThreadingHTTPServer):

@@ -336,6 +336,23 @@ def cmd_transcribe(argv) -> int:
                         "gaps longer than this around segments whose word "
                         "probabilities/durations look hallucinated "
                         "(openai hallucination_silence_threshold)")
+    p.add_argument("--output-format", default=None,
+                   choices=["txt", "srt", "vtt", "tsv", "json", "all"],
+                   help="also write per-file transcripts in this format "
+                        "(srt/vtt/tsv need --timestamps; auto-enabled)")
+    p.add_argument("--output-dir", default=None,
+                   help="directory for --output-format files (default: "
+                        "alongside the CSV)")
+    p.add_argument("--max-line-width", type=int, default=None,
+                   help="srt/vtt: max chars per subtitle line (uses word "
+                        "timings; implies --word-timestamps)")
+    p.add_argument("--max-line-count", type=int, default=None,
+                   help="srt/vtt: max lines per subtitle cue")
+    p.add_argument("--max-words-per-line", type=int, default=None,
+                   help="srt/vtt: max words per subtitle line")
+    p.add_argument("--highlight-words", action="store_true",
+                   help="srt/vtt: one cue per word with the active word "
+                        "underlined (implies --word-timestamps)")
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
@@ -364,14 +381,17 @@ def cmd_transcribe(argv) -> int:
             dparams = init_whisper_params(dcfg, jax.random.key(1))
         draft = (dparams, dcfg)
     hal = args.hallucination_silence_threshold
+    want_subs = args.output_format in ("srt", "vtt", "tsv", "json", "all")
+    want_words = (args.highlight_words or args.max_line_width is not None
+                  or args.max_words_per_line is not None)
     tr = Transcriber(params, cfg, tok, lang=args.lang, task=args.task,
                      timestamps=args.timestamps or args.seek
-                     or hal is not None,
+                     or hal is not None or want_subs,
                      seek_by_timestamps=args.seek,
                      clip_timestamps=args.clip_timestamps,
                      hallucination_silence_threshold=hal,
                      word_timestamps=args.word_timestamps
-                     or hal is not None,
+                     or hal is not None or want_words,
                      beam_width=args.beam_width,
                      draft=draft, spec_tokens=args.spec_tokens,
                      no_speech_threshold=(args.no_speech_threshold
@@ -384,7 +404,13 @@ def cmd_transcribe(argv) -> int:
     for w in args.wavs:
         paths.extend(sorted(glob.glob(os.path.join(w, "*.wav")))
                      if os.path.isdir(w) else [w])
-    rows = batch_transcribe_to_csv(tr, paths, args.csv)
+    rows = batch_transcribe_to_csv(
+        tr, paths, args.csv, output_format=args.output_format,
+        output_dir=args.output_dir,
+        writer_opts={"max_line_width": args.max_line_width,
+                     "max_line_count": args.max_line_count,
+                     "max_words_per_line": args.max_words_per_line,
+                     "highlight_words": args.highlight_words})
     for r in rows:
         print(f"{r['file']}: {r.get('text', '')[:80]}")
     print(args.csv)

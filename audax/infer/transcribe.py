@@ -778,12 +778,27 @@ class Transcriber:
 def batch_transcribe_to_csv(
     transcriber: Transcriber, wav_paths: Sequence[str], csv_path: str,
     *, write_sidecars: bool = True,
-    previous: Optional[dict] = None) -> List[dict]:
+    previous: Optional[dict] = None,
+    output_format: Optional[str] = None,
+    output_dir: Optional[str] = None,
+    writer_opts: Optional[dict] = None) -> List[dict]:
     """Transcribe a set of wavs; write per-file .txt sidecars and a summary
     CSV (the reference's transcriptions.csv/transcriptions2.csv artifacts,
     AB/wavToWhisper.py:85-103). ``previous`` maps filename -> prior
-    transcription for before/after comparison columns."""
+    transcription for before/after comparison columns.
+
+    ``output_format`` ('txt'/'srt'/'vtt'/'tsv'/'json'/'all') additionally
+    emits per-file transcripts into ``output_dir`` (default: alongside the
+    CSV) via :mod:`audax.infer.writers`; ``writer_opts`` forwards subtitle
+    line options (max_line_width / max_line_count / max_words_per_line /
+    highlight_words)."""
     from audax.data.audio_io import read_wav, resample, to_mono
+
+    writer = None
+    if output_format:
+        from audax.infer.writers import get_writer
+        writer = get_writer(output_format,
+                            output_dir or os.path.dirname(csv_path) or ".")
 
     rows = []
     sr = transcriber.frontend.cfg.sample_rate
@@ -802,6 +817,8 @@ def batch_transcribe_to_csv(
             if write_sidecars:
                 with open(os.path.splitext(path)[0] + ".txt", "w") as fh:
                     fh.write(result.text + "\n")
+            if writer is not None:
+                writer(result, path, **(writer_opts or {}))
         except Exception as e:
             log.warning("skip %s: %s", path, e)
             rows.append({"file": os.path.basename(path), "text": "",

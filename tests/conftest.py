@@ -42,6 +42,7 @@ TEST_TIMEOUT_S = float(os.environ.get("AUDAX_TEST_TIMEOUT", "600"))
 FAST_MODULES = {
     "test_core", "test_frontend", "test_tokenizer", "test_symbolic",
     "test_abc_parse", "test_data", "test_augment", "test_grain",
+    "test_writers",
 }
 #: individually-slow tests inside otherwise-fast modules
 SLOW_TESTS = {

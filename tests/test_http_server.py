@@ -229,3 +229,45 @@ def test_error_paths(server):
             data=b"not audio at all", method="POST")
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 400
+
+
+def test_response_format(server, rng, tmp_path):
+    """OpenAI-style response_format: text/srt/vtt return rendered
+    transcripts with text/plain content type; verbose_json carries a
+    window-spanning segment; bad values 400."""
+    _, port = server
+    wav = tmp_path / "fmt.wav"
+    write_wav(str(wav), 0.01 * rng.standard_normal(8000).astype(np.float32),
+              16000)
+    body = wav.read_bytes()
+
+    def post(qs):
+        req = urllib.request.Request(
+            _url(port, "/v1/audio/transcriptions?max_tokens=3" + qs),
+            data=body, method="POST")
+        return urllib.request.urlopen(req, timeout=300)
+
+    with post("&response_format=verbose_json") as r:
+        v = json.load(r)
+    assert v["task"] == "transcribe" and len(v["segments"]) == 1
+    seg = v["segments"][0]
+    assert seg["start"] == 0.0 and seg["end"] == pytest.approx(v["duration"])
+    assert seg["text"] == v["text"]
+
+    with post("&response_format=text") as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        txt = r.read().decode()
+    assert txt.strip() == v["text"].strip()
+
+    with post("&response_format=srt") as r:
+        srt = r.read().decode()
+    with post("&response_format=vtt") as r:
+        vtt = r.read().decode()
+    if v["text"].strip():                 # random weights may emit no text
+        assert srt.startswith("1\n00:00:00,000 --> ")
+        assert "00:00:00.000 --> " in vtt
+    assert vtt.startswith("WEBVTT")
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        post("&response_format=yaml")
+    assert e.value.code == 400

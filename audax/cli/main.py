@@ -336,6 +336,13 @@ def cmd_transcribe(argv) -> int:
                         "gaps longer than this around segments whose word "
                         "probabilities/durations look hallucinated "
                         "(openai hallucination_silence_threshold)")
+    p.add_argument("--suppress-tokens", default="-1",
+                   help="'-1' (default): ban the tokenizer's non-speech "
+                        "symbol set; comma-separated ids: ban those; '' : "
+                        "ban only control tokens (openai suppress_tokens)")
+    p.add_argument("--no-suppress-blank", action="store_true",
+                   help="allow ' '/EOT at the first generated position "
+                        "(openai suppress_blank=False)")
     p.add_argument("--output-format", default=None,
                    choices=["txt", "srt", "vtt", "tsv", "json", "all"],
                    help="also write per-file transcripts in this format "
@@ -397,6 +404,12 @@ def cmd_transcribe(argv) -> int:
                      no_speech_threshold=(args.no_speech_threshold
                                           if args.no_speech_threshold > 0
                                           else None),
+                     suppress_tokens=(args.suppress_tokens
+                                      if args.suppress_tokens == "-1"
+                                      else [int(t) for t in
+                                            args.suppress_tokens.split(",")
+                                            if t.strip()]),
+                     suppress_blank=not args.no_suppress_blank,
                      initial_prompt=args.initial_prompt,
                      dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                      else jnp.float32)
@@ -635,6 +648,9 @@ def cmd_serve(argv) -> int:
                    help="skip the startup compile (first request pays it)")
     p.add_argument("--max-inflight", type=int, default=0,
                    help="admission cap before 429 (default 8x slots)")
+    p.add_argument("--suppress-blank", action="store_true",
+                   help="ban ' '/EOT at each request's first generated "
+                        "position (whisper SuppressBlank)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -649,7 +665,7 @@ def cmd_serve(argv) -> int:
         params, cfg, tok, slots=args.slots, lang=args.lang,
         max_new_tokens=args.max_tokens, steps_per_sync=args.steps_per_sync,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        kv_quant=args.kv_quant)
+        kv_quant=args.kv_quant, suppress_blank=args.suppress_blank)
     if not args.no_warmup:
         log.info("warming up (chunk + admit programs at every bucket)...")
         cb.warmup()

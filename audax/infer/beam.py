@@ -46,6 +46,8 @@ def beam_search(
     eos_id: int,
     beam_width: int = 5,
     suppress: Optional[jnp.ndarray] = None,
+    first_suppress: Optional[jnp.ndarray] = None,  # ids banned at the first
+    # generated position only (whisper's SuppressBlank: ' ' + EOT)
     timestamps: Optional[TimestampRules] = None,
     dtype=jnp.float32,
     mesh=None,                    # jax.sharding.Mesh with a 'model' axis
@@ -93,6 +95,9 @@ def beam_search(
         logits = logits.astype(jnp.float32)
         if suppress is not None and suppress.size:
             logits = logits.at[:, suppress].set(neg_inf)
+        if first_suppress is not None and first_suppress.size:
+            banned = logits.at[:, first_suppress].set(neg_inf)
+            logits = jnp.where(c.pos + 1 == p_len, banned, logits)
         if timestamps is not None:
             logits = apply_timestamp_rules(
                 logits, timestamps, first=c.pos + 1 == p_len,

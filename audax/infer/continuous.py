@@ -127,8 +127,8 @@ def _advance(st, nxt, logits, *, p_len: int, eos_id: int, bidx):
     static_argnames=("cfg", "p_len", "eos_id", "n_steps", "dtype", "mesh"),
     donate_argnames=("state",))
 def _decode_chunk(params, cfg: WhisperConfig, state: _ServeState,
-                  suppress, *, p_len: int, eos_id: int, n_steps: int,
-                  dtype, mesh=None) -> _ServeState:
+                  suppress, first_suppress=None, *, p_len: int, eos_id: int,
+                  n_steps: int, dtype, mesh=None) -> _ServeState:
     """Run up to ``n_steps`` ragged decode steps; early-exit when every
     slot is done. Mirrors infer/decode.py:generate's body, with every
     position/flag a per-slot vector. With ``mesh``, KV state is
@@ -153,6 +153,13 @@ def _decode_chunk(params, cfg: WhisperConfig, state: _ServeState,
         logits = logits.astype(jnp.float32)
         if suppress is not None and suppress.size:
             logits = logits.at[:, suppress].set(neg_inf)
+        if first_suppress is not None and first_suppress.size:
+            # SuppressBlank per slot: positions are per-slot vectors, so
+            # each request hits its own first generated position (refills
+            # reset pos, keeping this exact across slot reuse)
+            banned = logits.at[:, first_suppress].set(neg_inf)
+            logits = jnp.where((st.pos + 1 == p_len)[:, None], banned,
+                               logits)
         in_prompt = st.pos + 1 < p_len                      # [B]
         nxt = jnp.argmax(logits, -1).astype(jnp.int32)
         nxt = jnp.where(in_prompt, st.tokens[bidx, st.pos + 1], nxt)
@@ -394,7 +401,7 @@ class ContinuousBatcher(_SlotEngine):
                  lang: str = "en", max_new_tokens: int = 224,
                  steps_per_sync: int = 64, dtype=jnp.float32,
                  backend: Optional[str] = None, kv_quant: bool = False,
-                 mesh=None):
+                 mesh=None, suppress_blank: bool = False):
         """``mesh`` (a jax.sharding.Mesh with 'data'/'model' axes) runs the
         serving programs tensor-parallel: pass params already placed by
         parallel/sharding.py:shard_params; the engine head-shards its KV
@@ -430,6 +437,11 @@ class ContinuousBatcher(_SlotEngine):
         self._suppress = jnp.asarray(
             [i for i in tokenizer.special_ids() if i != tokenizer.eot],
             np.int32)
+        # whisper's SuppressBlank (' ' + EOT at the first generated
+        # position); opt-in here — the Transcriber surface defaults it on
+        self._first_suppress = (jnp.asarray(
+            sorted(set(tokenizer.encode(" ") + [tokenizer.eot])), np.int32)
+            if suppress_blank else None)
         self._state = self._init_state()
         self._init_shell()
 
@@ -492,6 +504,7 @@ class ContinuousBatcher(_SlotEngine):
     def _chunk(self) -> None:
         self._state = _decode_chunk(
             self.params, self.cfg, self._state, self._suppress,
+            self._first_suppress,
             p_len=self._p_len, eos_id=self._stop_id,
             n_steps=self.steps_per_sync, dtype=self.dtype, mesh=self.mesh)
 

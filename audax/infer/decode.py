@@ -122,6 +122,8 @@ def generate(
     temperature: float = 0.0,      # 0 => greedy
     rng: Optional[jax.Array] = None,
     suppress: Optional[jnp.ndarray] = None,   # [K] token ids never emitted
+    first_suppress: Optional[jnp.ndarray] = None,  # [K2] ids banned at the
+    # FIRST generated position only (whisper's SuppressBlank: ' ' + EOT)
     timestamps: Optional[TimestampRules] = None,
     dtype=jnp.float32,
     mesh=None,                     # jax.sharding.Mesh with a 'model' axis
@@ -151,6 +153,9 @@ def generate(
     def constrain(logits, carry):
         if suppress is not None and suppress.size:
             logits = logits.at[:, suppress].set(neg_inf)
+        if first_suppress is not None and first_suppress.size:
+            banned = logits.at[:, first_suppress].set(neg_inf)
+            logits = jnp.where(carry.pos + 1 == p_len, banned, logits)
         if timestamps is not None:
             logits = apply_timestamp_rules(
                 logits, timestamps, first=carry.pos + 1 == p_len,

@@ -62,6 +62,9 @@ def generate_speculative(
     eos_id: int,
     spec_tokens: int = 8,
     suppress: Optional[jnp.ndarray] = None,
+    first_suppress: Optional[jnp.ndarray] = None,  # ids banned at the first
+    # generated position only (SuppressBlank); applied to BOTH draft and
+    # target at absolute position p_len so acceptance stays token-exact
     dtype=jnp.float32,
     draft_dtype=None,
     kv_quant: bool = False,
@@ -92,9 +95,19 @@ def generate_speculative(
     tokens = jnp.zeros((1, buf), jnp.int32)
     tokens = lax.dynamic_update_slice(tokens, prompt, (0, 0))
 
-    def constrain(logits):
+    def constrain(logits, produced_pos=None):
+        """``produced_pos``: absolute position(s) of the token each logit
+        row produces — scalar for draft steps, [K] for the verify span —
+        so SuppressBlank hits exactly the first generated position."""
         if suppress is not None and suppress.size:
             logits = logits.at[..., suppress].set(neg_inf)
+        if (first_suppress is not None and first_suppress.size
+                and produced_pos is not None):
+            banned = logits.at[..., first_suppress].set(neg_inf)
+            mask = jnp.asarray(produced_pos) == p_len
+            if logits.ndim == 3:               # [1, K, V] verify span
+                mask = mask[None, :, None]
+            logits = jnp.where(mask, banned, logits)
         return logits
 
     # prefill positions 0..P-2; the last prompt token is fed by the first
@@ -127,7 +140,7 @@ def generate_speculative(
             dc, tok, pos = carry
             logits, dc = decode_step(draft_params, draft_cfg, tok, pos,
                                      dc, d_ckv, draft_dtype)
-            nxt = jnp.argmax(constrain(logits.astype(jnp.float32)),
+            nxt = jnp.argmax(constrain(logits.astype(jnp.float32), pos + 1),
                              -1).astype(jnp.int32)
             return (dc, nxt, pos + 1), nxt[0]
 
@@ -138,7 +151,8 @@ def generate_speculative(
         span = jnp.concatenate([cur[:, None], d_vec[None, : kk - 1]], 1)
         tlogits, t_cache = decode_span(params, cfg, span, c.l - 1,
                                        c.t_cache, t_ckv, dtype)
-        tlogits = constrain(tlogits.astype(jnp.float32))      # [1, K, V]
+        tlogits = constrain(tlogits.astype(jnp.float32),
+                            c.l + jnp.arange(kk))             # [1, K, V]
         t_vec = jnp.argmax(tlogits, -1)[0].astype(jnp.int32)  # [K]
         logprobs = jax.nn.log_softmax(tlogits, -1)
         chosen = jnp.take_along_axis(logprobs[0], t_vec[:, None], -1)[:, 0]

@@ -205,7 +205,8 @@ class Transcriber:
                  clip_timestamps=None,
                  hallucination_silence_threshold: Optional[float] = None,
                  prepend_punctuations: str = PREPEND_PUNCTUATIONS,
-                 append_punctuations: str = APPEND_PUNCTUATIONS):
+                 append_punctuations: str = APPEND_PUNCTUATIONS,
+                 suppress_tokens="-1", suppress_blank: bool = True):
         #: int8 self+cross KV caches in decode (whisper.QuantKV) — halves
         #: the per-token cache read bytes and per-stream cache memory
         self.kv_quant = kv_quant
@@ -295,10 +296,23 @@ class Transcriber:
         self.chunk_samples = int(self.chunk_seconds
                                  * self.frontend.cfg.sample_rate)
         # whisper's SuppressTokens filter: control tokens are never *emitted*
-        # (EOT excepted; timestamps are governed by TimestampRules instead)
-        self.suppress = np.asarray(
-            [i for i in tokenizer.special_ids() if i != tokenizer.eot],
-            np.int32)
+        # (EOT excepted; timestamps are governed by TimestampRules instead),
+        # plus the openai ``suppress_tokens`` knob: "-1" (default) adds the
+        # tokenizer's non-speech symbol set, a sequence adds those ids,
+        # None/() adds nothing
+        if suppress_tokens == "-1":
+            extra = tokenizer.non_speech_tokens()
+        elif suppress_tokens:
+            extra = [int(i) for i in suppress_tokens]
+        else:
+            extra = []
+        specials = [i for i in tokenizer.special_ids() if i != tokenizer.eot]
+        self.suppress = np.asarray(sorted(set(specials + extra)), np.int32)
+        # openai's SuppressBlank: ' ' and EOT banned at the first GENERATED
+        # position only (a window never opens with silence-as-text)
+        self.first_suppress = (np.asarray(
+            sorted(set(tokenizer.encode(" ") + [tokenizer.eot])), np.int32)
+            if suppress_blank else None)
 
     def _prompt(self, n: int, prev: Optional[List[int]] = None,
                 lang: Optional[str] = None) -> np.ndarray:
@@ -323,6 +337,8 @@ class Transcriber:
 
     def _decode_once(self, enc, prompt, temperature: float, denc=None):
         tk = self.tokenizer
+        fs = (jnp.asarray(self.first_suppress)
+              if self.first_suppress is not None else None)
         rules = (TimestampRules(tk.timestamp_begin, tk.eot)
                  if self.timestamps else None)
         max_len = min(prompt.shape[1] + self.max_new_tokens, self.cfg.n_text_ctx)
@@ -341,8 +357,8 @@ class Transcriber:
                 self.draft[0], self.params, self.draft[1], self.cfg,
                 denc, enc, jnp.asarray(prompt), max_len=max_len,
                 eos_id=tk.eot, spec_tokens=self.spec_tokens,
-                suppress=jnp.asarray(self.suppress), dtype=self.dtype,
-                kv_quant=self.kv_quant)
+                suppress=jnp.asarray(self.suppress), first_suppress=fs,
+                dtype=self.dtype, kv_quant=self.kv_quant)
         if self.beam_width > 1 and temperature == 0.0:
             # whisper's ladder: beam at t=0, sampling on hotter retries
             from audax.infer.beam import beam_search
@@ -350,6 +366,7 @@ class Transcriber:
                               jnp.asarray(prompt), max_len=max_len,
                               eos_id=tk.eot, beam_width=self.beam_width,
                               suppress=jnp.asarray(self.suppress),
+                              first_suppress=fs,
                               timestamps=rules, dtype=self.dtype,
                               kv_quant=self.kv_quant)
             # top hypothesis, shaped like a GenerateResult
@@ -363,6 +380,7 @@ class Transcriber:
                         max_len=max_len, eos_id=tk.eot,
                         temperature=temperature, timestamps=rules,
                         suppress=jnp.asarray(self.suppress),
+                        first_suppress=fs,
                         dtype=self.dtype, kv_quant=self.kv_quant,
                         no_speech_id=ns_id)
 

@@ -116,6 +116,34 @@ class WhisperTokenizer:
     def encode(self, text: str) -> List[int]:
         return self.bpe.encode(text, with_specials=False)
 
+    def non_speech_tokens(self) -> List[int]:
+        """Base-vocab ids for annotation/music symbols — whisper's default
+        ``suppress_tokens="-1"`` list, so decoding never emits bracket
+        noise, ♪, speaker dashes, etc. (openai builds the same set inside
+        its tokenizer; the reference consumed it through
+        openai-whisper's transcribe defaults, AB/wavToWhisper.py:10-13).
+
+        Probes THIS tokenizer's vocab: a symbol contributes only when it
+        (or its space-prefixed form) encodes to a single token, except the
+        musical-note set whose lead token is banned even when multi-token
+        (matching upstream). On the published GPT-2-style vocabs this
+        reproduces openai's ids; on tiny ad-hoc test vocabs it degrades to
+        whatever single-byte symbols exist."""
+        symbols = list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+        symbols += ("<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] "
+                    "{{ }} ♪♪ ♪♪♪").split()
+        notes = set("♩♪♫♬♭♮♯")
+        out = set()
+        for lead in (" -", " '"):
+            ids = self.encode(lead)
+            if len(ids) == 1:
+                out.add(ids[0])
+        for sym in symbols + sorted(notes):
+            for ids in (self.encode(sym), self.encode(" " + sym)):
+                if ids and (len(ids) == 1 or sym in notes):
+                    out.add(ids[0])
+        return sorted(out)
+
     def decode(self, ids: Sequence[int], *, skip_special: bool = True) -> str:
         base = len(self.bpe)
         parts: List[str] = []

@@ -349,3 +349,39 @@ def test_generator_constrained(tt_model, rng):
     ok = set(allowed) | {END}
     for r in g.run():
         assert set(r.tokens) <= ok, r.tokens
+
+
+def test_suppress_blank_engine_matches_generate(setup, rng):
+    """ContinuousBatcher(suppress_blank=True) == generate() with the same
+    first_suppress set, across a refill (per-slot pos vectors key the
+    first-position ban, so slot reuse stays exact)."""
+    params, cfg, tok = setup
+    sr = 16000
+    fs = jnp.asarray(sorted(set(tok.encode(" ") + [tok.eot])), jnp.int32)
+    reqs = {f"s{i}": 0.01 * rng.standard_normal(sr).astype(np.float32)
+            for i in range(3)}
+    cb = ContinuousBatcher(params, cfg, tok, slots=2, max_new_tokens=6,
+                           steps_per_sync=4, suppress_blank=True)
+    for rid, samples in reqs.items():
+        cb.submit(rid, samples)
+    results = {r.request_id: r for r in cb.run()}
+    fe = LogMelFrontend.whisper(cfg.n_mels)
+    window = 30 * fe.cfg.sample_rate
+    suppress = jnp.asarray([i for i in tok.special_ids() if i != tok.eot],
+                           jnp.int32)
+    for rid, samples in reqs.items():
+        x = np.zeros(window, np.float32)
+        x[: len(samples)] = samples
+        enc = encode(params, cfg, fe(jnp.asarray(x[None])))
+        prompt = jnp.asarray([tok.sot_sequence(lang="en")], jnp.int32)
+        res = generate(params, cfg, enc, prompt,
+                       max_len=min(prompt.shape[1] + 6, cfg.n_text_ctx),
+                       eos_id=tok.eot, suppress=suppress, first_suppress=fs)
+        p = prompt.shape[1]
+        ref = [int(t) for t in
+               np.asarray(res.tokens)[0, p:int(res.lengths[0])]
+               if t != tok.eot]
+        assert results[rid].tokens == ref, rid
+        blank = set(int(i) for i in fs.tolist())
+        if results[rid].tokens:
+            assert results[rid].tokens[0] not in blank

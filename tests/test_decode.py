@@ -190,3 +190,51 @@ def test_transcriber_suppresses_control_tokens(rng):
         np.asarray(audio[: tr.chunk_samples])[None])
     ids = res_one[0][0]
     assert not (set(ids) & banned), set(ids) & banned
+
+
+def test_first_suppress_hits_only_first_position(tiny_model, rng):
+    """first_suppress (whisper SuppressBlank) bans ids at the first
+    generated position only: banning the greedy first token changes it;
+    banning a non-chosen id leaves the whole decode untouched."""
+    mel = jnp.asarray(rng.standard_normal((1, 64, 16)).astype(np.float32))
+    enc = encode(tiny_model, TINY, mel)
+    prompt = jnp.asarray([[5, 6, 7]], jnp.int32)
+    plain = generate(tiny_model, TINY, enc, prompt, max_len=20, eos_id=2)
+    t0 = int(plain.tokens[0, 3])
+    banned = generate(tiny_model, TINY, enc, prompt, max_len=20, eos_id=2,
+                      first_suppress=jnp.asarray([t0], jnp.int32))
+    assert int(banned.tokens[0, 3]) != t0
+    other = (t0 + 1) % TINY.vocab_size
+    inert = generate(tiny_model, TINY, enc, prompt, max_len=20, eos_id=2,
+                     first_suppress=jnp.asarray([other], jnp.int32))
+    if int(plain.tokens[0, 3]) != other:
+        np.testing.assert_array_equal(np.asarray(inert.tokens),
+                                      np.asarray(plain.tokens))
+
+
+def test_transcriber_suppress_knobs(rng):
+    """suppress_tokens='-1' folds the tokenizer's non-speech set into the
+    control-token ban list; suppress_blank builds the first-position set;
+    both have openai's off switches."""
+    corpus = ['hello (world) -- "quote" [ok] ♪ music'] * 4
+    tok = WhisperTokenizer(train_bpe(corpus, vocab_size=300))
+    cfg = WhisperConfig(n_mels=16, n_audio_ctx=32, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=48)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    tr = Transcriber(params, cfg, tok)
+    non_speech = tok.non_speech_tokens()
+    assert non_speech, "symbol corpus must produce a non-speech set"
+    assert set(non_speech) <= set(tr.suppress.tolist())
+    blank = set(tok.encode(" ") + [tok.eot])
+    assert set(tr.first_suppress.tolist()) == blank
+    # the paren byte is a single token in a byte-level vocab
+    assert tok.encode("(")[0] in non_speech
+
+    off = Transcriber(params, cfg, tok, suppress_tokens=None,
+                      suppress_blank=False)
+    assert off.first_suppress is None
+    assert set(off.suppress.tolist()) == \
+        {i for i in tok.special_ids() if i != tok.eot}
+    explicit = Transcriber(params, cfg, tok, suppress_tokens=[7, 9])
+    assert {7, 9} <= set(explicit.suppress.tolist())

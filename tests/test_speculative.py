@@ -148,3 +148,20 @@ def test_transcriber_draft_path_matches_plain(models, rng):
     b = spec.transcribe(audio, batch_chunks=1)
     assert a.text == b.text
     assert [s.text for s in a.segments] == [s.text for s in b.segments]
+
+
+def test_speculative_first_suppress_exact(models):
+    """SuppressBlank applies at absolute position p_len in BOTH draft and
+    target, so speculative stays token-exact vs plain greedy even when the
+    first token is rerouted."""
+    target, draft, enc, denc = models
+    prompt = jnp.asarray([[5, 9]], jnp.int32)
+    plain = generate(target, TARGET, enc, prompt, max_len=24, eos_id=1)
+    fs = jnp.asarray([int(plain.tokens[0, 2])], jnp.int32)  # ban greedy t0
+    ref = generate(target, TARGET, enc, prompt, max_len=24, eos_id=1,
+                   first_suppress=fs)
+    assert int(ref.tokens[0, 2]) != int(plain.tokens[0, 2])
+    out = generate_speculative(draft, target, DRAFT, TARGET, denc, enc,
+                               prompt, max_len=24, eos_id=1,
+                               spec_tokens=4, first_suppress=fs)
+    _check_match(ref, out)

@@ -161,3 +161,23 @@ def test_vocab_tokenizer(tmp_path):
     vt2 = VocabTokenizer.load(p)
     assert vt2.encode_tokens(["C4", "|"]) == [0, 2]
     assert vt2.pad_id == vt.pad_id
+
+
+def test_non_speech_tokens():
+    """non_speech_tokens probes THIS vocab for whisper's default
+    suppress_tokens='-1' symbol set (openai builds the ids the same way
+    from its GPT-2 vocab)."""
+    from audax.symbolic.bpe import train_bpe
+    corpus = ['text (with) [brackets] "quotes" -- dashes ♪ notes #tags'] * 3
+    tok = WhisperTokenizer(train_bpe(corpus, vocab_size=300))
+    ids = tok.non_speech_tokens()
+    assert ids == sorted(set(ids))
+    # single-byte symbols present in a byte-level vocab must be banned
+    for sym in ['(', ')', '[', ']', '"', '#']:
+        assert tok.encode(sym)[0] in ids, sym
+    # musical notes ban their lead token even when multi-token
+    assert tok.encode("♪")[0] in ids
+    # no control/special ids leak in (they are base-vocab ids only)
+    assert all(i < len(tok.bpe) for i in ids)
+    # plain letters are never suppressed
+    assert tok.encode("a")[0] not in ids

@@ -455,6 +455,10 @@ def cmd_finetune(argv) -> int:
                    help="train-step compute dtype (bf16 ~1.4x on v5e)")
     p.add_argument("--compare-csv", default="",
                    help="write before/after transcription comparison CSV")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help=">0: Polyak/EMA-average the trainable params; WER "
+                        "eval + the saved checkpoint use the averaged "
+                        "weights (e.g. 0.999)")
     args = p.parse_args(argv)
 
     from audax.core.config import FineTuneConfig, MelConfig
@@ -476,6 +480,8 @@ def cmd_finetune(argv) -> int:
         ft = replace(ft, accum_steps=args.accum_steps)
     if args.dtype:
         ft = replace(ft, dtype=args.dtype)
+    if args.ema_decay:
+        ft = replace(ft, ema_decay=args.ema_decay)
 
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
     mel_cfg = MelConfig.whisper(cfg.n_mels)

@@ -286,6 +286,10 @@ class FineTuneConfig(EnvConfig):
     # weights stay f32 either way; bf16 is ~1.4x step throughput on v5e
     # (bench-train) and reaches the same WER in the synthetic proof
     dtype: str = "float32"
+    # >0 keeps a Polyak/EMA average of the trainable params (train/ema.py)
+    # with this decay; WER eval + best-checkpoint then use the averaged
+    # weights (serving-quality smoothing the reference's Trainer lacked)
+    ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -124,6 +124,10 @@ def finetune_whisper(
     history: Dict[str, list] = {"loss": [], "wer": []}
     best_wer = float("inf")
     best_params = None
+    ema = None
+    if getattr(cfg, "ema_decay", 0.0) > 0.0:
+        from audax.train.ema import ema_init, ema_model_params, ema_update
+        ema = ema_init(state.trainable)
 
     n = len(examples)
     # realized batch size: capped by the dataset, rounded down to a multiple
@@ -140,12 +144,18 @@ def finetune_whisper(
                  "decoder_input_ids": jnp.asarray(coll["decoder_input_ids"]),
                  "labels": jnp.asarray(coll["labels"])}
         state, m = step_fn(state, batch)
+        if ema is not None:
+            ema = ema_update(ema, state.trainable,
+                             jnp.float32(cfg.ema_decay), state.step)
         loss = float(m["loss"])
         history["loss"].append(loss)
         record = {"step": step, "loss": loss}
 
         if eval_examples and (step + 1) % cfg.eval_every == 0:
-            serving = state.model_params()
+            # with EMA on, quality tracking (WER + best checkpoint) runs
+            # on the averaged weights — the tree you would serve
+            serving = (ema_model_params(state, ema) if ema is not None
+                       else state.model_params())
             tr = Transcriber(serving, model_cfg, tokenizer)
             wer = eval_wer(tr, eval_examples)
             history["wer"].append({"step": step, "wer": wer})
@@ -162,6 +172,11 @@ def finetune_whisper(
             log.info("step %d loss %.4f", step, loss)
     history["best_wer"] = best_wer
     history["best_params"] = best_params
+    if ema is not None:
+        # final averaged serving weights (independent buffers: the next
+        # caller may keep training and donate state.trainable)
+        history["ema_params"] = jax.tree.map(jnp.copy,
+                                             ema_model_params(state, ema))
     return state, history
 
 

@@ -211,3 +211,60 @@ def test_midi_finetune_proof_wer_drops(tmp_path):
                           "finetuned_bf16"} for r in rows)
     # at least one clip transcribed exactly right after fine-tuning
     assert any(r["finetuned"] == r["target"] for r in rows)
+
+
+def test_ema_update_matches_numpy_oracle():
+    """Debiased EMA (min(decay, (1+t)/(10+t)) warmup) against a plain
+    numpy recurrence, including the early-step ramp."""
+    from audax.train.ema import ema_init, ema_update
+    rng = np.random.default_rng(3)
+    tree = {"a": jnp.asarray(rng.standard_normal((4, 3)).astype(np.float32)),
+            "b": {"c": jnp.asarray(rng.standard_normal(5).astype(np.float32))}}
+    ema = ema_init(tree)
+    ref = jax.tree.map(np.asarray, tree)
+    decay = 0.9
+    for t in range(12):
+        new = jax.tree.map(
+            lambda x: x + 0.1 * jnp.asarray(
+                np.random.default_rng(t).standard_normal(x.shape),
+                jnp.float32), tree)
+        ema = ema_update(ema, new, jnp.float32(decay), jnp.int32(t))
+        d = min(decay, (1.0 + t) / (10.0 + t))
+        ref = jax.tree.map(lambda e, p: e * d + np.asarray(p) * (1 - d),
+                           ref, new)
+        tree = new
+    for got, want in zip(jax.tree.leaves(ema), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+@pytest.mark.parametrize("lora_rank", [0, 2])
+def test_ema_model_params_lags_raw(lora_rank):
+    """finetune-loop style usage: EMA tree trails the live trainable
+    params and merges through the LoRA path when adapters train."""
+    from audax.train.ema import ema_init, ema_model_params, ema_update
+    params = init_whisper_params(TINY, jax.random.key(0))
+    cfg = FineTuneConfig(learning_rate=5e-3, warmup_steps=1, max_steps=20,
+                         lora_rank=lora_rank, ema_decay=0.95)
+    state = init_finetune(params, cfg)
+    step = make_finetune_step(TINY, remat=False)
+    ema = ema_init(state.trainable)
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((2, 2 * TINY.n_audio_ctx,
+                               TINY.n_mels)).astype(np.float32)
+    labels = collate_seq2seq([[4, 5, 2], [8, 2]], decoder_start_id=1)
+    batch = {"mel": jnp.asarray(mel),
+             "decoder_input_ids": jnp.asarray(labels["decoder_input_ids"]),
+             "labels": jnp.asarray(labels["labels"])}
+    for _ in range(8):
+        state, _ = step(state, batch)
+        ema = ema_update(ema, state.trainable, jnp.float32(cfg.ema_decay),
+                         state.step)
+    serving = ema_model_params(state, ema)
+    raw = state.model_params()
+    # same structure, different (lagging) values
+    assert jax.tree.structure(serving) == jax.tree.structure(raw)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(serving), jax.tree.leaves(raw))]
+    assert max(diffs) > 1e-6
+    for leaf in jax.tree.leaves(serving):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -336,6 +336,10 @@ def cmd_transcribe(argv) -> int:
                         "gaps longer than this around segments whose word "
                         "probabilities/durations look hallucinated "
                         "(openai hallucination_silence_threshold)")
+    p.add_argument("--vad-threshold-db", type=float, default=None,
+                   help="energy VAD: windows whose peak 100ms-frame RMS "
+                        "is below this dBFS are emitted as silence with "
+                        "NO decode (try -45..-55; off by default)")
     p.add_argument("--suppress-tokens", default="-1",
                    help="'-1' (default): ban the tokenizer's non-speech "
                         "symbol set; comma-separated ids: ban those; '' : "
@@ -410,6 +414,7 @@ def cmd_transcribe(argv) -> int:
                                             args.suppress_tokens.split(",")
                                             if t.strip()]),
                      suppress_blank=not args.no_suppress_blank,
+                     vad_threshold_db=args.vad_threshold_db,
                      initial_prompt=args.initial_prompt,
                      dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                      else jnp.float32)

@@ -206,7 +206,8 @@ class Transcriber:
                  hallucination_silence_threshold: Optional[float] = None,
                  prepend_punctuations: str = PREPEND_PUNCTUATIONS,
                  append_punctuations: str = APPEND_PUNCTUATIONS,
-                 suppress_tokens="-1", suppress_blank: bool = True):
+                 suppress_tokens="-1", suppress_blank: bool = True,
+                 vad_threshold_db: Optional[float] = None):
         #: int8 self+cross KV caches in decode (whisper.QuantKV) — halves
         #: the per-token cache read bytes and per-stream cache memory
         self.kv_quant = kv_quant
@@ -313,6 +314,13 @@ class Transcriber:
         self.first_suppress = (np.asarray(
             sorted(set(tokenizer.encode(" ") + [tokenizer.eot])), np.int32)
             if suppress_blank else None)
+        #: energy VAD (beyond openai, which decodes every window and gates
+        #: afterwards via <|nospeech|>): a window whose PEAK 100 ms-frame
+        #: RMS is below this dBFS level is emitted as silence WITHOUT a
+        #: decode — long quiet stretches cost zero device work. Typical
+        #: setting -45..-55; None disables. The no-speech gate still covers
+        #: low-level non-speech noise the energy test can't.
+        self.vad_threshold_db = vad_threshold_db
 
     def _prompt(self, n: int, prev: Optional[List[int]] = None,
                 lang: Optional[str] = None) -> np.ndarray:
@@ -608,6 +616,22 @@ class Transcriber:
             audio_seconds=total_s,
             wall_seconds=wall)
 
+    def _is_silent(self, chunk: np.ndarray) -> bool:
+        """Energy VAD over one window: True when every 100 ms frame's RMS
+        sits below ``vad_threshold_db`` dBFS (zero-padding never raises
+        energy, so padded trailing windows test identically)."""
+        thr = self.vad_threshold_db
+        if thr is None:
+            return False
+        frame = max(1, self.frontend.cfg.sample_rate // 10)
+        m = len(chunk) - len(chunk) % frame
+        if m == 0:
+            return True
+        rms = np.sqrt((chunk[:m].astype(np.float64) ** 2)
+                      .reshape(-1, frame).mean(1))
+        peak_db = 20.0 * np.log10(max(float(rms.max()), 1e-10))
+        return peak_db < thr
+
     def _transcribe_segments(self, audio: np.ndarray, batch_chunks: int,
                              lang: str) -> List[Segment]:
         """Chunked decode of one contiguous waveform -> Segments with times
@@ -645,6 +669,13 @@ class Transcriber:
                 if valid < self.chunk_samples:
                     chunk = np.pad(chunk,
                                    (0, self.chunk_samples - valid))
+                if self._is_silent(chunk):
+                    # energy VAD: silence advances the seek (and leaves the
+                    # rolling context untouched) without a decode
+                    seek += self.chunk_samples
+                    if n == 0:
+                        break
+                    continue
                 (res_one, enc1) = self._decode_chunk_batch(
                     chunk[None], prev=prev, lang=lang)
                 ids, avg_lp, temp, cr, nsv = res_one[0]
@@ -722,16 +753,22 @@ class Transcriber:
             group_size = batch_chunks
             init_ctx = self.initial_prompt_ids or None
             prompt_row = list(self._prompt(1, init_ctx, lang)[0])
-            for i in range(0, len(chunks), group_size):
-                group = chunks[i: i + group_size]
-                n_valid = len(group)
-                group = np.stack(group + [group[-1]] * (group_size - n_valid))
+            # energy VAD: silent windows never reach the device (their
+            # index gap keeps surviving windows at their true offsets)
+            speech = [(k, ch) for k, ch in enumerate(chunks)
+                      if not self._is_silent(ch)]
+            for i in range(0, len(speech), group_size):
+                part = speech[i: i + group_size]
+                n_valid = len(part)
+                group = np.stack([ch for _, ch in part]
+                                 + [part[-1][1]] * (group_size - n_valid))
                 res_grp, enc_grp = self._decode_chunk_batch(group,
                                                             prev=init_ctx,
                                                             lang=lang)
                 for j, (ids, avg_lp, temp, cr, nsv) in enumerate(
                         res_grp[:n_valid]):
-                    offset = (i + j) * self.chunk_seconds
+                    k = part[j][0]
+                    offset = k * self.chunk_seconds
                     if self.timestamps:
                         seg_i = self._split_segments(ids, offset, avg_lp,
                                                      temp, cr=cr, nsv=nsv)
@@ -742,7 +779,7 @@ class Transcriber:
                                          compression_ratio=cr,
                                          no_speech_prob=nsv)]
                     if self.word_timestamps and ids:
-                        valid = min(len(audio) - (i + j) * self.chunk_samples,
+                        valid = min(len(audio) - k * self.chunk_samples,
                                     self.chunk_samples)
                         self._attach_words(
                             seg_i,

@@ -238,3 +238,63 @@ def test_transcriber_suppress_knobs(rng):
         {i for i in tok.special_ids() if i != tok.eot}
     explicit = Transcriber(params, cfg, tok, suppress_tokens=[7, 9])
     assert {7, 9} <= set(explicit.suppress.tolist())
+
+
+def test_vad_skips_silent_windows(rng):
+    """Energy VAD: a silent middle window costs zero decodes and emits no
+    segments, while surviving windows keep their true offsets — in both
+    the batched and the sequential (condition_on_previous) paths."""
+    tok_corpus = ["hello world how are you"] * 4
+    from audax.symbolic.bpe import train_bpe
+    from audax.symbolic.tokenizer import WhisperTokenizer
+    tok = WhisperTokenizer(train_bpe(tok_corpus, vocab_size=280))
+    cfg = WhisperConfig(n_mels=16, n_audio_ctx=32, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=48)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    tr = Transcriber(params, cfg, tok, max_new_tokens=4,
+                     vad_threshold_db=-45.0)
+    sr = tr.frontend.cfg.sample_rate
+    w = tr.chunk_samples
+    audio = np.zeros(3 * w, np.float32)
+    audio[:w] = 0.1 * rng.standard_normal(w)
+    audio[2 * w:] = 0.1 * rng.standard_normal(w)          # middle silent
+
+    calls = []
+    orig = tr._decode_chunk_batch
+
+    def counting(group, **kw):
+        calls.append(len(group))
+        return orig(group, **kw)
+
+    tr._decode_chunk_batch = counting
+    res = tr.transcribe(audio, batch_chunks=1)
+    assert len(calls) == 2                      # 3 windows, 1 silent
+    offs = sorted({s.start for s in res.segments})
+    assert offs == [0.0, 2 * tr.chunk_seconds]
+    assert res.audio_seconds == pytest.approx(3 * w / sr)
+
+    # sequential path (rolling context) skips the same window
+    tr2 = Transcriber(params, cfg, tok, max_new_tokens=4,
+                      condition_on_previous=True, vad_threshold_db=-45.0)
+    calls2 = []
+    orig2 = tr2._decode_chunk_batch
+
+    def counting2(group, **kw):
+        calls2.append(len(group))
+        return orig2(group, **kw)
+
+    tr2._decode_chunk_batch = counting2
+    res2 = tr2.transcribe(audio)
+    assert len(calls2) == 2
+    assert sorted({s.start for s in res2.segments}) == offs
+
+    # all-silent audio: no decode at all, empty result
+    calls.clear()
+    silent = tr.transcribe(np.zeros(2 * w, np.float32))
+    assert silent.text == "" and silent.segments == []
+    assert calls == []
+
+    # VAD off: every window decodes
+    tr3 = Transcriber(params, cfg, tok, max_new_tokens=4)
+    assert not tr3._is_silent(np.zeros(w, np.float32))

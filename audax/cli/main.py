@@ -610,6 +610,9 @@ def cmd_stream_serve(argv) -> int:
                    choices=["float32", "bfloat16"])
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the startup compile (first request pays it)")
+    p.add_argument("--vad-threshold-db", type=float, default=None,
+                   help="energy VAD: silent windows answer as empty text "
+                        "without consuming a batch slot (try -45..-55)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -622,7 +625,8 @@ def cmd_stream_serve(argv) -> int:
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
     st = StreamingTranscriber(
         params, cfg, tok, batch_slots=args.batch_slots,
-        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        vad_threshold_db=args.vad_threshold_db)
     if not args.no_warmup:
         log.info("warming up (compiling the batch program)...")
         st.warmup()

@@ -72,7 +72,8 @@ class StreamingTranscriber:
                  batch_slots: int = 8, window_seconds: float = 30.0,
                  lang: str = "en", max_new_tokens: int = 224,
                  mesh=None, dtype=jnp.float32, backend: Optional[str] = None,
-                 kv_quant: bool = False):
+                 kv_quant: bool = False,
+                 vad_threshold_db: Optional[float] = None):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.batch_slots = batch_slots
@@ -96,6 +97,10 @@ class StreamingTranscriber:
         self._suppress = np.asarray(
             [i for i in tokenizer.special_ids() if i != tokenizer.eot],
             np.int32)
+        #: energy VAD (infer/vad.py): windows under this dBFS answer as
+        #: empty segments WITHOUT consuming a batch slot or a decode —
+        #: idle mics cost nothing. None disables.
+        self.vad_threshold_db = vad_threshold_db
 
     # ---------------------------------------------------------- feeding ---
     def feed(self, stream_id: str, samples: np.ndarray) -> None:
@@ -157,28 +162,37 @@ class StreamingTranscriber:
 
     def step(self) -> List[Segment]:
         """Drain up to ``batch_slots`` pending chunks in one device pass.
-        Empty slots are zero-filled (fixed shape, one compiled program)."""
+        Empty slots are zero-filled (fixed shape, one compiled program).
+        With ``vad_threshold_db`` set, silent windows are answered inline
+        (empty text) and never consume a slot."""
+        sr = self.frontend.cfg.sample_rate
         work: List[Tuple[str, int, np.ndarray, int]] = []
+        silent: List[Segment] = []
         for sid in sorted(self.streams):
             s = self.streams[sid]
             while s.pending and len(work) < self.batch_slots:
                 idx, chunk, valid = s.pending.pop(0)
+                if self.vad_threshold_db is not None:
+                    from audax.infer.vad import is_silent
+                    if is_silent(chunk, sr, self.vad_threshold_db):
+                        silent.append(Segment(sid, idx, "", valid / sr))
+                        continue
                 work.append((sid, idx, chunk, valid))
             if len(work) >= self.batch_slots:
                 break
         if not work:
-            return []
+            return silent
         audio = np.zeros((self.batch_slots, self.window), np.float32)
         for i, (_, _, chunk, _) in enumerate(work):
             audio[i] = chunk
         t0 = time.perf_counter()
         decoded = self._run_batch(audio)
         dt = time.perf_counter() - t0
-        sr = self.frontend.cfg.sample_rate
         # audio_seconds is the REAL content, not the padded window — a
         # flushed 3 s tail must not report 30 s to downstream consumers
-        segs = [Segment(sid, idx, self.tokenizer.decode(ids), valid / sr)
-                for (sid, idx, _, valid), ids in zip(work, decoded)]
+        segs = silent + [Segment(sid, idx, self.tokenizer.decode(ids),
+                                 valid / sr)
+                         for (sid, idx, _, valid), ids in zip(work, decoded)]
         real_s = sum(v for _, _, _, v in work) / sr
         log.info("streamed %d chunks in %.2fs (batch rtf %.3f)",
                  len(work), dt, dt / max(real_s, 1e-9))

@@ -617,20 +617,12 @@ class Transcriber:
             wall_seconds=wall)
 
     def _is_silent(self, chunk: np.ndarray) -> bool:
-        """Energy VAD over one window: True when every 100 ms frame's RMS
-        sits below ``vad_threshold_db`` dBFS (zero-padding never raises
-        energy, so padded trailing windows test identically)."""
-        thr = self.vad_threshold_db
-        if thr is None:
+        """Energy VAD over one window (infer/vad.py); False when off."""
+        if self.vad_threshold_db is None:
             return False
-        frame = max(1, self.frontend.cfg.sample_rate // 10)
-        m = len(chunk) - len(chunk) % frame
-        if m == 0:
-            return True
-        rms = np.sqrt((chunk[:m].astype(np.float64) ** 2)
-                      .reshape(-1, frame).mean(1))
-        peak_db = 20.0 * np.log10(max(float(rms.max()), 1e-10))
-        return peak_db < thr
+        from audax.infer.vad import is_silent
+        return is_silent(chunk, self.frontend.cfg.sample_rate,
+                         self.vad_threshold_db)
 
     def _transcribe_segments(self, audio: np.ndarray, batch_chunks: int,
                              lang: str) -> List[Segment]:

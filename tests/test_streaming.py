@@ -80,3 +80,43 @@ def test_streaming_over_mesh(setup, rng):
     b = sharded.drain()
     assert len(a) == len(b) == 1
     assert a[0].text == b[0].text
+
+
+def test_streaming_vad_skips_silent_windows(setup, rng):
+    """Silent windows answer inline as empty segments and never consume a
+    batch slot or a decode; active windows still decode."""
+    params, cfg, tok = setup
+    st = StreamingTranscriber(params, cfg, tok, batch_slots=2,
+                              max_new_tokens=4, backend="xla",
+                              vad_threshold_db=-45.0)
+    sr = 16000
+    st.feed("mic", 0.1 * rng.standard_normal(30 * sr).astype(np.float32))
+    st.feed("mic", np.zeros(30 * sr, np.float32))           # silent window
+    st.feed("mic", 0.1 * rng.standard_normal(30 * sr).astype(np.float32))
+    assert st.pending_chunks() == 3
+
+    calls = []
+    orig = st._run_batch
+
+    def counting(audio):
+        calls.append(audio.shape[0])
+        return orig(audio)
+
+    st._run_batch = counting
+    segs = st.drain()
+    assert len(segs) == 3
+    by_idx = {s.index: s for s in segs}
+    assert by_idx[1].text == "" and by_idx[1].audio_seconds == 30.0
+    # 2 active windows through 2 slots = exactly one device pass
+    assert len(calls) == 1
+
+    # an all-silent step returns its answers without any device pass
+    calls.clear()
+    st.feed("mic", np.zeros(30 * sr, np.float32))
+    segs = st.step()
+    assert [s.text for s in segs] == [""] and calls == []
+
+    from audax.infer.vad import peak_frame_rms_db
+    assert peak_frame_rms_db(np.zeros(100, np.float32), sr) == -200.0
+    loud = peak_frame_rms_db(np.ones(sr, np.float32), sr)
+    assert loud == pytest.approx(0.0, abs=1e-6)

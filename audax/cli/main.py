@@ -340,6 +340,9 @@ def cmd_transcribe(argv) -> int:
                    help="energy VAD: windows whose peak 100ms-frame RMS "
                         "is below this dBFS are emitted as silence with "
                         "NO decode (try -45..-55; off by default)")
+    p.add_argument("--verbose", action="store_true",
+                   help="print timed segment lines per file (openai CLI "
+                        "style); timestamps recommended")
     p.add_argument("--suppress-tokens", default="-1",
                    help="'-1' (default): ban the tokenizer's non-speech "
                         "symbol set; comma-separated ids: ban those; '' : "
@@ -424,7 +427,7 @@ def cmd_transcribe(argv) -> int:
                      if os.path.isdir(w) else [w])
     rows = batch_transcribe_to_csv(
         tr, paths, args.csv, output_format=args.output_format,
-        output_dir=args.output_dir,
+        output_dir=args.output_dir, verbose=args.verbose,
         writer_opts={"max_line_width": args.max_line_width,
                      "max_line_count": args.max_line_count,
                      "max_words_per_line": args.max_words_per_line,
@@ -433,6 +436,44 @@ def cmd_transcribe(argv) -> int:
         print(f"{r['file']}: {r.get('text', '')[:80]}")
     print(args.csv)
     return 0
+
+
+@command("detect-language")
+def cmd_detect_language(argv) -> int:
+    """Identify the spoken language of audio files (whisper
+    detect_language over the first 30 s window)."""
+    p = argparse.ArgumentParser(prog="audax detect-language")
+    p.add_argument("files", nargs="+")
+    p.add_argument("--size", default="tiny")
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--tokenizer-dir", default="")
+    p.add_argument("--top", type=int, default=5,
+                   help="print this many candidate languages per file")
+    args = p.parse_args(argv)
+
+    from audax.core.runtime import setup
+    from audax.data.audio_io import read_audio, resample, to_mono
+    from audax.infer.transcribe import Transcriber
+    setup()
+    params, cfg, tok = _load_whisper(args.size, args.ckpt,
+                                     args.tokenizer_dir)
+    tr = Transcriber(params, cfg, tok)
+    sr = tr.frontend.cfg.sample_rate
+    rc = 0
+    for path in args.files:
+        try:
+            x, rate = read_audio(path)
+            x = to_mono(x)
+            if rate != sr:
+                x = resample(x, rate, sr)
+            best, probs = tr.detect(x)
+            top = sorted(probs.items(), key=lambda kv: -kv[1])[: args.top]
+            print(f"{os.path.basename(path)}: {best}  "
+                  + "  ".join(f"{c}={p:.3f}" for c, p in top))
+        except Exception as e:  # noqa: BLE001 - per-file tolerance
+            print(f"{os.path.basename(path)}: error: {e}", file=sys.stderr)
+            rc = 1
+    return rc
 
 
 @command("finetune")

@@ -17,7 +17,7 @@ import os
 import time
 import zlib
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -572,6 +572,21 @@ class Transcriber:
                 pairs.append((s, e))
         return pairs or [(0.0, total_s)]
 
+    def detect(self, audio: np.ndarray) -> Tuple[str, Dict[str, float]]:
+        """Language id over the first window (whisper detect_language):
+        returns (best code, {code: probability})."""
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        first = audio[:self.chunk_samples]
+        if len(first) < self.chunk_samples:
+            first = np.pad(first, (0, self.chunk_samples - len(first)))
+        mel0 = self.frontend(jnp.asarray(first)[None])
+        enc0 = encode(self.params, self.cfg, mel0, self.dtype)
+        detected, probs = detect_language(self.params, self.cfg,
+                                          self.tokenizer, enc0, self.dtype)
+        row = np.asarray(probs[0], np.float64)
+        return detected[0], {c: float(p)
+                             for c, p in zip(self.tokenizer.languages, row)}
+
     def transcribe(self, audio: np.ndarray, *, batch_chunks: int = 4
                    ) -> TranscriptionResult:
         """audio: 1-D float waveform at 16 kHz. Long audio is split into 30 s
@@ -585,14 +600,7 @@ class Transcriber:
         if lang == "auto":
             # detection stays local to this call: a reused Transcriber (e.g.
             # batch_transcribe_to_csv) must re-detect per file
-            first = audio[:self.chunk_samples]
-            if len(first) < self.chunk_samples:
-                first = np.pad(first, (0, self.chunk_samples - len(first)))
-            mel0 = self.frontend(jnp.asarray(first)[None])
-            enc0 = encode(self.params, self.cfg, mel0, self.dtype)
-            detected, _ = detect_language(self.params, self.cfg,
-                                          self.tokenizer, enc0, self.dtype)
-            lang = detected[0]
+            lang, _ = self.detect(audio)
             log.info("detected language: %s", lang)
         if self.clip_timestamps:
             segments = []
@@ -828,7 +836,8 @@ def batch_transcribe_to_csv(
     previous: Optional[dict] = None,
     output_format: Optional[str] = None,
     output_dir: Optional[str] = None,
-    writer_opts: Optional[dict] = None) -> List[dict]:
+    writer_opts: Optional[dict] = None,
+    verbose: bool = False) -> List[dict]:
     """Transcribe a set of wavs; write per-file .txt sidecars and a summary
     CSV (the reference's transcriptions.csv/transcriptions2.csv artifacts,
     AB/wavToWhisper.py:85-103). ``previous`` maps filename -> prior
@@ -866,6 +875,13 @@ def batch_transcribe_to_csv(
                     fh.write(result.text + "\n")
             if writer is not None:
                 writer(result, path, **(writer_opts or {}))
+            if verbose:
+                # openai CLI's live segment lines
+                from audax.infer.writers import _ts
+                print(os.path.basename(path))
+                for seg in result.segments:
+                    print(f"[{_ts(seg.start, sep='.')} --> "
+                          f"{_ts(seg.end, sep='.')}] {seg.text.strip()}")
         except Exception as e:
             log.warning("skip %s: %s", path, e)
             rows.append({"file": os.path.basename(path), "text": "",

@@ -298,3 +298,15 @@ def test_vad_skips_silent_windows(rng):
     # VAD off: every window decodes
     tr3 = Transcriber(params, cfg, tok, max_new_tokens=4)
     assert not tr3._is_silent(np.zeros(w, np.float32))
+
+
+def test_transcriber_detect_language_api(tiny_transcriber, rng):
+    """Transcriber.detect: best code is a valid language, probabilities
+    are a distribution over the tokenizer's language layout."""
+    best, probs = tiny_transcriber.detect(
+        0.05 * rng.standard_normal(8000).astype(np.float32))
+    tok = tiny_transcriber.tokenizer
+    assert best in tok.languages
+    assert set(probs) == set(tok.languages)
+    assert sum(probs.values()) == pytest.approx(1.0, abs=1e-4)
+    assert probs[best] == max(probs.values())

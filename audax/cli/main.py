@@ -286,6 +286,70 @@ def cmd_convert_hf(argv) -> int:
     return 0
 
 
+@command("export-hf")
+def cmd_export_hf(argv) -> int:
+    """Export an audax orbax checkpoint back to a local HF checkpoint
+    directory (config.json + pytorch_model.bin) — the inverse of
+    `convert-hf`, so fine-tunes made here load with
+    ``from_pretrained(dir)`` in the reference's torch stack
+    (AB/fineTune.py:131 consumed checkpoints one-way)."""
+    p = argparse.ArgumentParser(prog="audax export-hf")
+    p.add_argument("--ckpt", required=True, help="audax orbax checkpoint")
+    p.add_argument("--out", required=True, help="output HF directory")
+    p.add_argument("--kind", default="whisper",
+                   choices=["whisper", "causal-lm"])
+    p.add_argument("--size", default="",
+                   help="whisper size preset when no <ckpt>.config.json "
+                        "sidecar exists")
+    p.add_argument("--config", default="",
+                   help="explicit config JSON (overrides the sidecar)")
+    args = p.parse_args(argv)
+    import json
+
+    import numpy as np
+    import torch
+
+    from audax.train.checkpoints import load_pytree
+    cfg_path = args.config or (args.ckpt.rstrip("/") + ".config.json")
+    params = load_pytree(args.ckpt)
+    if args.kind == "whisper":
+        from audax.core.config import WhisperConfig
+        from audax.models.export import (export_whisper_state_dict,
+                                         hf_whisper_config_dict)
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as fh:
+                cfg = WhisperConfig(**json.load(fh))
+        elif args.size:
+            cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
+                   "small": WhisperConfig.small,
+                   "large-v3": WhisperConfig.large_v3}[args.size]()
+        else:
+            raise FileNotFoundError(
+                f"no config sidecar at {cfg_path}; pass --size or --config")
+        sd = export_whisper_state_dict(params, cfg)
+        hf_cfg = hf_whisper_config_dict(cfg)
+    else:
+        from audax.models.causal_lm import CausalLMConfig
+        from audax.models.export import (export_causal_lm_state_dict,
+                                         hf_causal_lm_config_dict)
+        if not os.path.exists(cfg_path):
+            raise FileNotFoundError(
+                f"no config sidecar at {cfg_path}; pass --config")
+        with open(cfg_path) as fh:
+            cfg = CausalLMConfig(**json.load(fh))
+        sd = export_causal_lm_state_dict(params, cfg)
+        hf_cfg = hf_causal_lm_config_dict(cfg)
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "config.json"), "w") as fh:
+        json.dump(hf_cfg, fh, indent=2)
+    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+               os.path.join(args.out, "pytorch_model.bin"))
+    log.success("exported %s (%s) -> %s (%d tensors)",
+                args.ckpt, args.kind, args.out, len(sd))
+    print(args.out)
+    return 0
+
+
 @command("transcribe")
 def cmd_transcribe(argv) -> int:
     """Batch wav -> text with CSV + sidecars (reference: AB/wavToWhisper.py)."""

@@ -1,0 +1,177 @@
+"""HF export round-trip: export(port(sd)) == sd bit-exact, and the exported
+dict strict-loads into a freshly constructed HF model (the audax->HF
+direction of the porting contract; import direction in test_whisper.py /
+test_causal_lm.py)."""
+
+import numpy as np
+import pytest
+
+from audax.core.config import WhisperConfig
+from audax.models.export import (export_causal_lm_state_dict,
+                                 export_whisper_state_dict,
+                                 hf_causal_lm_config_dict,
+                                 hf_whisper_config_dict)
+
+TINY = WhisperConfig(n_mels=16, n_audio_ctx=32, d_model=32, encoder_layers=2,
+                     decoder_layers=2, heads=2, vocab_size=111, n_text_ctx=24)
+
+
+def _hf_whisper():
+    torch = pytest.importorskip("torch")
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+    hf_cfg = HFConfig(
+        vocab_size=TINY.vocab_size, num_mel_bins=TINY.n_mels,
+        encoder_layers=TINY.encoder_layers, encoder_attention_heads=TINY.heads,
+        decoder_layers=TINY.decoder_layers, decoder_attention_heads=TINY.heads,
+        d_model=TINY.d_model, decoder_ffn_dim=4 * TINY.d_model,
+        encoder_ffn_dim=4 * TINY.d_model,
+        max_source_positions=TINY.n_audio_ctx,
+        max_target_positions=TINY.n_text_ctx,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1, suppress_tokens=[], begin_suppress_tokens=[],
+    )
+    torch.manual_seed(0)
+    return WhisperForConditionalGeneration(hf_cfg).eval()
+
+
+def _assert_roundtrip(src_sd, exported):
+    src = {k: v.detach().cpu().numpy() for k, v in src_sd.items()}
+    extra = set(exported) - set(src)
+    assert not extra, f"exported keys not in HF state_dict: {sorted(extra)}"
+    missing = set(src) - set(exported)
+    assert not missing, f"HF keys missing from export: {sorted(missing)}"
+    for k, v in src.items():
+        np.testing.assert_array_equal(exported[k], v, err_msg=k)
+
+
+def _strict_load(hf_new, exported):
+    import torch
+    hf_new.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                            for k, v in exported.items()}, strict=True)
+
+
+def test_whisper_export_roundtrip():
+    pytest.importorskip("torch")
+    hf = _hf_whisper()
+    from audax.models.port import port_whisper_from_hf
+    params = port_whisper_from_hf(hf)
+    exported = export_whisper_state_dict(params, TINY)
+    _assert_roundtrip(hf.state_dict(), exported)
+    _strict_load(_hf_whisper(), exported)
+
+
+def test_whisper_export_config_reimports():
+    from transformers import WhisperConfig as HFConfig
+    from audax.models.port import whisper_config_from_hf
+    cfg2 = whisper_config_from_hf(HFConfig(**hf_whisper_config_dict(TINY)))
+    assert cfg2 == TINY
+
+
+@pytest.mark.parametrize("tie", [True, False])
+def test_qwen2_export_roundtrip(tie):
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    hc = Qwen2Config(
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+        rope_theta=1e4, rms_norm_eps=1e-6, tie_word_embeddings=tie,
+        max_position_embeddings=128, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(hc).eval()
+    from audax.models.causal_lm import port_causal_lm_from_hf
+    params, cfg = port_causal_lm_from_hf(hf)
+    exported = export_causal_lm_state_dict(params, cfg)
+    _assert_roundtrip(hf.state_dict(), exported)
+    _strict_load(Qwen2ForCausalLM(hc), exported)
+    # config re-imports to the same family knobs
+    d = hf_causal_lm_config_dict(cfg)
+    assert d["model_type"] == "qwen2" and d["tie_word_embeddings"] == tie
+
+
+def test_qwen3_export_roundtrip():
+    torch = pytest.importorskip("torch")
+    try:
+        from transformers import Qwen3Config, Qwen3ForCausalLM
+    except ImportError:
+        pytest.skip("transformers lacks Qwen3")
+    hc = Qwen3Config(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+        head_dim=16, rope_theta=1e6, tie_word_embeddings=True,
+        max_position_embeddings=64, attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    hf = Qwen3ForCausalLM(hc).eval()
+    from audax.models.causal_lm import port_causal_lm_from_hf
+    params, cfg = port_causal_lm_from_hf(hf)
+    exported = export_causal_lm_state_dict(params, cfg)
+    _assert_roundtrip(hf.state_dict(), exported)
+    _strict_load(Qwen3ForCausalLM(hc), exported)
+    assert hf_causal_lm_config_dict(cfg)["head_dim"] == 16
+
+
+def test_qwen3_moe_export_roundtrip():
+    torch = pytest.importorskip("torch")
+    try:
+        from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+    except ImportError:
+        pytest.skip("transformers lacks Qwen3-MoE")
+    hc = Qwen3MoeConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+        head_dim=8, rope_theta=1e6, tie_word_embeddings=True,
+        max_position_embeddings=64, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=16, norm_topk_prob=True, decoder_sparse_step=1,
+        mlp_only_layers=[], attn_implementation="eager",
+    )
+    torch.manual_seed(2)
+    hf = Qwen3MoeForCausalLM(hc).eval()
+    from audax.models.causal_lm import port_causal_lm_from_hf
+    params, cfg = port_causal_lm_from_hf(hf)
+    exported = export_causal_lm_state_dict(params, cfg)
+    _assert_roundtrip(hf.state_dict(), exported)
+    _strict_load(Qwen3MoeForCausalLM(hc), exported)
+    assert hf_causal_lm_config_dict(cfg)["model_type"] == "qwen3_moe"
+
+
+def test_export_hf_cli_roundtrip(tmp_path):
+    """orbax ckpt + sidecar -> `export-hf` -> a directory transformers
+    actually loads with from_pretrained, weights intact."""
+    torch = pytest.importorskip("torch")
+    import dataclasses
+    import json
+
+    import jax
+
+    from audax.cli.main import _COMMANDS
+    from audax.models.whisper import init_whisper_params
+    from audax.train.checkpoints import save_pytree
+
+    params = init_whisper_params(TINY, jax.random.key(0))
+    ckpt = str(tmp_path / "ckpt")
+    save_pytree(ckpt, params)
+    with open(ckpt + ".config.json", "w") as fh:
+        json.dump(dataclasses.asdict(TINY), fh)
+    out = str(tmp_path / "hf")
+    assert _COMMANDS["export-hf"](["--ckpt", ckpt, "--out", out]) == 0
+
+    from transformers import WhisperForConditionalGeneration
+    hf = WhisperForConditionalGeneration.from_pretrained(out)
+    np.testing.assert_array_equal(
+        hf.model.decoder.embed_tokens.weight.detach().numpy(),
+        np.asarray(params["decoder"]["embed"]))
+    np.testing.assert_array_equal(
+        hf.model.encoder.conv1.weight.detach().numpy(),
+        np.asarray(params["encoder"]["conv1"]["kernel"]).transpose(2, 1, 0))
+
+
+def test_export_rejects_quantized_tree():
+    from audax.models.quantize import quantize_tree
+    from audax.models.whisper import init_whisper_params
+    import jax
+    params = init_whisper_params(TINY, jax.random.PRNGKey(0))
+    qparams = quantize_tree(params, bits=8)
+    with pytest.raises(ValueError, match="quantized"):
+        export_whisper_state_dict(qparams, TINY)

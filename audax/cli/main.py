@@ -303,6 +303,10 @@ def cmd_export_hf(argv) -> int:
                         "sidecar exists")
     p.add_argument("--config", default="",
                    help="explicit config JSON (overrides the sidecar)")
+    p.add_argument("--lora-ckpt", default="",
+                   help="LoRA adapter checkpoint (finetune --lora) to merge "
+                        "into the base weights before export")
+    p.add_argument("--lora-alpha", type=float, default=16.0)
     args = p.parse_args(argv)
     import json
 
@@ -312,6 +316,10 @@ def cmd_export_hf(argv) -> int:
     from audax.train.checkpoints import load_pytree
     cfg_path = args.config or (args.ckpt.rstrip("/") + ".config.json")
     params = load_pytree(args.ckpt)
+    if args.lora_ckpt:
+        from audax.models.lora import merge_lora
+        params = merge_lora(params, load_pytree(args.lora_ckpt),
+                            alpha=args.lora_alpha)
     if args.kind == "whisper":
         from audax.core.config import WhisperConfig
         from audax.models.export import (export_whisper_state_dict,

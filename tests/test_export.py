@@ -167,6 +167,43 @@ def test_export_hf_cli_roundtrip(tmp_path):
         np.asarray(params["encoder"]["conv1"]["kernel"]).transpose(2, 1, 0))
 
 
+def test_export_hf_cli_merges_lora(tmp_path):
+    """--lora-ckpt folds the adapter into the exported weights
+    (merge_lora semantics: kernel += (B@A).T * alpha/rank)."""
+    torch = pytest.importorskip("torch")
+    import dataclasses
+    import json
+
+    import jax
+
+    from audax.cli.main import _COMMANDS
+    from audax.models.lora import init_lora, merge_lora
+    from audax.models.whisper import init_whisper_params
+    from audax.train.checkpoints import save_pytree
+
+    params = init_whisper_params(TINY, jax.random.key(0))
+    lora = init_lora(params, rank=2, targets=["attn/q", "attn/v"],
+                     rng=jax.random.key(1))
+    # non-zero B so the merge actually changes weights
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    ckpt, lck = str(tmp_path / "ckpt"), str(tmp_path / "lora")
+    save_pytree(ckpt, params)
+    save_pytree(lck, lora)
+    with open(ckpt + ".config.json", "w") as fh:
+        json.dump(dataclasses.asdict(TINY), fh)
+    out = str(tmp_path / "hf")
+    assert _COMMANDS["export-hf"](["--ckpt", ckpt, "--out", out,
+                                   "--lora-ckpt", lck]) == 0
+    from transformers import WhisperForConditionalGeneration
+    hf = WhisperForConditionalGeneration.from_pretrained(out)
+    merged = merge_lora(params, lora)
+    got = hf.model.encoder.layers[0].self_attn.q_proj.weight.detach().numpy()
+    want = np.asarray(merged["encoder"]["layers"]["attn"]["q"]["kernel"])[0].T
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert np.abs(want.T - np.asarray(
+        params["encoder"]["layers"]["attn"]["q"]["kernel"])[0]).max() > 0
+
+
 def test_export_rejects_quantized_tree():
     from audax.models.quantize import quantize_tree
     from audax.models.whisper import init_whisper_params

@@ -307,6 +307,11 @@ def cmd_export_hf(argv) -> int:
                    help="LoRA adapter checkpoint (finetune --lora) to merge "
                         "into the base weights before export")
     p.add_argument("--lora-alpha", type=float, default=16.0)
+    p.add_argument("--format", default="safetensors",
+                   choices=["safetensors", "bin"],
+                   help="safetensors (default; tied aliases dropped — "
+                        "from_pretrained re-ties via the config) or a "
+                        "classic pytorch_model.bin")
     args = p.parse_args(argv)
     import json
 
@@ -350,8 +355,21 @@ def cmd_export_hf(argv) -> int:
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "config.json"), "w") as fh:
         json.dump(hf_cfg, fh, indent=2)
-    torch.save({k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
-               os.path.join(args.out, "pytorch_model.bin"))
+    # order="C": orbax restores can be non-C-contiguous views, which both
+    # torch.from_numpy and safetensors' shared-storage check choke on
+    tensors = {k: torch.from_numpy(np.array(v, order="C"))
+               for k, v in sd.items()}
+    if args.format == "safetensors":
+        # tied aliases share storage, which safetensors refuses; HF models
+        # re-tie them from the config (_tied_weights_keys) at load time
+        tied = (["proj_out.weight"] if args.kind == "whisper"
+                else ["lm_head.weight"] if cfg.tie_embeddings else [])
+        for k in tied:
+            tensors.pop(k, None)
+        from safetensors.torch import save_file
+        save_file(tensors, os.path.join(args.out, "model.safetensors"))
+    else:
+        torch.save(tensors, os.path.join(args.out, "pytorch_model.bin"))
     log.success("exported %s (%s) -> %s (%d tensors)",
                 args.ckpt, args.kind, args.out, len(sd))
     print(args.out)

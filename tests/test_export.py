@@ -136,9 +136,11 @@ def test_qwen3_moe_export_roundtrip():
     assert hf_causal_lm_config_dict(cfg)["model_type"] == "qwen3_moe"
 
 
-def test_export_hf_cli_roundtrip(tmp_path):
+@pytest.mark.parametrize("fmt", ["safetensors", "bin"])
+def test_export_hf_cli_roundtrip(tmp_path, fmt):
     """orbax ckpt + sidecar -> `export-hf` -> a directory transformers
-    actually loads with from_pretrained, weights intact."""
+    actually loads with from_pretrained, weights intact and proj_out
+    re-tied (safetensors drops tied aliases; bin keeps them)."""
     torch = pytest.importorskip("torch")
     import dataclasses
     import json
@@ -155,13 +157,19 @@ def test_export_hf_cli_roundtrip(tmp_path):
     with open(ckpt + ".config.json", "w") as fh:
         json.dump(dataclasses.asdict(TINY), fh)
     out = str(tmp_path / "hf")
-    assert _COMMANDS["export-hf"](["--ckpt", ckpt, "--out", out]) == 0
+    assert _COMMANDS["export-hf"](["--ckpt", ckpt, "--out", out,
+                                   "--format", fmt]) == 0
+    fname = "model.safetensors" if fmt == "safetensors" else \
+        "pytorch_model.bin"
+    assert (tmp_path / "hf" / fname).exists()
 
     from transformers import WhisperForConditionalGeneration
     hf = WhisperForConditionalGeneration.from_pretrained(out)
+    embed = np.asarray(params["decoder"]["embed"])
     np.testing.assert_array_equal(
-        hf.model.decoder.embed_tokens.weight.detach().numpy(),
-        np.asarray(params["decoder"]["embed"]))
+        hf.model.decoder.embed_tokens.weight.detach().numpy(), embed)
+    np.testing.assert_array_equal(
+        hf.proj_out.weight.detach().numpy(), embed)   # tie survives load
     np.testing.assert_array_equal(
         hf.model.encoder.conv1.weight.detach().numpy(),
         np.asarray(params["encoder"]["conv1"]["kernel"]).transpose(2, 1, 0))

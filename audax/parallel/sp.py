@@ -34,11 +34,12 @@ try:                                   # jax >= 0.4.35
 except ImportError:                    # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from audax.core.config import WhisperConfig
-from audax.models.whisper import (conv_stem, dense, layer_norm, _merge_heads,
-                                  _mlp, _split_heads)
+from audax.core.config import FineTuneConfig, WhisperConfig
+from audax.models.whisper import (conv_stem, decode_train, dense, layer_norm,
+                                  _merge_heads, _mlp, _split_heads)
 
-__all__ = ["encode_sequence_parallel"]
+__all__ = ["encode_sequence_parallel", "sp_whisper_forward",
+           "make_sp_finetune_step"]
 
 
 def _ring_attention(q, k, v, *, seq_axis: str, n_seq: int, dtype):
@@ -114,6 +115,28 @@ def encode_sequence_parallel(
     enc_layers = params["encoder"]["layers"]
     enc_ln = params["encoder"]["ln"]
 
+    sharded = shard_map(
+        _make_local_stack(cfg, seq_axis=seq_axis, n_seq=n_seq, ring=ring),
+        mesh=mesh,
+        in_specs=(P(data_axis, seq_axis, None), P(), P()),
+        out_specs=P(data_axis, seq_axis, None),
+    )
+    # sharding constraint (jit-compatible; device_put would be a transfer)
+    x = lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(data_axis, seq_axis, None)))
+    return sharded(x, enc_layers, enc_ln)
+
+
+def _make_local_stack(cfg: WhisperConfig, *, seq_axis: str, n_seq: int,
+                      ring: bool):
+    """Per-device encoder transformer stack over a local frame block.
+
+    Shared by the inference path (``encode_sequence_parallel``) and the
+    training path (``sp_whisper_forward``): the body is plain traceable JAX,
+    so ``jax.grad`` through the enclosing ``shard_map`` transposes the
+    ``ppermute`` ring (inverse permutation) and the online-softmax scan —
+    gradients w.r.t. both activations AND layer params are exact."""
+
     def local_stack(x_local, layers, ln):
         """Runs on each device: x_local [B, S/p, d]."""
 
@@ -142,12 +165,88 @@ def encode_sequence_parallel(
         x_local, _ = lax.scan(body, x_local, layers)
         return layer_norm(ln, x_local)
 
+    return local_stack
+
+
+def sp_whisper_forward(params, cfg: WhisperConfig, mel: jnp.ndarray,
+                       tokens: jnp.ndarray, mesh: Mesh, *,
+                       seq_axis: str = "seq", data_axis: str = "data",
+                       dtype=jnp.float32, ring: bool = True) -> jnp.ndarray:
+    """Differentiable seq2seq forward with the ENCODER sequence-parallel.
+
+    Long-audio training (>30 s windows) shards the mel-frame axis over
+    ``seq_axis`` through the encoder stack; the decoder (short label rows)
+    runs batch-sharded over ``data_axis``, cross-attending over the
+    re-gathered encoder states (GSPMD inserts the all-gather from the
+    sharding constraint). NOT def-site jitted: this is a training-forward
+    meant to live under the caller's jitted loss/grad.
+
+    The reference's long-context answer was chunking at data-prep time
+    (SURVEY.md §5); this is the TPU-native capability replacing it.
+    """
+    x = conv_stem(params, cfg, mel, dtype)           # [B, S, d]
+    n_seq = mesh.shape[seq_axis]
+    if x.shape[1] % n_seq:
+        raise ValueError(f"sequence {x.shape[1]} not divisible by "
+                         f"seq axis {n_seq}")
+    if x.shape[0] % mesh.shape[data_axis]:
+        raise ValueError(f"batch {x.shape[0]} not divisible by "
+                         f"data axis {mesh.shape[data_axis]}")
     sharded = shard_map(
-        local_stack, mesh=mesh,
+        _make_local_stack(cfg, seq_axis=seq_axis, n_seq=n_seq, ring=ring),
+        mesh=mesh,
         in_specs=(P(data_axis, seq_axis, None), P(), P()),
         out_specs=P(data_axis, seq_axis, None),
     )
-    # sharding constraint (jit-compatible; device_put would be a transfer)
     x = lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(data_axis, seq_axis, None)))
-    return sharded(x, enc_layers, enc_ln)
+    enc = sharded(x, params["encoder"]["layers"], params["encoder"]["ln"])
+    # decoder: batch over 'data', full (gathered) encoder states per device
+    enc = lax.with_sharding_constraint(
+        enc, NamedSharding(mesh, P(data_axis, None, None)))
+    return decode_train(params, cfg, tokens, enc, dtype)
+
+
+def make_sp_finetune_step(model_cfg: WhisperConfig, mesh: Mesh,
+                          cfg: FineTuneConfig, *, seq_axis: str = "seq",
+                          data_axis: str = "data", dtype=jnp.float32,
+                          ring: bool = True):
+    """Jitted DP x SP fine-tune step (same contract as
+    train/seq2seq.py:make_finetune_step): batch = {"mel",
+    "decoder_input_ids", "labels"}, returns (new_state, {"loss"}).
+
+    Gradients flow through the ring-attention ``shard_map``: the
+    ``ppermute`` K/V rotations transpose to the inverse ring (the same
+    trick that made PP training differentiable, parallel/pp.py), so the
+    update is exactly the single-device fine-tune step's — asserted by
+    tests/test_sp.py and the multichip dryrun SP-train stage.
+    """
+    import optax
+    from audax.models.lora import apply_lora
+    from audax.train.seq2seq import seq2seq_loss
+
+    def params_of(trainable, state):
+        if state.use_lora:
+            return apply_lora(jax.lax.stop_gradient(state.base_params),
+                              trainable, state.lora_alpha)
+        return trainable
+
+    def loss_fn(trainable, state, batch):
+        logits = sp_whisper_forward(
+            params_of(trainable, state), model_cfg, batch["mel"],
+            batch["decoder_input_ids"], mesh, seq_axis=seq_axis,
+            data_axis=data_axis, dtype=dtype, ring=ring)
+        return seq2seq_loss(logits.astype(jnp.float32), batch["labels"])
+
+    @jax.jit
+    def step(state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.trainable, state,
+                                                  batch)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        new = state.replace(step=state.step + 1, trainable=trainable,
+                            opt_state=opt_state)
+        return new, {"loss": loss}
+
+    return step

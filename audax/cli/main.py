@@ -299,6 +299,7 @@ def cmd_export_hf(argv) -> int:
     p.add_argument("--kind", default="whisper",
                    choices=["whisper", "causal-lm"])
     p.add_argument("--size", default="",
+                   choices=["", "tiny", "base", "small", "large-v3"],
                    help="whisper size preset when no <ckpt>.config.json "
                         "sidecar exists")
     p.add_argument("--config", default="",
@@ -315,6 +316,7 @@ def cmd_export_hf(argv) -> int:
     args = p.parse_args(argv)
     import json
 
+    import jax
     import numpy as np
     import torch
 
@@ -339,6 +341,16 @@ def cmd_export_hf(argv) -> int:
         else:
             raise FileNotFoundError(
                 f"no config sidecar at {cfg_path}; pass --size or --config")
+        # a --size smaller than the checkpoint would silently truncate
+        # layers in _unstack (export "succeeds" with missing layers)
+        for tower, want in (("encoder", cfg.encoder_layers),
+                            ("decoder", cfg.decoder_layers)):
+            have = int(np.shape(jax.tree.leaves(
+                params[tower]["layers"])[0])[0])
+            if have != want:
+                raise ValueError(
+                    f"config mismatch: checkpoint has {have} {tower} "
+                    f"layers, config says {want} — wrong --size/--config?")
         sd = export_whisper_state_dict(params, cfg)
         hf_cfg = hf_whisper_config_dict(cfg)
     else:
@@ -356,9 +368,17 @@ def cmd_export_hf(argv) -> int:
     with open(os.path.join(args.out, "config.json"), "w") as fh:
         json.dump(hf_cfg, fh, indent=2)
     # order="C": orbax restores can be non-C-contiguous views, which both
-    # torch.from_numpy and safetensors' shared-storage check choke on
-    tensors = {k: torch.from_numpy(np.array(v, order="C"))
-               for k, v in sd.items()}
+    # torch.from_numpy and safetensors' shared-storage check choke on.
+    # ml_dtypes floats (bf16 checkpoints from `finetune --dtype bfloat16`)
+    # have no torch buffer protocol — upcast them to f32 first
+    def _to_torch(v):
+        v = np.array(v, order="C")
+        if v.dtype.kind == "V" or v.dtype.name in ("bfloat16", "float8_e4m3",
+                                                   "float8_e5m2"):
+            v = v.astype(np.float32)
+        return torch.from_numpy(v)
+
+    tensors = {k: _to_torch(v) for k, v in sd.items()}
     if args.format == "safetensors":
         # tied aliases share storage, which safetensors refuses; HF models
         # re-tie them from the config (_tied_weights_keys) at load time

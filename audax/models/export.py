@@ -132,7 +132,40 @@ def hf_whisper_config_dict(cfg: WhisperConfig) -> Dict[str, Any]:
         d.update(pad_token_id=0, bos_token_id=1, eos_token_id=2,
                  decoder_start_token_id=1, suppress_tokens=[],
                  begin_suppress_tokens=[])
+    else:
+        # real multilingual vocab: emit the standard whisper ids — HF's
+        # GPT-2 defaults (decoder_start 50257, eos/pad 50256) are WRONG for
+        # the whisper layout (sot=50258, eot=50257) and would make
+        # ``from_pretrained(dir).generate()`` start/stop on the wrong
+        # tokens. Suppress lists mirror the published openai/whisper
+        # config.json: the fixed base-vocab symbol set plus <|sot|> and the
+        # task/context specials, whose ids shift with the language count
+        # (99 languages at 51865; large-v3 adds yue -> 51866).
+        eot, sot = 50257, 50258
+        translate = sot + 1 + (99 if cfg.vocab_size == 51865 else 100)
+        d.update(
+            pad_token_id=eot, bos_token_id=eot, eos_token_id=eot,
+            decoder_start_token_id=sot,
+            suppress_tokens=_WHISPER_SYMBOL_SUPPRESS + [sot] +
+                            list(range(translate, translate + 5)),
+            begin_suppress_tokens=[220, eot])
     return d
+
+
+# openai's default non-speech suppression set over the base GPT-2-style
+# vocab (annotation brackets, music symbols, speaker dashes) — identical
+# across every multilingual whisper size; the published checkpoints ship
+# exactly this list in config.json (consumed by the reference through
+# openai-whisper's transcribe defaults, AB/wavToWhisper.py:10-13)
+_WHISPER_SYMBOL_SUPPRESS = [
+    1, 2, 7, 8, 9, 10, 14, 25, 26, 27, 28, 29, 31, 58, 59, 60, 61, 62, 63,
+    90, 91, 92, 93, 359, 503, 522, 542, 873, 893, 902, 918, 922, 931, 1350,
+    1853, 1982, 2460, 2627, 3246, 3253, 3268, 3536, 3846, 3961, 4183, 4667,
+    6585, 6647, 7273, 9061, 9383, 10428, 10929, 11938, 12033, 12331, 12562,
+    13793, 14157, 14635, 15265, 15618, 16553, 16604, 18362, 18956, 20075,
+    21675, 22520, 26130, 26161, 26435, 28279, 29464, 31650, 32302, 32470,
+    36865, 42863, 47425, 49870, 50254,
+]
 
 
 def export_causal_lm_state_dict(params: Mapping, cfg) -> Dict[str, np.ndarray]:
@@ -193,7 +226,11 @@ def hf_causal_lm_config_dict(cfg) -> Dict[str, Any]:
         "num_hidden_layers": cfg.layers,
         "num_attention_heads": cfg.heads,
         "num_key_value_heads": cfg.kv_heads,
-        "intermediate_size": cfg.ffn_dim,
+        # derived properties, not the raw fields: audax-native configs
+        # legitimately leave ffn_dim/moe_ffn_dim 0 (width derived), and a
+        # raw 0 here would make HF construct zero-width MLPs that
+        # shape-mismatch the exported tensors
+        "intermediate_size": cfg.ffn,
         "rope_theta": cfg.rope_theta,
         "rms_norm_eps": cfg.rms_eps,
         "tie_word_embeddings": cfg.tie_embeddings,
@@ -204,7 +241,7 @@ def hf_causal_lm_config_dict(cfg) -> Dict[str, Any]:
     if moe:
         d.update(num_experts=cfg.num_experts,
                  num_experts_per_tok=cfg.experts_per_tok,
-                 moe_intermediate_size=cfg.moe_ffn_dim,
+                 moe_intermediate_size=cfg.moe_ffn,
                  norm_topk_prob=cfg.norm_topk_prob,
                  decoder_sparse_step=1, mlp_only_layers=[])
     return d

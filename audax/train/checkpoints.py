@@ -49,12 +49,29 @@ def save_pytree(path: str, tree: Any, *, block: bool = True
 
 def load_pytree(path: str, target: Optional[Any] = None) -> Any:
     """Restore a pytree; with ``target`` the result matches its structure,
-    dtypes, and shardings."""
+    dtypes, and shardings.
+
+    Without ``target``, restores are backend-portable: orbax's recorded
+    shardings name the devices that SAVED the tree (e.g. TFRT_CPU_0 from a
+    CPU-pinned trainer), and replaying them verbatim fails in a process
+    whose backend differs (the axon-TPU CLI exporting a CPU-trained
+    checkpoint). Fall back to plain numpy restoration in that case —
+    callers re-place on whatever mesh they need."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    if target is None:
+    if target is not None:
+        return ckptr.restore(path, target)
+    try:
         return ckptr.restore(path)
-    return ckptr.restore(path, target)
+    except ValueError:
+        import numpy as np
+        with ocp.PyTreeCheckpointer() as ptc:
+            meta = ptc.metadata(path).item_metadata
+            tree = meta.tree if hasattr(meta, "tree") else meta
+            args = jax.tree.map(
+                lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+            return ptc.restore(
+                path, args=ocp.args.PyTreeRestore(restore_args=args))
 
 
 class CheckpointManager:

@@ -220,3 +220,86 @@ def test_export_rejects_quantized_tree():
     qparams = quantize_tree(params, bits=8)
     with pytest.raises(ValueError, match="quantized"):
         export_whisper_state_dict(qparams, TINY)
+
+
+def test_full_vocab_config_emits_whisper_token_ids():
+    """ADVICE r2: for real vocabs the config must carry the whisper
+    special-token layout (sot=50258 start, eot=50257 eos/pad) and the
+    standard suppress lists — HF's GPT-2 defaults would make
+    from_pretrained(dir).generate() start/stop on the wrong tokens."""
+    d = hf_whisper_config_dict(WhisperConfig())          # vocab 51865
+    assert d["decoder_start_token_id"] == 50258
+    assert d["eos_token_id"] == d["pad_token_id"] == 50257
+    assert d["begin_suppress_tokens"] == [220, 50257]
+    sup = d["suppress_tokens"]
+    assert 50258 in sup and 50362 in sup and 50363 not in sup
+    assert sup == sorted(sup)
+
+    d3 = hf_whisper_config_dict(WhisperConfig.large_v3())  # vocab 51866
+    assert d3["decoder_start_token_id"] == 50258
+    # large-v3 adds one language token: task/context specials shift by 1
+    assert 50363 in d3["suppress_tokens"] and 50364 not in d3["suppress_tokens"]
+
+
+def test_lm_config_uses_derived_ffn_widths():
+    """ADVICE r2: configs that leave ffn_dim/moe_ffn_dim 0 (width derived
+    via cfg.ffn) must not export intermediate_size: 0."""
+    from audax.models.causal_lm import CausalLMConfig
+    cfg = CausalLMConfig(vocab_size=64, d_model=96, layers=1, heads=2,
+                         kv_heads=1, ffn_dim=0, num_experts=2,
+                         experts_per_tok=1, moe_ffn_dim=0)
+    d = hf_causal_lm_config_dict(cfg)
+    assert d["intermediate_size"] == cfg.ffn > 0
+    assert d["moe_intermediate_size"] == cfg.moe_ffn > 0
+
+
+def test_export_hf_cli_upcasts_bf16(tmp_path):
+    """ADVICE r2: bf16 checkpoint leaves (ml_dtypes) have no torch buffer
+    protocol; export upcasts to f32 instead of crashing."""
+    pytest.importorskip("torch")
+    import dataclasses
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from audax.cli.main import _COMMANDS
+    from audax.models.whisper import init_whisper_params
+    from audax.train.checkpoints import save_pytree
+
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          init_whisper_params(TINY, jax.random.key(0)))
+    ckpt = str(tmp_path / "ckpt")
+    save_pytree(ckpt, params)
+    with open(ckpt + ".config.json", "w") as fh:
+        json.dump(dataclasses.asdict(TINY), fh)
+    out = str(tmp_path / "hf")
+    assert _COMMANDS["export-hf"](["--ckpt", ckpt, "--out", out]) == 0
+    from transformers import WhisperForConditionalGeneration
+    hf = WhisperForConditionalGeneration.from_pretrained(out)
+    np.testing.assert_array_equal(
+        hf.model.decoder.embed_tokens.weight.detach().numpy(),
+        np.asarray(params["decoder"]["embed"]).astype(np.float32))
+
+
+def test_export_hf_cli_rejects_layer_mismatch(tmp_path):
+    """ADVICE r2: a --size/config whose layer count disagrees with the
+    checkpoint's stacked layer axis must error, not silently truncate."""
+    import dataclasses
+    import json
+
+    import jax
+
+    from audax.cli.main import _COMMANDS
+    from audax.models.whisper import init_whisper_params
+    from audax.train.checkpoints import save_pytree
+
+    params = init_whisper_params(TINY, jax.random.key(0))
+    ckpt = str(tmp_path / "ckpt")
+    save_pytree(ckpt, params)
+    bad = dataclasses.replace(TINY, encoder_layers=1)
+    with open(ckpt + ".config.json", "w") as fh:
+        json.dump(dataclasses.asdict(bad), fh)
+    with pytest.raises(ValueError, match="config mismatch"):
+        _COMMANDS["export-hf"](["--ckpt", ckpt,
+                                "--out", str(tmp_path / "hf")])

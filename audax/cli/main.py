@@ -51,6 +51,34 @@ def _add_mel_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fft", type=int, default=0)
 
 
+def _add_mesh_flags(p: argparse.ArgumentParser) -> None:
+    """Parallelism knobs shared by the training/serving surfaces. The
+    reference is strictly single-device (SURVEY.md §2.3); on TPU these pick
+    the (data, model) mesh layout and XLA inserts the ICI collectives."""
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel axis size (0 = no mesh; -1 = all "
+                        "devices not taken by --tp)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel axis size (Megatron head/ffn "
+                        "split; must divide the device count)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard params + Adam moments over the "
+                        "data axis (cuts per-chip optimizer memory ~dp-fold)")
+
+
+def _mesh_from_args(args):
+    """(mesh, fsdp) from --dp/--tp/--fsdp; (None, False) = single device."""
+    if not (args.dp or args.tp > 1 or args.fsdp):
+        return None, False
+    from audax.core.config import MeshConfig
+    from audax.parallel.mesh import make_mesh
+    mesh = make_mesh(MeshConfig(data=args.dp if args.dp else -1,
+                                model=args.tp))
+    log.info("mesh: %s over %d devices%s", dict(mesh.shape),
+             mesh.devices.size, " + FSDP" if args.fsdp else "")
+    return mesh, args.fsdp
+
+
 @command("preprocess")
 def cmd_preprocess(argv) -> int:
     p = argparse.ArgumentParser(prog="audax preprocess")
@@ -615,9 +643,18 @@ def cmd_finetune(argv) -> int:
                    help=">0: Polyak/EMA-average the trainable params; WER "
                         "eval + the saved checkpoint use the averaged "
                         "weights (e.g. 0.999)")
+    p.add_argument("--chunk-seconds", type=float, default=30.0,
+                   help="audio window (default whisper's 30 s). Shorter "
+                        "windows shrink the encoder context to match — "
+                        "clips like the 4 s UrbanSound corpus then stop "
+                        "paying 7.5x padded-window compute; checkpoint "
+                        "encoder positions are sliced accordingly")
+    _add_mesh_flags(p)
     args = p.parse_args(argv)
 
     from audax.core.config import FineTuneConfig, MelConfig
+    import jax
+
     from audax.core.runtime import setup
     from audax.infer.transcribe import Transcriber
     from audax.train.checkpoints import save_pytree
@@ -641,32 +678,50 @@ def cmd_finetune(argv) -> int:
 
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
     mel_cfg = MelConfig.whisper(cfg.n_mels)
+    if args.chunk_seconds != 30.0:
+        ctx = int(args.chunk_seconds * mel_cfg.sample_rate) \
+            // mel_cfg.hop_length // 2
+        cfg = replace(cfg, n_audio_ctx=ctx)
+        enc = dict(params["encoder"])
+        if enc["pos"].shape[0] < ctx:
+            raise ValueError(f"--chunk-seconds {args.chunk_seconds} needs "
+                             f"{ctx} encoder positions; checkpoint has "
+                             f"{enc['pos'].shape[0]}")
+        enc["pos"] = enc["pos"][:ctx]
+        params = {**params, "encoder": enc}
     examples = build_speech_dataset(args.audio_dir, tok, mel_cfg,
                                     transcript=args.transcript,
-                                    labels_csv=args.labels_csv)
+                                    labels_csv=args.labels_csv,
+                                    chunk_seconds=args.chunk_seconds)
     if not examples:
         print("no training examples", file=sys.stderr)
         return 1
 
     before = None
     if args.compare_csv:
-        tr0 = Transcriber(params, cfg, tok)
+        tr0 = Transcriber(params, cfg, tok,
+                          chunk_seconds=args.chunk_seconds)
         before = {ex["file"]: tr0.transcribe(ex["audio"]).text
                   for ex in examples}
 
+    mesh, fsdp = _mesh_from_args(args)
     sink = MetricsSink("whisper_ft", config=ft.asdict())
     state, history = finetune_whisper(params, cfg, tok, examples, ft,
                                       mel_cfg=mel_cfg, sink=sink,
-                                      eval_examples=examples)
+                                      eval_examples=examples,
+                                      mesh=mesh, fsdp=fsdp)
     sink.close()
     serving = history["best_params"] or state.model_params()
+    if mesh is not None:
+        serving = jax.device_get(serving)   # portable unsharded checkpoint
     save_pytree(args.out, serving)
     log.success("saved fine-tuned params -> %s (best WER %.3f)", args.out,
                 history["best_wer"])
 
     if args.compare_csv:
         import csv as _csv
-        tr1 = Transcriber(serving, cfg, tok)
+        tr1 = Transcriber(serving, cfg, tok,
+                          chunk_seconds=args.chunk_seconds)
         with open(args.compare_csv, "w", newline="") as fh:
             w = _csv.DictWriter(fh, fieldnames=["file", "target", "previous",
                                                 "finetuned"])
@@ -817,6 +872,7 @@ def cmd_serve(argv) -> int:
     p.add_argument("--suppress-blank", action="store_true",
                    help="ban ' '/EOT at each request's first generated "
                         "position (whisper SuppressBlank)")
+    _add_mesh_flags(p)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -827,11 +883,19 @@ def cmd_serve(argv) -> int:
 
     setup()
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
+    mesh, _ = _mesh_from_args(args)
+    if mesh is not None:
+        # TP serving: Megatron head/ffn split over 'model', slot batch over
+        # 'data' when divisible — token-equal to the replicated engine
+        # (dryrun stage 12, tests/test_continuous.py)
+        from audax.parallel.sharding import shard_params
+        params = shard_params(params, mesh)
     cb = ContinuousBatcher(
         params, cfg, tok, slots=args.slots, lang=args.lang,
         max_new_tokens=args.max_tokens, steps_per_sync=args.steps_per_sync,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        kv_quant=args.kv_quant, suppress_blank=args.suppress_blank)
+        kv_quant=args.kv_quant, suppress_blank=args.suppress_blank,
+        mesh=mesh)
     if not args.no_warmup:
         log.info("warming up (chunk + admit programs at every bucket)...")
         cb.warmup()
@@ -893,14 +957,28 @@ def cmd_bench_rtf(argv) -> int:
     audio = (0.1 * rng.standard_normal(int(args.seconds * 16000))
              ).astype(np.float32)
     tr.transcribe(audio, batch_chunks=args.batch_chunks)   # compile warmup
-    rtf = min(tr.transcribe(audio, batch_chunks=args.batch_chunks).rtf
-              for _ in range(args.runs))
+    best = min((tr.transcribe(audio, batch_chunks=args.batch_chunks)
+                for _ in range(args.runs)), key=lambda r: r.rtf)
+    rtf = best.rtf
+    # approximate achieved TFLOP/s: 2*params*tokens forward-pass rule
+    # (encoder: n_audio_ctx positions per 30 s window; decoder: one full
+    # forward per emitted token, token count re-derived from the text) —
+    # decode is HBM-bandwidth-bound, so low MFU here is expected and the
+    # number contextualizes RTF against hardware, not a utilization target
+    from audax.utils.profiling import mfu
+    from audax.utils.reports import param_count
+    n_chunks = -(-int(args.seconds * 16000) // (30 * 16000))
+    enc_tok = n_chunks * cfg.n_audio_ctx
+    dec_tok = len(tok.encode(best.text)) + 6 * n_chunks
+    flops = (2 * param_count(params["encoder"]) * enc_tok
+             + 2 * param_count(params["decoder"]) * dec_tok)
     print(json.dumps({"metric": "whisper_rtf", "size": args.size,
                       "dtype": args.dtype + ("+" + args.quantize if args.quantize else "")
                       + ("+int8kv" if args.kv_quant else ""),
                       "fallback_ladder": not args.no_fallback,
                       "seconds": args.seconds,
-                      "value": round(rtf, 5), "target": 0.05}))
+                      "value": round(rtf, 5), "target": 0.05,
+                      **mfu(flops, best.wall_seconds)}))
     return 0 if rtf <= 0.05 else 1
 
 
@@ -1203,6 +1281,7 @@ def cmd_bench_train(argv) -> int:
                    choices=["full", "dots", "none"],
                    help="gradient checkpointing: full recompute / save "
                    "matmul outputs / off")
+    _add_mesh_flags(p)
     args = p.parse_args(argv)
 
     import json
@@ -1216,12 +1295,20 @@ def cmd_bench_train(argv) -> int:
     from audax.core.runtime import setup
     from audax.train.seq2seq import (collate_seq2seq, init_finetune,
                                      make_finetune_step)
+    from audax.utils.profiling import mfu
 
     setup()
     params, cfg, tok = _load_whisper(args.size, "", "")
+    mesh, fsdp = _mesh_from_args(args)
+    if mesh is not None:
+        from audax.parallel.sharding import shard_params
+        params = shard_params(params, mesh)
     ft = FineTuneConfig(learning_rate=1e-4, warmup_steps=1, max_steps=10,
                         lora_rank=args.lora_rank)
     state = init_finetune(params, ft)
+    if mesh is not None and fsdp:
+        from audax.parallel.fsdp import fsdp_shard_state
+        state = fsdp_shard_state(state, mesh)
     step = make_finetune_step(
         cfg, remat={"full": True, "dots": "dots", "none": False}[args.remat],
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
@@ -1236,12 +1323,33 @@ def cmd_bench_train(argv) -> int:
     batch = {"mel": mel,
              "decoder_input_ids": jnp.asarray(lab["decoder_input_ids"]),
              "labels": jnp.asarray(lab["labels"])}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch = {k: jax.device_put(v, NamedSharding(
+            mesh, P("data", *([None] * (v.ndim - 1)))))
+            for k, v in batch.items()}
 
     @jax.jit
     def checksum(m):
         return m["loss"]
 
-    state, m = step(state, batch)                    # compile
+    # XLA's own FLOPs for the compiled step -> achieved TFLOP/s + % of v5e
+    # peak; the SAME compiled executable is then executed (an AOT
+    # .lower().compile() does not populate the jit call cache — calling
+    # `step` afterwards would compile the whisper step a second time,
+    # minutes over the tunnel)
+    n_chips = mesh.devices.size if mesh is not None else 1
+    compiled = step.lower(state, batch).compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    step = compiled
+
+    state, m = step(state, batch)
     np.asarray(checksum(m))
     t0 = time.perf_counter()
     for _ in range(args.steps):
@@ -1252,7 +1360,9 @@ def cmd_bench_train(argv) -> int:
         "metric": "finetune_examples_per_sec", "size": args.size,
         "lora_rank": args.lora_rank, "batch_size": b, "dtype": args.dtype,
         "value": round(b / dt, 2), "sec_per_step": round(dt, 4),
-        "audio_seconds_per_sec": round(b * 30.0 / dt, 1)}))
+        "audio_seconds_per_sec": round(b * 30.0 / dt, 1),
+        "mesh": dict(mesh.shape) if mesh is not None else None,
+        "fsdp": bool(fsdp), **mfu(flops, dt, n_chips)}))
     return 0
 
 
@@ -1433,6 +1543,7 @@ def cmd_train_lm(argv) -> int:
                    help="per-expert FFN width (default: dense ffn_dim / "
                         "top_k — iso-FLOPs with the dense preset)")
     p.add_argument("--seed", type=int, default=0)
+    _add_mesh_flags(p)
     args = p.parse_args(argv)
 
     import jax
@@ -1473,8 +1584,10 @@ def cmd_train_lm(argv) -> int:
     params = init_causal_lm(cfg, jax.random.key(args.seed))
     sink = MetricsSink("lm", config={"model": cfg.__dict__.copy(),
                                      "train": train_cfg.__dict__.copy()})
+    mesh, fsdp = _mesh_from_args(args)
     _, history = fit_lm(params, cfg, train_cfg, np.asarray(ids, np.int32),
-                        ckpt_dir=args.out_dir, sink=sink)
+                        ckpt_dir=args.out_dir, sink=sink,
+                        mesh=mesh, fsdp=fsdp)
     sink.close()
     if history:
         last = history[-1]
@@ -1507,6 +1620,7 @@ def cmd_train_music(argv) -> int:
                         "path, e.g. artifacts/lm/best) — the reference "
                         "starts from a pretrained Qwen; this is the hubless "
                         "equivalent. Dims must match --lm-size")
+    _add_mesh_flags(p)
     args = p.parse_args(argv)
 
     import jax
@@ -1548,11 +1662,12 @@ def cmd_train_music(argv) -> int:
          "adapter": model.params["adapter"], "lm": model.params["lm"]},
         trainable={"adapter": True, "lm": True},
         diagram=TWO_TOWER_DIAGRAM))
+    mesh, fsdp = _mesh_from_args(args)
     sink = MetricsSink("two_tower", config=tt.asdict())
     state, history = fit_two_tower(model, ds, chunk_seconds=args.chunk_seconds,
                                    sink=sink, ckpt_dir=args.ckpt_dir,
                                    note_eval_every=args.note_eval_every,
-                                   resume=args.resume)
+                                   resume=args.resume, mesh=mesh, fsdp=fsdp)
     sink.close()
     print(args.ckpt_dir)
     return 0

@@ -107,12 +107,31 @@ def finetune_whisper(
     sink: Optional[MetricsSink] = None,
     eval_examples: Optional[Sequence[Dict]] = None,
     lora_targets: Tuple[str, ...] = ("attn/q", "attn/v"),
+    mesh=None, fsdp: bool = False,
 ) -> Tuple[FTState, Dict]:
     """Step-based fine-tune with periodic WER eval; returns (state, history).
-    ``state.model_params()`` yields serving weights (LoRA merged)."""
+    ``state.model_params()`` yields serving weights (LoRA merged).
+
+    ``mesh`` (a (data, model) jax.sharding.Mesh, parallel/mesh.py:make_mesh)
+    runs the SAME step SPMD: params Megatron-TP-sharded over 'model'
+    (WHISPER_TP_RULES), every batch sharded over 'data' (XLA inserts the
+    gradient all-reduce over ICI) — the BASELINE north star ("LoRA
+    fine-tuning runs as pjit data-parallel over ICI") on the product
+    surface, not just the dryrun. ``fsdp=True`` additionally shards params
+    + Adam moments over 'data' (ZeRO-3, parallel/fsdp.py). Losses are
+    bit-comparable to the single-device run (tests/test_cli_mesh.py).
+    The reference trains strictly single-process (AB/fineTune.py:162-183).
+    """
     mel_cfg = mel_cfg or MelConfig.whisper(model_cfg.n_mels)
     frontend = LogMelFrontend(mel_cfg, whisper_frames=True)
+    if mesh is not None:
+        from audax.parallel.sharding import shard_params
+        # TP layout BEFORE optimizer init: Adam moments inherit it
+        params = shard_params(params, mesh)
     state = init_finetune(params, cfg, lora_targets=lora_targets)
+    if mesh is not None and fsdp:
+        from audax.parallel.fsdp import fsdp_shard_state
+        state = fsdp_shard_state(state, mesh)
     step_fn = make_finetune_step(
         model_cfg, remat=cfg.gradient_checkpointing,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
@@ -130,11 +149,20 @@ def finetune_whisper(
         ema = ema_init(state.trainable)
 
     n = len(examples)
-    # realized batch size: capped by the dataset, rounded down to a multiple
-    # of accum_steps (microbatch split needs equal shares)
+    data_size = mesh.shape.get("data", 1) if mesh is not None else 1
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = {
+            "mel": NamedSharding(mesh, P("data", None, None)),
+            "decoder_input_ids": NamedSharding(mesh, P("data", None)),
+            "labels": NamedSharding(mesh, P("data", None))}
+    # realized batch size: capped by the dataset, rounded to a multiple of
+    # accum_steps x data-axis size (each scanned microbatch must split
+    # evenly over 'data'); tiny datasets round UP (sample with replacement)
+    div = max(1, cfg.accum_steps) * data_size
     bsz = min(cfg.batch_size, n)
-    if cfg.accum_steps > 1:
-        bsz = max(cfg.accum_steps, (bsz // cfg.accum_steps) * cfg.accum_steps)
+    bsz = max(div, (bsz // div) * div)
     for step in range(cfg.max_steps):
         idx = rng.choice(n, size=bsz, replace=n < bsz)
         mel = frontend(jnp.asarray(audio[idx]))
@@ -143,6 +171,9 @@ def finetune_whisper(
         batch = {"mel": mel,
                  "decoder_input_ids": jnp.asarray(coll["decoder_input_ids"]),
                  "labels": jnp.asarray(coll["labels"])}
+        if batch_sharding is not None:
+            batch = {k: jax.device_put(v, batch_sharding[k])
+                     for k, v in batch.items()}
         state, m = step_fn(state, batch)
         if ema is not None:
             ema = ema_update(ema, state.trainable,
@@ -156,7 +187,16 @@ def finetune_whisper(
             # on the averaged weights — the tree you would serve
             serving = (ema_model_params(state, ema) if ema is not None
                        else state.model_params())
-            tr = Transcriber(serving, model_cfg, tokenizer)
+            if mesh is not None:
+                # host copy: the eval transcriber runs replicated (decode
+                # TP has its own surface, infer/decode.py generate(mesh=))
+                serving = jax.device_get(serving)
+            # window derived from the model's (possibly shortened) encoder
+            # context, not hardcoded 30 s (finetune --chunk-seconds)
+            win_s = (2 * model_cfg.n_audio_ctx * mel_cfg.hop_length
+                     / mel_cfg.sample_rate)
+            tr = Transcriber(serving, model_cfg, tokenizer,
+                             chunk_seconds=win_s)
             wer = eval_wer(tr, eval_examples)
             history["wer"].append({"step": step, "wer": wer})
             record["wer"] = 100.0 * wer             # reference logs 100*wer

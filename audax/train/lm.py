@@ -194,9 +194,14 @@ def fit_lm(params: Any, model_cfg: CausalLMConfig, train_cfg: LMTrainConfig,
     step = make_lm_train_step(model_cfg, train_cfg)
     # the donating step consumes its input buffers; train a COPY so the
     # caller's params survive (grid searches / repeated fits reuse them)
-    state = init_lm_state(jax.tree.map(lambda a: jnp.array(a, copy=True),
-                                       params), train_cfg)
+    p0 = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
     sharding = None
+    if mesh is not None and not fsdp and mesh.shape.get("model", 1) > 1:
+        # Megatron TP over 'model' BEFORE optimizer init so the Adam
+        # moments inherit the layout (same order as __graft_entry__)
+        from audax.parallel.sharding import CAUSAL_LM_TP_RULES, shard_params
+        p0 = shard_params(p0, mesh, rules=CAUSAL_LM_TP_RULES)
+    state = init_lm_state(p0, train_cfg)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sharding = NamedSharding(mesh, P("data"))
@@ -205,7 +210,7 @@ def fit_lm(params: Any, model_cfg: CausalLMConfig, train_cfg: LMTrainConfig,
             from audax.parallel.sharding import CAUSAL_LM_TP_RULES
             state = fsdp_shard_state(state, mesh,
                                      rules=CAUSAL_LM_TP_RULES)
-        else:
+        elif mesh.shape.get("model", 1) == 1:
             state = jax.device_put(state, NamedSharding(mesh, P()))
     rng = np.random.default_rng(train_cfg.seed)
     manager = None

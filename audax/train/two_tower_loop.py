@@ -14,6 +14,7 @@ import os
 import shutil
 from typing import Dict, Iterator, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -149,18 +150,39 @@ def fit_two_tower(
     note_eval_samples: int = 4,
     keep_epochs: int = 3,
     resume: bool = False,
+    mesh=None, fsdp: bool = False,
 ) -> Tuple[TwoTowerState, Dict]:
     """``resume=True`` continues from the latest ``epoch_NNN`` checkpoint
     in ``ckpt_dir`` — params, optimizer state (Adam moments + the plateau
     scheduler's scaled LRs), and step all restore, so the resumed run is a
     true continuation (the reference had save/load but never wired resume,
-    SURVEY.md §5)."""
+    SURVEY.md §5).
+
+    ``mesh`` runs the same loop SPMD over a (data, model) mesh: batches
+    shard over 'data' (implicit grad all-reduce), the Qwen-family decoder
+    and the frozen Whisper encoder Megatron-TP-shard over 'model'
+    (CAUSAL_LM_TP_RULES / WHISPER_TP_RULES), and ``fsdp=True`` ZeRO-3
+    shards trainables + Adam moments over 'data'. The reference trains
+    strictly single-device (music2midi/train.py:389)."""
     cfg = model.cfg
     frontend = frontend or LogMelFrontend.whisper(model.audio_cfg.n_mels)
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from audax.parallel.sharding import (CAUSAL_LM_TP_RULES,
+                                             WHISPER_TP_RULES, shard_params)
+        model = model._replace(
+            audio_params=shard_params(model.audio_params, mesh,
+                                      rules=WHISPER_TP_RULES),
+            params={"adapter": shard_params(model.params["adapter"], mesh),
+                    "lm": shard_params(model.params["lm"], mesh,
+                                       rules=CAUSAL_LM_TP_RULES)})
     tx, mask = init_two_tower_optimizer(model)
     state = TwoTowerState(step=jnp.int32(0), params=model.params,
                           opt_state=tx.init(model.params), tx=tx,
                           layer_mask=mask)
+    if mesh is not None and fsdp:
+        from audax.parallel.fsdp import fsdp_shard_state
+        from audax.parallel.sharding import CAUSAL_LM_TP_RULES
+        state = fsdp_shard_state(state, mesh, rules=CAUSAL_LM_TP_RULES)
 
     start_epoch = 0
     if resume and ckpt_dir and os.path.isdir(ckpt_dir):
@@ -201,6 +223,26 @@ def fit_two_tower(
     val_idx, train_idx = idx[:n_val], idx[n_val:]
     log.info("split: %d train / %d val", len(train_idx), len(val_idx))
 
+    # batch sizes over a mesh must split evenly over 'data'; batches whose
+    # size doesn't divide run replicated (correct, just unsharded)
+    data_size = mesh.shape.get("data", 1) if mesh is not None else 1
+    train_bs = cfg.batch_size
+    if data_size > 1 and len(train_idx):
+        train_bs = max(data_size,
+                       (min(train_bs, len(train_idx)) // data_size)
+                       * data_size)
+
+    def _place(b: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        if mesh is None:
+            return b
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        first = next(iter(b.values()))
+        if first.shape[0] % data_size:
+            return b
+        return {k: jax.device_put(v, NamedSharding(
+            mesh, P("data", *([None] * (v.ndim - 1)))))
+            for k, v in b.items()}
+
     history: Dict[str, list] = {"train_loss": [], "val_loss": []}
     best_val = float("inf")
     epochs_since_improvement = 0
@@ -211,10 +253,10 @@ def fit_two_tower(
     for epoch in range(start_epoch, cfg.epochs):
         losses = []
         log_at = []            # (batch index, step) to sink after the fetch
-        for i, batch in enumerate(_batches(dataset, train_idx, cfg.batch_size,
+        for i, batch in enumerate(_batches(dataset, train_idx, train_bs,
                                            frontend, chunk_seconds,
                                            shuffle_rng=shuffle_rng)):
-            state, m = train_step(state, batch)
+            state, m = train_step(state, _place(batch))
             losses.append(m["loss"])
             if sink and (i + 1) % log_every == 0:
                 log_at.append((i, int(state.step)))
@@ -233,7 +275,7 @@ def fit_two_tower(
         for batch in _batches(dataset, val_idx,
                               min(cfg.batch_size, max(len(val_idx), 1)),
                               frontend, chunk_seconds):
-            val_losses.append(eval_step(state, batch)["loss"])
+            val_losses.append(eval_step(state, _place(batch))["loss"])
         val_loss = (float(np.asarray(jnp.stack(val_losses)).mean())
                     if val_losses else train_loss)
         history["val_loss"].append(val_loss)

@@ -19,7 +19,8 @@ from typing import Any, Callable, Dict
 import jax
 import numpy as np
 
-__all__ = ["trace", "time_fn", "flops_estimate_matmul", "slope_timed"]
+__all__ = ["trace", "time_fn", "flops_estimate_matmul", "slope_timed",
+           "step_flops", "mfu", "V5E_PEAK_FLOPS"]
 
 
 @contextlib.contextmanager
@@ -63,6 +64,39 @@ def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 2,
 
 def flops_estimate_matmul(m: int, n: int, k: int) -> int:
     return 2 * m * n * k
+
+
+# v5e MXU peak (dense bf16 matmul) per chip; fp32-input matmuls lower to
+# bf16 MXU passes under JAX's DEFAULT precision, so one reference peak is
+# used for both dtypes. Multi-tenant tunnel caveat (CLAUDE.md): observed
+# deliverable throughput swings ~4-10 TFLOP/s run to run, so MFU here is a
+# lower bound on what a dedicated chip reaches.
+V5E_PEAK_FLOPS = 197e12
+
+
+def step_flops(jitted_fn, *args) -> float:
+    """FLOPs of one compiled call, from XLA's own cost model
+    (``compiled.cost_analysis()['flops']``); 0.0 when the backend does not
+    expose cost analysis. Use with ``mfu()`` to turn bench wall times into
+    utilization claims that are judgeable against hardware peaks."""
+    try:
+        cost = jitted_fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):        # older jax: one per device
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def mfu(flops_per_step: float, sec_per_step: float,
+        n_chips: int = 1, peak: float = V5E_PEAK_FLOPS) -> Dict[str, float]:
+    """{"achieved_tflops": per-chip delivered TFLOP/s, "mfu_pct": % of the
+    v5e bf16 MXU peak}. Zeros when no FLOPs estimate is available."""
+    if not flops_per_step or sec_per_step <= 0:
+        return {"achieved_tflops": 0.0, "mfu_pct": 0.0}
+    per_chip = flops_per_step / sec_per_step / max(n_chips, 1)
+    return {"achieved_tflops": round(per_chip / 1e12, 2),
+            "mfu_pct": round(100.0 * per_chip / peak, 2)}
 
 
 def slope_timed(fn, args, iters=(100, 1100), repeats: int = 5) -> float:

@@ -5,7 +5,17 @@ openai-whisper's ``transcribe(beam_size=K)`` path, rebuilt as one
 the same KV-cached decode_step), finished hypotheses are frozen in place
 (forced EOS, zero score delta), and the loop exits early when every beam of
 every item has finished. Length handling follows whisper: hypotheses are
-ranked by sum-logprob / length.
+ranked by sum-logprob / length, or by the GNMT penalty
+``((5 + len) / 6) ** length_penalty`` when ``length_penalty`` is set
+(openai's MaximumLikelihoodRanker).
+
+``patience`` (openai transcribe's beam knob, Kasai et al. 2022): collect
+``round(beam_width * patience)`` finished hypotheses before committing.
+Here the search runs that many lanes internally — termination still
+requires every lane finished — and returns the top ``beam_width`` after
+ranking. This keeps the fixed-shape single while_loop (openai maintains a
+first-come-first-served finished pool beside ``beam_width`` live beams;
+the candidate-count contract is the same, the eviction order differs).
 """
 
 from __future__ import annotations
@@ -29,13 +39,16 @@ __all__ = ["beam_search", "BeamResult"]
 class BeamResult(NamedTuple):
     tokens: jnp.ndarray       # [B, W, max_len] best-first
     lengths: jnp.ndarray      # [B, W]
-    scores: jnp.ndarray       # [B, W] length-normalized logprob
+    scores: jnp.ndarray       # [B, W] ranking score (length-normalized or
+    # GNMT-penalized logprob, depending on length_penalty)
+    sum_logprob: jnp.ndarray = None  # [B, W] raw sum of token logprobs
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_len", "eos_id", "beam_width", "dtype",
-                     "mesh", "timestamps", "kv_quant"))
+                     "mesh", "timestamps", "kv_quant", "patience",
+                     "length_penalty"))
 def beam_search(
     params,
     cfg: WhisperConfig,
@@ -52,9 +65,13 @@ def beam_search(
     dtype=jnp.float32,
     mesh=None,                    # jax.sharding.Mesh with a 'model' axis
     kv_quant: bool = False,       # int8 self+cross KV (whisper.QuantKV)
+    patience: Optional[float] = None,      # collect round(W*patience) lanes
+    length_penalty: Optional[float] = None,  # GNMT alpha; None = 1/length
 ) -> BeamResult:
     b, p_len = prompt.shape
-    w = beam_width
+    if patience is not None and patience < 1.0:
+        raise ValueError(f"patience must be >= 1.0, got {patience}")
+    w = max(beam_width, int(round(beam_width * (patience or 1.0))))
     bw = b * w
     neg_inf = jnp.finfo(jnp.float32).min
 
@@ -178,10 +195,17 @@ def beam_search(
 
     tokens = final.tokens.reshape(b, w, max_len)
     lengths = final.lengths.reshape(b, w)
+    sum_lp = final.scores.reshape(b, w)
     gen_len = jnp.maximum(lengths - p_len, 1)
-    norm_scores = final.scores.reshape(b, w) / gen_len      # length-normalized
-    order = jnp.argsort(-norm_scores, axis=1)
+    if length_penalty is None:
+        penalty = gen_len.astype(jnp.float32)    # whisper default: 1/length
+    else:
+        penalty = ((5.0 + gen_len.astype(jnp.float32)) / 6.0) \
+            ** length_penalty                    # GNMT (openai ranker)
+    norm_scores = sum_lp / penalty
+    order = jnp.argsort(-norm_scores, axis=1)[:, :beam_width]
     tokens = jnp.take_along_axis(tokens, order[:, :, None], 1)
     lengths = jnp.take_along_axis(lengths, order, 1)
     norm_scores = jnp.take_along_axis(norm_scores, order, 1)
-    return BeamResult(tokens, lengths, norm_scores)
+    sum_lp = jnp.take_along_axis(sum_lp, order, 1)
+    return BeamResult(tokens, lengths, norm_scores, sum_lp)

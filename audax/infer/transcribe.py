@@ -193,6 +193,9 @@ class Transcriber:
                  chunk_seconds: Optional[float] = None,
                  word_timestamps: bool = False,
                  beam_width: int = 1,
+                 best_of: int = 1,
+                 patience: Optional[float] = None,
+                 length_penalty: Optional[float] = None,
                  dtype=jnp.float32, backend: Optional[str] = None,
                  quantize=False, kv_quant: bool = False,
                  draft=None, spec_tokens: int = 8,
@@ -239,6 +242,19 @@ class Transcriber:
         #: >1 enables beam search at temperature 0 (whisper's
         #: transcribe(beam_size=K): beam first, sampling on fallback)
         self.beam_width = beam_width
+        #: n-best sampling on the t>0 fallback rungs (openai DecodingOptions
+        #: best_of, default 5 under model.transcribe — the reference rides
+        #: that default, AB/wavToWhisper.py:10-13): sample best_of
+        #: candidates per window batched in the free decode batch dim and
+        #: keep the best by the ranker below
+        if best_of < 1:
+            raise ValueError(f"best_of must be >= 1, got {best_of}")
+        self.best_of = best_of
+        #: beam patience (collect round(W*patience) candidates) and the
+        #: GNMT length penalty exponent (None = plain 1/length ranking) —
+        #: openai DecodingOptions patience/length_penalty
+        self.patience = patience
+        self.length_penalty = length_penalty
         #: openai's silence gate: a window whose <|nospeech|> probability
         #: exceeds this AND whose avg_logprob is below LOGPROB_THRESHOLD
         #: is emitted as silence instead of hallucinated text (None = off)
@@ -376,14 +392,45 @@ class Transcriber:
                               suppress=jnp.asarray(self.suppress),
                               first_suppress=fs,
                               timestamps=rules, dtype=self.dtype,
-                              kv_quant=self.kv_quant)
+                              kv_quant=self.kv_quant,
+                              patience=self.patience,
+                              length_penalty=self.length_penalty)
             # top hypothesis, shaped like a GenerateResult
             lengths = res.lengths[:, 0]
             gen_count = jnp.maximum(lengths - prompt.shape[1], 1)
             return GenerateResult(res.tokens[:, 0], lengths,
-                                  res.scores[:, 0] * gen_count, gen_count)
+                                  res.sum_logprob[:, 0], gen_count)
         ns_id = (tk.no_speech if self.no_speech_threshold is not None
                  else None)
+        bo = self.best_of if temperature > 0.0 else 1
+        if bo > 1:
+            # n-best sampling batched in the decode batch dim (free on the
+            # MXU): tile each window best_of times — categorical sampling
+            # draws independent gumbel noise per row, so duplicated rows
+            # explore different candidates — and keep the ranker's best
+            out = generate(self.params, self.cfg,
+                           jnp.repeat(enc, bo, axis=0),
+                           jnp.asarray(np.repeat(prompt, bo, axis=0)),
+                           max_len=max_len, eos_id=tk.eot,
+                           temperature=temperature, timestamps=rules,
+                           suppress=jnp.asarray(self.suppress),
+                           first_suppress=fs,
+                           dtype=self.dtype, kv_quant=self.kv_quant,
+                           no_speech_id=ns_id)
+            n = enc.shape[0]
+            gen_count = np.maximum(np.asarray(out.gen_count), 1)
+            sum_lp = np.asarray(out.sum_logprob)
+            if self.length_penalty is None:
+                score = sum_lp / gen_count       # whisper avg-logprob ranker
+            else:
+                score = sum_lp / ((5.0 + gen_count) / 6.0) \
+                    ** self.length_penalty       # GNMT (openai ranker)
+            pick = score.reshape(n, bo).argmax(1) + np.arange(n) * bo
+            nsp = (out.no_speech_prob[pick]
+                   if out.no_speech_prob is not None else None)
+            return GenerateResult(out.tokens[pick], out.lengths[pick],
+                                  out.sum_logprob[pick], out.gen_count[pick],
+                                  nsp)
         return generate(self.params, self.cfg, enc, jnp.asarray(prompt),
                         max_len=max_len, eos_id=tk.eot,
                         temperature=temperature, timestamps=rules,

@@ -136,3 +136,96 @@ def test_transcriber_beam_mode(rng):
     # full transcribe with segments also works in beam mode
     out = tr.transcribe(audio)
     assert out.segments
+
+
+def test_patience_one_is_identity_and_invalid_rejected(model, rng):
+    """patience=1.0 is bit-identical to the default search; patience<1
+    violates the openai contract and raises."""
+    enc = _enc(model, rng, b=1)
+    prompt = jnp.asarray([[1]], jnp.int32)
+    base = beam_search(model, CFG, enc, prompt, max_len=16, eos_id=2,
+                       beam_width=3)
+    p1 = beam_search(model, CFG, enc, prompt, max_len=16, eos_id=2,
+                     beam_width=3, patience=1.0)
+    np.testing.assert_array_equal(np.asarray(base.tokens),
+                                  np.asarray(p1.tokens))
+    np.testing.assert_array_equal(np.asarray(base.scores),
+                                  np.asarray(p1.scores))
+    with pytest.raises(ValueError, match="patience"):
+        beam_search(model, CFG, enc, prompt, max_len=16, eos_id=2,
+                    beam_width=3, patience=0.5)
+
+
+def test_patience_widens_candidates(model, rng):
+    """patience=2.0 searches 2W lanes and still returns W best-first
+    hypotheses whose best is >= the no-patience best (wider candidate
+    pool under the same ranker)."""
+    enc = _enc(model, rng, b=2)
+    prompt = jnp.asarray([[1], [1]], jnp.int32)
+    base = beam_search(model, CFG, enc, prompt, max_len=16, eos_id=2,
+                       beam_width=2)
+    pat = beam_search(model, CFG, enc, prompt, max_len=16, eos_id=2,
+                      beam_width=2, patience=2.0)
+    assert pat.tokens.shape == base.tokens.shape == (2, 2, 16)
+    s = np.asarray(pat.scores)
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+    assert (s[:, 0] >= np.asarray(base.scores)[:, 0] - 1e-6).all()
+
+
+def test_length_penalty_is_gnmt_formula(model, rng):
+    """length_penalty=alpha ranks by sum_logprob / ((5+len)/6)^alpha
+    (openai MaximumLikelihoodRanker); returned scores follow the formula
+    exactly and sum_logprob is the raw sum."""
+    enc = _enc(model, rng, b=1)
+    prompt = jnp.asarray([[1]], jnp.int32)
+    alpha = 0.8
+    res = beam_search(model, CFG, enc, prompt, max_len=16, eos_id=2,
+                      beam_width=3, length_penalty=alpha)
+    gen_len = np.maximum(np.asarray(res.lengths) - 1, 1)
+    want = np.asarray(res.sum_logprob) / ((5.0 + gen_len) / 6.0) ** alpha
+    np.testing.assert_allclose(np.asarray(res.scores), want, rtol=1e-5)
+    assert (np.diff(np.asarray(res.scores), axis=1) <= 1e-6).all()
+
+
+def test_transcriber_best_of_picks_ranker_max(rng):
+    """Transcriber(best_of=K) at a t>0 rung: K candidates are sampled
+    batched (tiled rows) and the returned hypothesis is the ranker's max —
+    reproduced independently by tiling generate() by hand (same PRNG, so
+    the candidate set is identical)."""
+    from audax.infer.transcribe import Transcriber
+    from audax.symbolic.bpe import train_bpe
+    from audax.symbolic.tokenizer import WhisperTokenizer
+
+    tok = WhisperTokenizer(train_bpe(["hello world how are you"] * 4,
+                                     vocab_size=280))
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=100, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=48)
+    params = init_whisper_params(cfg, jax.random.key(3))
+    tr = Transcriber(params, cfg, tok, max_new_tokens=8,
+                     temperature_fallback=False, best_of=3, backend="xla",
+                     temperatures=(0.7,))
+    audio = (0.05 * rng.standard_normal(tr.chunk_samples)).astype(np.float32)
+    mel = tr.frontend(jnp.asarray(audio)[None])
+    enc_states = encode(params, cfg, mel)
+    prompt = tr._prompt(1, None, "en")
+    out = tr._decode_once(enc_states, prompt, 0.7)
+    assert out.tokens.shape[0] == 1
+
+    # hand-tiled candidate set with the same fixed PRNG
+    max_len = min(prompt.shape[1] + 8, cfg.n_text_ctx)
+    hand = generate(params, cfg, jnp.repeat(enc_states, 3, 0),
+                    jnp.asarray(np.repeat(prompt, 3, 0)), max_len=max_len,
+                    eos_id=tok.eot, temperature=0.7,
+                    suppress=jnp.asarray(tr.suppress),
+                    first_suppress=jnp.asarray(tr.first_suppress),
+                    no_speech_id=tok.no_speech)
+    avg = np.asarray(hand.sum_logprob) / np.maximum(
+        np.asarray(hand.gen_count), 1)
+    best = int(avg.argmax())
+    np.testing.assert_array_equal(np.asarray(out.tokens[0]),
+                                  np.asarray(hand.tokens[best]))
+    np.testing.assert_allclose(float(out.avg_logprob[0]), avg[best],
+                               rtol=1e-6)
+    # the pick is meaningful: candidates differ (independent gumbel rows)
+    assert len({tuple(np.asarray(r)) for r in hand.tokens}) >= 2

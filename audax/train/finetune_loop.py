@@ -108,9 +108,15 @@ def finetune_whisper(
     eval_examples: Optional[Sequence[Dict]] = None,
     lora_targets: Tuple[str, ...] = ("attn/q", "attn/v"),
     mesh=None, fsdp: bool = False,
+    eval_suppress_tokens="-1",
 ) -> Tuple[FTState, Dict]:
     """Step-based fine-tune with periodic WER eval; returns (state, history).
     ``state.model_params()`` yields serving weights (LoRA merged).
+
+    ``eval_suppress_tokens`` feeds the eval Transcriber: keep the "-1"
+    non-speech ban for speech targets, pass [] when the label alphabet
+    contains banned symbols (note names like "D#6" — the '#' is in
+    whisper's default ban list and eval WER floors without this).
 
     ``mesh`` (a (data, model) jax.sharding.Mesh, parallel/mesh.py:make_mesh)
     runs the SAME step SPMD: params Megatron-TP-sharded over 'model'
@@ -124,6 +130,11 @@ def finetune_whisper(
     """
     mel_cfg = mel_cfg or MelConfig.whisper(model_cfg.n_mels)
     frontend = LogMelFrontend(mel_cfg, whisper_frames=True)
+    # the jitted step donates its input state (in-place AdamW); train a
+    # COPY so the caller's params survive — a live Transcriber serving the
+    # same tree would otherwise hit "Buffer has been deleted or donated"
+    # on its next request (the demo UI fine-tunes next to a live server)
+    params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
     if mesh is not None:
         from audax.parallel.sharding import shard_params
         # TP layout BEFORE optimizer init: Adam moments inherit it
@@ -196,7 +207,8 @@ def finetune_whisper(
             win_s = (2 * model_cfg.n_audio_ctx * mel_cfg.hop_length
                      / mel_cfg.sample_rate)
             tr = Transcriber(serving, model_cfg, tokenizer,
-                             chunk_seconds=win_s)
+                             chunk_seconds=win_s,
+                             suppress_tokens=eval_suppress_tokens)
             wer = eval_wer(tr, eval_examples)
             history["wer"].append({"step": step, "wer": wer})
             record["wer"] = 100.0 * wer             # reference logs 100*wer
@@ -230,6 +242,7 @@ def midi_finetune_proof(
     d_model: int = 64,
     layers: int = 2,
     seed: int = 0,
+    holdout_items: int = 6,
 ) -> Dict:
     """End-to-end synthetic fine-tune proof (reference-parity evidence).
 
@@ -245,11 +258,19 @@ def midi_finetune_proof(
          whisper-architecture model;
       3. transcribe everything BEFORE (random weights -> garbage);
       4. fine-tune; 5. transcribe AFTER; 6. write the comparison CSV
-         (file, target, previous, finetuned) plus a metrics JSON, and
-         return {"wer_before", "wer_after", "csv", "metrics"}.
+         (file, target, previous, finetuned, split) plus a metrics JSON,
+         and return {"wer_before", "wer_after", "holdout_wer_before",
+         "holdout_wer_after", "csv", "metrics"}.
 
-    Success = wer_after < wer_before by a wide margin, visible row by row
-    in the committed CSV.
+    ``holdout_items`` additional clips are generated from the SAME synth
+    distribution with a DISJOINT seed and never trained on: their WER is
+    the generalization evidence (train-set WER alone is memorization
+    evidence — exactly the trap that hid the reference's mode collapse,
+    AB/midiDatasetResults.csv:2-5, where a constant "A5 A5 A5 A5" output
+    looked plausible until scored).
+
+    Success = wer_after < wer_before by a wide margin on BOTH splits,
+    visible row by row in the committed CSV.
     """
     import json
 
@@ -260,10 +281,20 @@ def midi_finetune_proof(
     gen = DataGenConfig(num_items=num_items, notes_per_item=notes_per_item,
                         out_dir=os.path.join(out_dir, "datagen"), seed=seed)
     labels_csv = make_midi_dataset(gen)
+    holdout_csv = None
+    if holdout_items > 0:
+        gen_h = DataGenConfig(num_items=holdout_items,
+                              notes_per_item=notes_per_item,
+                              out_dir=os.path.join(out_dir,
+                                                   "datagen_holdout"),
+                              seed=seed + 1)
+        holdout_csv = make_midi_dataset(gen_h)
 
     import csv as _csv
     with open(labels_csv, newline="") as fh:
         label_texts = [row["labels"] for row in _csv.DictReader(fh)]
+    # tokenizer trained on TRAIN labels only; the note-name token space is
+    # shared, so holdout labels stay encodable (byte-level BPE fallback)
     tokenizer = WhisperTokenizer(
         train_bpe(label_texts, vocab_size=320,
                   special_tokens=["<|MIDI|>", "<|/MIDI|>"]))
@@ -281,59 +312,86 @@ def midi_finetune_proof(
                                     labels_csv=labels_csv,
                                     chunk_seconds=chunk_seconds)
     assert examples, "datagen produced no usable examples"
+    holdout = build_speech_dataset("", tokenizer, mel_cfg,
+                                   labels_csv=holdout_csv,
+                                   chunk_seconds=chunk_seconds) \
+        if holdout_csv else []
 
-    def snapshot(p, dtype=jnp.float32):
+    def snapshot(p, exs, dtype=jnp.float32):
+        # suppress_tokens=[]: whisper's default "-1" non-speech ban includes
+        # '#', which is a third of the note-name alphabet (D#6 ...) — with
+        # the default list the decoder literally cannot emit the labels it
+        # was trained on (train WER floored at ~0.35 until this was found)
         tr = Transcriber(p, model_cfg, tokenizer, max_new_tokens=24,
-                         temperature_fallback=False,
+                         temperature_fallback=False, suppress_tokens=[],
                          chunk_seconds=chunk_seconds, dtype=dtype)
-        return {ex["file"]: tr.transcribe(ex["audio"]).text
-                for ex in examples}
+        return {ex["file"]: tr.transcribe(ex["audio"]).text for ex in exs}
 
-    before = snapshot(params)
-    wer_before = word_error_rate([ex["text"] for ex in examples],
-                                 [before[ex["file"]] for ex in examples])
+    def wer_of(snap, exs):
+        return word_error_rate([ex["text"] for ex in exs],
+                               [snap[ex["file"]] for ex in exs])
+
+    before = snapshot(params, examples)
+    wer_before = wer_of(before, examples)
+    before_h = snapshot(params, holdout) if holdout else {}
+    holdout_wer_before = wer_of(before_h, holdout) if holdout else None
 
     ft = FineTuneConfig(learning_rate=1e-3, warmup_steps=5, max_steps=steps,
                         eval_every=steps, batch_size=8,   # eval at the end
                         lora_rank=0, seed=seed)
     state, history = finetune_whisper(params, model_cfg, tokenizer, examples,
                                       ft, mel_cfg=mel_cfg,
-                                      eval_examples=examples)
+                                      eval_examples=examples,
+                                      eval_suppress_tokens=[])
     serving_params = state.model_params()
-    after = snapshot(serving_params)
-    wer_after = word_error_rate([ex["text"] for ex in examples],
-                                [after[ex["file"]] for ex in examples])
+    after = snapshot(serving_params, examples)
+    wer_after = wer_of(after, examples)
+    after_h = snapshot(serving_params, holdout) if holdout else {}
+    holdout_wer_after = wer_of(after_h, holdout) if holdout else None
     # bf16 serving parity: the same fine-tuned checkpoint transcribed with
     # encoder+decoder in bfloat16 (the TPU serving dtype) must reach the
     # same quality — this is the tolerance-checked WER comparison that
     # justifies bf16 as the serving default (PARITY.md perf table).
-    after_bf16 = snapshot(serving_params, dtype=jnp.bfloat16)
-    wer_after_bf16 = word_error_rate(
-        [ex["text"] for ex in examples],
-        [after_bf16[ex["file"]] for ex in examples])
+    after_bf16 = snapshot(serving_params, examples, dtype=jnp.bfloat16)
+    wer_after_bf16 = wer_of(after_bf16, examples)
 
     os.makedirs(out_dir, exist_ok=True)
     csv_path = os.path.join(out_dir, "midi_finetune_comparison.csv")
     with open(csv_path, "w", newline="") as fh:
         w = _csv.DictWriter(fh, fieldnames=["file", "target", "previous",
-                                            "finetuned", "finetuned_bf16"])
+                                            "finetuned", "finetuned_bf16",
+                                            "split"])
         w.writeheader()
         for ex in examples:
             w.writerow({"file": ex["file"], "target": ex["text"],
                         "previous": before[ex["file"]],
                         "finetuned": after[ex["file"]],
-                        "finetuned_bf16": after_bf16[ex["file"]]})
+                        "finetuned_bf16": after_bf16[ex["file"]],
+                        "split": "train"})
+        for ex in holdout:
+            w.writerow({"file": ex["file"], "target": ex["text"],
+                        "previous": before_h[ex["file"]],
+                        "finetuned": after_h[ex["file"]],
+                        "finetuned_bf16": "",
+                        "split": "holdout"})
     metrics = {"wer_before": round(float(wer_before), 4),
                "wer_after": round(float(wer_after), 4),
                "wer_after_bf16": round(float(wer_after_bf16), 4),
                "steps": steps, "items": len(examples),
                "loss_first": round(history["loss"][0], 4),
                "loss_last": round(history["loss"][-1], 4)}
+    if holdout:
+        metrics["holdout_items"] = len(holdout)
+        metrics["holdout_wer_before"] = round(float(holdout_wer_before), 4)
+        metrics["holdout_wer_after"] = round(float(holdout_wer_after), 4)
     metrics_path = os.path.join(out_dir, "midi_finetune_metrics.json")
     with open(metrics_path, "w") as fh:
         json.dump(metrics, fh, indent=2)
-    log.success("fine-tune proof: WER %.3f -> %.3f (bf16 %.3f) (%s)",
-                wer_before, wer_after, wer_after_bf16, csv_path)
+    log.success("fine-tune proof: WER %.3f -> %.3f (bf16 %.3f; holdout "
+                "%s -> %s) (%s)", wer_before, wer_after, wer_after_bf16,
+                holdout_wer_before, holdout_wer_after, csv_path)
     return {"wer_before": wer_before, "wer_after": wer_after,
             "wer_after_bf16": wer_after_bf16,
+            "holdout_wer_before": holdout_wer_before,
+            "holdout_wer_after": holdout_wer_after,
             "csv": csv_path, "metrics": metrics_path, **metrics}

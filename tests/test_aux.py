@@ -289,3 +289,83 @@ def test_demo_server_compressed_upload(tmp_path, rng):
         assert out["text"] == "compressed ok"
     finally:
         server.shutdown()
+
+
+def test_demo_finetune_swap_loop(tmp_path, rng):
+    """The reference UI's full loop (AB/UI/Asmo.py:152-166): record ->
+    add-to-dataset (with transcript) -> Finetune (background LoRA over the
+    collected corpus) -> Swap model -> evaluate the fine-tuned slot. The
+    swapped model's output must differ from the base model's on the same
+    clip (the adapters trained) and /status must report the run."""
+    import time
+
+    import jax
+
+    from audax.cli.demo_ui import serve
+    from audax.core.config import WhisperConfig
+    from audax.data.audio_io import write_wav
+    from audax.infer.transcribe import Transcriber
+    from audax.models.whisper import init_whisper_params
+    from audax.symbolic.bpe import train_bpe
+    from audax.symbolic.tokenizer import WhisperTokenizer
+
+    tok = WhisperTokenizer(train_bpe(["hello world how are you"] * 4,
+                                     vocab_size=280))
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=100, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=32)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    tr = Transcriber(params, cfg, tok, chunk_seconds=2.0,
+                     temperature_fallback=False, max_new_tokens=8,
+                     backend="xla")
+    server = serve(tr, port=0, dataset_dir=str(tmp_path / "ds"),
+                   ft_steps=120, ft_lora_rank=2)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        wav_path = str(tmp_path / "u.wav")
+        write_wav(wav_path,
+                  (0.1 * rng.standard_normal(32000)).astype(np.float32),
+                  16000)
+        body = open(wav_path, "rb").read()
+
+        def post(path, data=b""):
+            req = urllib.request.Request(f"http://127.0.0.1:{port}{path}",
+                                         data=data, method="POST")
+            return json.loads(urllib.request.urlopen(req, timeout=120).read())
+
+        # swap before any finetune -> 409
+        try:
+            post("/swap")
+            assert False, "expected 409"
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+
+        out = post("/add?text=hello%20world", body)
+        side = os.path.join(str(tmp_path / "ds"),
+                            out["file"].replace(".wav", ".txt"))
+        assert open(side).read().strip() == "hello world"
+
+        base_text = post("/transcribe?model=finetuned", body)["text"]
+
+        assert post("/finetune")["state"] == "running"
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            s = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/status", timeout=30).read())
+            if s["state"] in ("done", "failed"):
+                break
+            time.sleep(0.5)
+        assert s["state"] == "done", s
+        assert s["loss"] is not None
+
+        assert post("/swap")["serving"] == "finetuned"
+        ft_text = post("/transcribe?model=finetuned", body)["text"]
+        orig_text = post("/transcribe?model=original", body)["text"]
+        assert orig_text == base_text        # base slot untouched
+        assert ft_text != base_text          # adapters actually trained
+        s = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/status", timeout=30).read())
+        assert s["serving"] == "finetuned"
+    finally:
+        server.shutdown()

@@ -133,6 +133,8 @@ def _classifier_common(argv, model_kind: str, train: bool) -> int:
     p.add_argument("--epochs", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--pool", default="cls", choices=["cls", "mean"])
+    if train:
+        _add_mesh_flags(p)
     args = p.parse_args(argv)
 
     from audax.core.artifacts import stamped_name
@@ -170,10 +172,15 @@ def _classifier_common(argv, model_kind: str, train: bool) -> int:
     if train:
         data = load_split(args.parquet, us.train_folds)
         ev = load_split(args.parquet, [us.eval_fold])
+        mesh, _fsdp = _mesh_from_args(args)
+        if _fsdp:
+            log.warning("--fsdp is a no-op for the small classifiers "
+                        "(params fit any chip); using DP only")
         sink = MetricsSink(run, config={"model": model_kind, **tc.asdict()})
         mgr = CheckpointManager(ckpt_dir, config=tc.asdict())
         state, _ = fit_classifier(model, data, ev if len(ev["y"]) else None,
-                                  tc, sink=sink, ckpt_manager=mgr)
+                                  tc, sink=sink, ckpt_manager=mgr,
+                                  mesh=mesh)
         mgr.close()
         sink.close()
         print(ckpt_dir)
@@ -314,6 +321,128 @@ def cmd_convert_hf(argv) -> int:
     return 0
 
 
+@command("verify-parity")
+def cmd_verify_parity(argv) -> int:
+    """One-command real-weights parity harness: port a local HF whisper
+    checkpoint, prove logit parity against the torch forward, and (with
+    --audio-dir) compare transcriptions — audax vs HF generate on identical
+    features, plus WER against .txt reference sidecars when present.
+
+    The reference's published quality numbers (fine-tuned-word CSV,
+    AB/transcriptions.csv:2-5) are unreproducible in this egress-less
+    environment; this harness packages the reproduction so the moment real
+    checkpoints/audio become reachable it is a single command."""
+    p = argparse.ArgumentParser(prog="audax verify-parity")
+    p.add_argument("--hf-dir", required=True,
+                   help="local HF whisper checkpoint directory")
+    p.add_argument("--audio-dir", default="",
+                   help="wavs to transcribe with both stacks; .txt sidecars "
+                        "(when present) add reference WER columns")
+    p.add_argument("--tokenizer-dir", default="",
+                   help="vocab.json/merges.txt dir (default: --hf-dir)")
+    p.add_argument("--lang", default="en")
+    p.add_argument("--tol", type=float, default=1e-4,
+                   help="max |logit diff| allowed for parity PASS")
+    p.add_argument("--samples", type=int, default=16,
+                   help="max clips from --audio-dir")
+    p.add_argument("--max-tokens", type=int, default=64)
+    p.add_argument("--report", default="",
+                   help="write the full JSON report here")
+    args = p.parse_args(argv)
+
+    import json
+
+    import jax
+    import numpy as np
+    import torch
+
+    from audax.core.runtime import setup
+    from audax.models.port import (port_whisper_from_hf,
+                                   whisper_config_from_hf)
+    from audax.models.whisper import whisper_forward
+    from transformers import WhisperForConditionalGeneration
+
+    setup()
+    hf = WhisperForConditionalGeneration.from_pretrained(args.hf_dir).eval()
+    cfg = whisper_config_from_hf(hf.config)
+    params = port_whisper_from_hf(hf)
+
+    # --- logit parity (the BASELINE acceptance criterion) ---------------
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 2 * cfg.n_audio_ctx, cfg.n_mels)) \
+        .astype(np.float32)
+    toks = rng.integers(0, cfg.vocab_size, (1, 8)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+                 decoder_input_ids=torch.from_numpy(toks)).logits.numpy()
+    got = np.asarray(whisper_forward(params, cfg, mel,
+                                     toks.astype(np.int32)))
+    logit_diff = float(np.abs(got - ref).max())
+    report = {"hf_dir": args.hf_dir, "logit_max_abs_diff": logit_diff,
+              "logit_tol": args.tol, "logit_parity": logit_diff <= args.tol}
+
+    # --- transcription comparison on real audio -------------------------
+    if args.audio_dir:
+        from audax.data.audio_io import read_wav, resample, to_mono
+        from audax.eval.wer import word_error_rate
+        from audax.frontend import pad_or_trim
+        from audax.infer.transcribe import Transcriber
+        from audax.symbolic.bpe import BPE
+        from audax.symbolic.tokenizer import WhisperTokenizer
+
+        tok_dir = args.tokenizer_dir or args.hf_dir
+        bpe = BPE.load(tok_dir)
+        try:
+            tok = WhisperTokenizer.for_vocab_size(bpe, cfg.vocab_size)
+        except ValueError:
+            tok = WhisperTokenizer(bpe)
+        tr = Transcriber(params, cfg, tok, lang=args.lang,
+                         max_new_tokens=args.max_tokens,
+                         temperature_fallback=False)
+        rows, ours, theirs, refs = [], [], [], []
+        paths = sorted(glob.glob(os.path.join(args.audio_dir, "*.wav")))
+        for path in paths[: args.samples]:
+            x, rate = read_wav(path)
+            x = to_mono(x)
+            if rate != 16000:
+                x = resample(x, rate, 16000)
+            our_text = tr.transcribe(x).text.strip()
+            # HF side consumes the SAME whisper-exact features (our
+            # frontend) so the comparison isolates model+decode parity
+            feats = tr.frontend(jax.numpy.asarray(
+                pad_or_trim(jax.numpy.asarray(x), tr.chunk_samples))[None])
+            with torch.no_grad():
+                ids = hf.generate(
+                    input_features=torch.from_numpy(
+                        np.asarray(feats).transpose(0, 2, 1)),
+                    max_new_tokens=args.max_tokens)
+            hf_text = tok.decode([int(t) for t in ids[0]]).strip()
+            row = {"file": os.path.basename(path), "audax": our_text,
+                   "hf": hf_text}
+            side = os.path.splitext(path)[0] + ".txt"
+            if os.path.exists(side):
+                row["reference"] = open(side).read().strip()
+                refs.append(row["reference"])
+            ours.append(our_text)
+            theirs.append(hf_text)
+            rows.append(row)
+        report["clips"] = rows
+        if rows:
+            report["cross_wer_audax_vs_hf"] = round(
+                word_error_rate(theirs, ours), 4)
+        if refs and len(refs) == len(rows):
+            report["wer_audax_vs_reference"] = round(
+                word_error_rate(refs, ours), 4)
+            report["wer_hf_vs_reference"] = round(
+                word_error_rate(refs, theirs), 4)
+
+    if args.report:
+        with open(args.report, "w") as fh:
+            json.dump(report, fh, indent=2)
+    print(json.dumps({k: v for k, v in report.items() if k != "clips"}))
+    return 0 if report["logit_parity"] else 1
+
+
 @command("export-hf")
 def cmd_export_hf(argv) -> int:
     """Export an audax orbax checkpoint back to a local HF checkpoint
@@ -441,6 +570,16 @@ def cmd_transcribe(argv) -> int:
                    help="word-level timings via cross-attention alignment")
     p.add_argument("--beam-width", type=int, default=1,
                    help=">1 = beam search at temperature 0")
+    p.add_argument("--best-of", type=int, default=5,
+                   help="n-best sampling on the t>0 fallback rungs, best "
+                        "kept by avg logprob (openai best_of default 5)")
+    p.add_argument("--patience", type=float, default=None,
+                   help="beam patience: collect round(W*patience) "
+                        "candidates before committing (openai patience)")
+    p.add_argument("--length-penalty", type=float, default=None,
+                   help="GNMT length-penalty exponent for candidate "
+                        "ranking (openai length_penalty; default: rank "
+                        "by simple avg logprob)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--draft-size", default="",
@@ -545,6 +684,8 @@ def cmd_transcribe(argv) -> int:
                      word_timestamps=args.word_timestamps
                      or hal is not None or want_words,
                      beam_width=args.beam_width,
+                     best_of=args.best_of, patience=args.patience,
+                     length_penalty=args.length_penalty,
                      draft=draft, spec_tokens=args.spec_tokens,
                      no_speech_threshold=(args.no_speech_threshold
                                           if args.no_speech_threshold > 0
@@ -649,6 +790,11 @@ def cmd_finetune(argv) -> int:
                         "clips like the 4 s UrbanSound corpus then stop "
                         "paying 7.5x padded-window compute; checkpoint "
                         "encoder positions are sliced accordingly")
+    p.add_argument("--eval-suppress-tokens", default="-1",
+                   help="suppress_tokens for the WER-eval transcriber: "
+                        "'-1' = whisper's non-speech ban (speech targets); "
+                        "'' = none — REQUIRED when labels contain banned "
+                        "symbols like '#' in note names (mididataset.csv)")
     _add_mesh_flags(p)
     args = p.parse_args(argv)
 
@@ -706,10 +852,14 @@ def cmd_finetune(argv) -> int:
 
     mesh, fsdp = _mesh_from_args(args)
     sink = MetricsSink("whisper_ft", config=ft.asdict())
+    est = (args.eval_suppress_tokens if args.eval_suppress_tokens == "-1"
+           else [int(t) for t in args.eval_suppress_tokens.split(",")
+                 if t.strip()])
     state, history = finetune_whisper(params, cfg, tok, examples, ft,
                                       mel_cfg=mel_cfg, sink=sink,
                                       eval_examples=examples,
-                                      mesh=mesh, fsdp=fsdp)
+                                      mesh=mesh, fsdp=fsdp,
+                                      eval_suppress_tokens=est)
     sink.close()
     serving = history["best_params"] or state.model_params()
     if mesh is not None:
@@ -1406,6 +1556,9 @@ def cmd_finetune_proof(argv) -> int:
     p.add_argument("--chunk-seconds", type=float, default=6.0)
     p.add_argument("--d-model", type=int, default=64)
     p.add_argument("--layers", type=int, default=2)
+    p.add_argument("--holdout-items", type=int, default=6,
+                   help="unseen clips (disjoint seed) scored separately — "
+                        "the generalization column")
     args = p.parse_args(argv)
 
     import json
@@ -1416,9 +1569,11 @@ def cmd_finetune_proof(argv) -> int:
     out = midi_finetune_proof(
         args.out, num_items=args.items, notes_per_item=args.notes,
         steps=args.steps, chunk_seconds=args.chunk_seconds,
-        d_model=args.d_model, layers=args.layers)
+        d_model=args.d_model, layers=args.layers,
+        holdout_items=args.holdout_items)
     print(json.dumps({k: out[k] for k in
-                      ("wer_before", "wer_after", "csv", "metrics")}))
+                      ("wer_before", "wer_after", "holdout_wer_before",
+                       "holdout_wer_after", "csv", "metrics")}))
     return 0 if out["wer_after"] < out["wer_before"] else 1
 
 
@@ -1434,6 +1589,15 @@ def cmd_music_proof(argv) -> int:
     p.add_argument("--notes", type=int, default=3)
     p.add_argument("--epochs", type=int, default=400)
     p.add_argument("--chunk-seconds", type=float, default=3.0)
+    p.add_argument("--holdout-items", type=int, default=4,
+                   help="unseen melodies (disjoint draws) scored "
+                        "separately — the generalization column")
+    p.add_argument("--pretrain-encoder-steps", type=int, default=600,
+                   help="pretrain the frozen audio tower on a note-name "
+                        "seq2seq task first (the hubless stand-in for the "
+                        "reference's frozen PRETRAINED whisper); 0 = "
+                        "random frozen encoder (memorization-only)")
+    p.add_argument("--pretrain-items", type=int, default=64)
     args = p.parse_args(argv)
 
     import json
@@ -1443,8 +1607,13 @@ def cmd_music_proof(argv) -> int:
     setup()
     out = music_transcription_proof(
         args.out, num_items=args.items, notes_per_item=args.notes,
-        epochs=args.epochs, chunk_seconds=args.chunk_seconds)
+        epochs=args.epochs, chunk_seconds=args.chunk_seconds,
+        holdout_items=args.holdout_items,
+        pretrain_encoder_steps=args.pretrain_encoder_steps,
+        pretrain_items=args.pretrain_items)
     print(json.dumps({"before": out["before"], "after": out["after"],
+                      "holdout_before": out["holdout_before"],
+                      "holdout_after": out["holdout_after"],
                       "csv": out["csv"], "metrics": out["metrics"]}))
     return 0 if (out["after"].get("note_f1", 0.0)
                  > out["before"].get("note_f1", 0.0)) else 1
@@ -1476,6 +1645,11 @@ def cmd_demo(argv) -> int:
     p.add_argument("--tokenizer-dir", default="")
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--ft-steps", type=int, default=50,
+                   help="steps for the UI's Finetune button "
+                        "(AB/fineTune.py:175 used 50)")
+    p.add_argument("--ft-lora-rank", type=int, default=4,
+                   help="LoRA rank for the UI fine-tune (0 = full)")
     args = p.parse_args(argv)
     from audax.cli.demo_ui import serve
     from audax.infer.transcribe import Transcriber
@@ -1486,7 +1660,8 @@ def cmd_demo(argv) -> int:
         ft_params, _, _ = _load_whisper(args.size, args.ft_ckpt,
                                         args.tokenizer_dir)
         ft_tr = Transcriber(ft_params, cfg, tok)
-    server = serve(tr, ft_tr, port=args.port, host=args.host)
+    server = serve(tr, ft_tr, port=args.port, host=args.host,
+                   ft_steps=args.ft_steps, ft_lora_rank=args.ft_lora_rank)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -303,3 +303,54 @@ def test_export_hf_cli_rejects_layer_mismatch(tmp_path):
     with pytest.raises(ValueError, match="config mismatch"):
         _COMMANDS["export-hf"](["--ckpt", ckpt,
                                 "--out", str(tmp_path / "hf")])
+
+
+def test_verify_parity_cli(tmp_path, rng):
+    """`verify-parity`: one command from a local HF dir to a logit-parity
+    verdict + transcription comparison report (the packaged reproduction
+    harness for when real checkpoints/audio become reachable)."""
+    pytest.importorskip("torch")
+    import dataclasses
+    import json
+
+    import jax
+
+    from audax.cli.main import _COMMANDS
+    from audax.data.audio_io import write_wav
+    from audax.models.whisper import init_whisper_params
+    from audax.symbolic.bpe import train_bpe
+    from audax.train.checkpoints import save_pytree
+
+    # build a loadable local HF checkpoint via the export path
+    params = init_whisper_params(TINY, jax.random.key(0))
+    ckpt = str(tmp_path / "ckpt")
+    save_pytree(ckpt, params)
+    with open(ckpt + ".config.json", "w") as fh:
+        json.dump(dataclasses.asdict(TINY), fh)
+    hf_dir = str(tmp_path / "hf")
+    assert _COMMANDS["export-hf"](["--ckpt", ckpt, "--out", hf_dir]) == 0
+
+    # tokenizer + audio + reference sidecars
+    bpe = train_bpe(["hello world how are you"] * 4, vocab_size=90)
+    tok_dir = str(tmp_path / "tok")
+    bpe.save(tok_dir)
+    audio_dir = tmp_path / "wavs"
+    audio_dir.mkdir()
+    for i in range(2):
+        write_wav(str(audio_dir / f"c{i}.wav"),
+                  (0.1 * rng.standard_normal(8000)).astype(np.float32),
+                  16000)
+        (audio_dir / f"c{i}.txt").write_text("hello world")
+
+    report_path = str(tmp_path / "report.json")
+    rc = _COMMANDS["verify-parity"](
+        ["--hf-dir", hf_dir, "--audio-dir", str(audio_dir),
+         "--tokenizer-dir", tok_dir, "--max-tokens", "6",
+         "--report", report_path])
+    assert rc == 0
+    rep = json.load(open(report_path))
+    assert rep["logit_parity"] and rep["logit_max_abs_diff"] < 1e-4
+    assert len(rep["clips"]) == 2
+    assert {"file", "audax", "hf", "reference"} <= set(rep["clips"][0])
+    assert "cross_wer_audax_vs_hf" in rep
+    assert "wer_audax_vs_reference" in rep and "wer_hf_vs_reference" in rep

@@ -644,6 +644,7 @@ def cmd_transcribe(argv) -> int:
     p.add_argument("--highlight-words", action="store_true",
                    help="srt/vtt: one cue per word with the active word "
                         "underlined (implies --word-timestamps)")
+    _add_mesh_flags(p)
     args = p.parse_args(argv)
     import jax.numpy as jnp
 
@@ -671,6 +672,7 @@ def cmd_transcribe(argv) -> int:
             import jax
             dparams = init_whisper_params(dcfg, jax.random.key(1))
         draft = (dparams, dcfg)
+    mesh, _ = _mesh_from_args(args)
     hal = args.hallucination_silence_threshold
     want_subs = args.output_format in ("srt", "vtt", "tsv", "json", "all")
     want_words = (args.highlight_words or args.max_line_width is not None
@@ -697,7 +699,7 @@ def cmd_transcribe(argv) -> int:
                                             if t.strip()]),
                      suppress_blank=not args.no_suppress_blank,
                      vad_threshold_db=args.vad_threshold_db,
-                     initial_prompt=args.initial_prompt,
+                     initial_prompt=args.initial_prompt, mesh=mesh,
                      dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                      else jnp.float32)
     paths = []
@@ -969,6 +971,7 @@ def cmd_stream_serve(argv) -> int:
     p.add_argument("--vad-threshold-db", type=float, default=None,
                    help="energy VAD: silent windows answer as empty text "
                         "without consuming a batch slot (try -45..-55)")
+    _add_mesh_flags(p)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -979,8 +982,12 @@ def cmd_stream_serve(argv) -> int:
 
     setup()
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
+    mesh, _ = _mesh_from_args(args)
+    if mesh is not None:
+        from audax.parallel.sharding import shard_params
+        params = shard_params(params, mesh)
     st = StreamingTranscriber(
-        params, cfg, tok, batch_slots=args.batch_slots,
+        params, cfg, tok, batch_slots=args.batch_slots, mesh=mesh,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         vad_threshold_db=args.vad_threshold_db)
     if not args.no_warmup:

@@ -210,7 +210,8 @@ class Transcriber:
                  prepend_punctuations: str = PREPEND_PUNCTUATIONS,
                  append_punctuations: str = APPEND_PUNCTUATIONS,
                  suppress_tokens="-1", suppress_blank: bool = True,
-                 vad_threshold_db: Optional[float] = None):
+                 vad_threshold_db: Optional[float] = None,
+                 mesh=None):
         #: int8 self+cross KV caches in decode (whisper.QuantKV) — halves
         #: the per-token cache read bytes and per-stream cache memory
         self.kv_quant = kv_quant
@@ -225,6 +226,17 @@ class Transcriber:
                                  f"'int8' or 4/'int4'")
             bits = 4 if str(quantize) in ("4", "int4") else 8
             params = quantize_tree(params, bits=bits)
+        #: tensor-parallel serving: a (data, model) mesh Megatron-shards
+        #: the weights (quantized trees keep their replication rules) and
+        #: every decode path constrains its KV caches over heads on
+        #: 'model' — batch transcription scales with the mesh, token-equal
+        #: to replicated (tests/test_cli_mesh.py). The speculative-draft
+        #: shortcut is disabled under a mesh (its verify spans have no TP
+        #: KV layout); plain generate covers that case.
+        self.mesh = mesh
+        if mesh is not None:
+            from audax.parallel.sharding import shard_params
+            params = shard_params(params, mesh)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -367,7 +379,8 @@ class Transcriber:
                  if self.timestamps else None)
         max_len = min(prompt.shape[1] + self.max_new_tokens, self.cfg.n_text_ctx)
         if (denc is not None and temperature == 0.0 and rules is None
-                and self.beam_width == 1 and enc.shape[0] == 1):
+                and self.beam_width == 1 and enc.shape[0] == 1
+                and self.mesh is None):
             # token-exact draft-verified greedy (single-stream latency path).
             # Verify spans read K positional rows starting at l-1, and
             # dynamic_slice CLAMPS at the table edge — cap max_len so the
@@ -392,7 +405,7 @@ class Transcriber:
                               suppress=jnp.asarray(self.suppress),
                               first_suppress=fs,
                               timestamps=rules, dtype=self.dtype,
-                              kv_quant=self.kv_quant,
+                              kv_quant=self.kv_quant, mesh=self.mesh,
                               patience=self.patience,
                               length_penalty=self.length_penalty)
             # top hypothesis, shaped like a GenerateResult
@@ -416,7 +429,7 @@ class Transcriber:
                            suppress=jnp.asarray(self.suppress),
                            first_suppress=fs,
                            dtype=self.dtype, kv_quant=self.kv_quant,
-                           no_speech_id=ns_id)
+                           mesh=self.mesh, no_speech_id=ns_id)
             n = enc.shape[0]
             gen_count = np.maximum(np.asarray(out.gen_count), 1)
             sum_lp = np.asarray(out.sum_logprob)
@@ -437,7 +450,7 @@ class Transcriber:
                         suppress=jnp.asarray(self.suppress),
                         first_suppress=fs,
                         dtype=self.dtype, kv_quant=self.kv_quant,
-                        no_speech_id=ns_id)
+                        mesh=self.mesh, no_speech_id=ns_id)
 
     def _align_words(self, enc_row, prompt_len: int, prompt_and_ids,
                      n_valid_samples: int) -> List[WordTiming]:

@@ -239,3 +239,32 @@ def test_fit_two_tower_mesh_matches_single_device(tmp_path, fsdp):
                                rtol=1e-3)
     np.testing.assert_allclose(h_mesh["val_loss"], h_ref["val_loss"],
                                rtol=1e-3)
+
+
+def test_transcriber_tp_token_equal(rng):
+    """Transcriber(mesh=...) — the `transcribe --tp` path: weights
+    Megatron-sharded, decode KV constrained over heads — produces
+    byte-identical text to the replicated transcriber, greedy AND beam."""
+    from audax.core.config import MeshConfig
+    from audax.infer.transcribe import Transcriber
+    from audax.models.whisper import init_whisper_params
+    from audax.parallel.mesh import make_mesh
+    from audax.symbolic.bpe import train_bpe
+    from audax.symbolic.tokenizer import WhisperTokenizer
+
+    tok = WhisperTokenizer(train_bpe(["hello world how are you"] * 4,
+                                     vocab_size=280))
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=50, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=32)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    audio = (0.05 * rng.standard_normal(32000)).astype(np.float32)
+    mesh = make_mesh(MeshConfig(model=2), devices=jax.devices()[:4])
+
+    for kw in ({}, {"beam_width": 2}):
+        rep = Transcriber(params, cfg, tok, max_new_tokens=6,
+                          temperature_fallback=False, backend="xla", **kw)
+        tp = Transcriber(params, cfg, tok, max_new_tokens=6,
+                         temperature_fallback=False, backend="xla",
+                         mesh=mesh, **kw)
+        assert tp.transcribe(audio).text == rep.transcribe(audio).text

@@ -201,9 +201,16 @@ class DemoState:
                 return "no finished finetune to swap in"
             params = self.pending_params
             tr = self.transcriber
+        # same decode policy as the base slot — a different fallback/beam
+        # setting here would misattribute decode-policy differences to
+        # the fine-tune in the UI's side-by-side comparison
         new_tr = Transcriber(params, tr.cfg, tr.tokenizer,
+                             lang=tr.lang, task=tr.task,
+                             max_new_tokens=tr.max_new_tokens,
                              chunk_seconds=tr.chunk_seconds,
-                             temperature_fallback=False,
+                             temperature_fallback=tr.temperature_fallback,
+                             temperatures=tr.temperatures,
+                             beam_width=tr.beam_width,
                              dtype=tr.dtype)
         with self.lock:
             self.ft_transcriber = new_tr
@@ -308,7 +315,7 @@ def make_handler(state: DemoState):
                     result = tr.transcribe(audio)
                 self._json({"text": result.text, "rtf": round(result.rtf, 3)})
             elif self.path.startswith("/add"):
-                from urllib.parse import parse_qs, unquote, urlparse
+                from urllib.parse import parse_qs, urlparse
                 from audax.data.audio_io import write_wav
                 os.makedirs(state.dataset_dir, exist_ok=True)
                 with state.lock:
@@ -317,8 +324,8 @@ def make_handler(state: DemoState):
                 write_wav(os.path.join(state.dataset_dir, name), audio, 16000)
                 # transcript sidecar: the label the /finetune corpus trains
                 # on (build_speech_dataset's per-file .txt contract)
-                q = parse_qs(urlparse(self.path).query)
-                text = unquote(q.get("text", [""])[0]).strip()
+                q = parse_qs(urlparse(self.path).query)   # percent-decodes
+                text = q.get("text", [""])[0].strip()
                 if text:
                     side = os.path.splitext(name)[0] + ".txt"
                     with open(os.path.join(state.dataset_dir, side),

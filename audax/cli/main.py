@@ -250,6 +250,14 @@ def _load_whisper(size: str, ckpt: str, tokenizer_dir: str):
     cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
            "small": WhisperConfig.small,
            "large-v3": WhisperConfig.large_v3}[size]()
+    sidecar = (ckpt.rstrip("/") + ".config.json") if ckpt else ""
+    if sidecar and os.path.exists(sidecar):
+        # checkpoints carry their true dims (convert-hf and finetune write
+        # this): a finetune --chunk-seconds run slices the encoder
+        # positions, and rebuilding from the size preset would mismatch
+        import json as _json
+        with open(sidecar) as fh:
+            cfg = WhisperConfig(**_json.load(fh))
     if tokenizer_dir and not os.path.exists(
             os.path.join(tokenizer_dir, "vocab.json")):
         # an explicitly supplied path that does not resolve is an ERROR —
@@ -269,7 +277,15 @@ def _load_whisper(size: str, ckpt: str, tokenizer_dir: str):
         log.warning("no tokenizer dir; building a small ad-hoc BPE vocab")
         corpus = ["the quick brown fox jumps over the lazy dog"] * 4
         tok = WhisperTokenizer(train_bpe(corpus, vocab_size=300))
-    cfg = replace(cfg, vocab_size=tok.vocab_size)
+    if tok.vocab_size != cfg.vocab_size:
+        if sidecar and os.path.exists(sidecar):
+            # the checkpoint's dims win — a mismatched tokenizer decodes
+            # garbage but a mismatched cfg would SHAPE-fail the load
+            log.warning("tokenizer vocab %d != checkpoint vocab %d — pass "
+                        "the tokenizer the model was trained with",
+                        tok.vocab_size, cfg.vocab_size)
+        else:
+            cfg = replace(cfg, vocab_size=tok.vocab_size)
     params = init_whisper_params(cfg, jax.random.key(0))
     if ckpt:
         from audax.train.checkpoints import load_pytree
@@ -867,6 +883,12 @@ def cmd_finetune(argv) -> int:
     if mesh is not None:
         serving = jax.device_get(serving)   # portable unsharded checkpoint
     save_pytree(args.out, serving)
+    # dims sidecar (the convert-hf convention): --chunk-seconds runs carry
+    # a shortened n_audio_ctx, and transcribe --ckpt / export-hf read this
+    import dataclasses as _dc
+    import json as _json
+    with open(args.out.rstrip("/") + ".config.json", "w") as fh:
+        _json.dump(_dc.asdict(cfg), fh, indent=2)
     log.success("saved fine-tuned params -> %s (best WER %.3f)", args.out,
                 history["best_wer"])
 
@@ -983,9 +1005,8 @@ def cmd_stream_serve(argv) -> int:
     setup()
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
     mesh, _ = _mesh_from_args(args)
-    if mesh is not None:
-        from audax.parallel.sharding import shard_params
-        params = shard_params(params, mesh)
+    # StreamingTranscriber places params on the mesh itself (its __init__
+    # calls shard_params when mesh is given) — don't double-place here
     st = StreamingTranscriber(
         params, cfg, tok, batch_slots=args.batch_slots, mesh=mesh,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
@@ -1494,8 +1515,9 @@ def cmd_bench_train(argv) -> int:
     # peak; the SAME compiled executable is then executed (an AOT
     # .lower().compile() does not populate the jit call cache — calling
     # `step` afterwards would compile the whisper step a second time,
-    # minutes over the tunnel)
-    n_chips = mesh.devices.size if mesh is not None else 1
+    # minutes over the tunnel). cost_analysis is PER-DEVICE on the
+    # post-SPMD module (measured on a CPU mesh), so flops/dt IS the
+    # per-chip rate — no further division by the mesh size
     compiled = step.lower(state, batch).compile()
     try:
         cost = compiled.cost_analysis()
@@ -1519,7 +1541,7 @@ def cmd_bench_train(argv) -> int:
         "value": round(b / dt, 2), "sec_per_step": round(dt, 4),
         "audio_seconds_per_sec": round(b * 30.0 / dt, 1),
         "mesh": dict(mesh.shape) if mesh is not None else None,
-        "fsdp": bool(fsdp), **mfu(flops, dt, n_chips)}))
+        "fsdp": bool(fsdp), **mfu(flops, dt)}))
     return 0
 
 

@@ -125,13 +125,22 @@ def hf_whisper_config_dict(cfg: WhisperConfig) -> Dict[str, Any]:
         "vocab_size": cfg.vocab_size,
         "max_target_positions": cfg.n_text_ctx,
     }
-    if cfg.vocab_size < 51865:
+    if cfg.vocab_size < 51864:
         # shrunken/test vocab: HF's default special-token ids (pad 50256,
         # eos 50257, ...) would fall outside the embedding table and
         # from_pretrained refuses to construct the model — clamp them in
         d.update(pad_token_id=0, bos_token_id=1, eos_token_id=2,
                  decoder_start_token_id=1, suppress_tokens=[],
                  begin_suppress_tokens=[])
+    elif cfg.vocab_size == 51864:
+        # English-only family (.en): eot=50256, sot=50257 — one below the
+        # multilingual layout. The .en non-speech symbol ids live in a
+        # DIFFERENT base vocab and are not baked in here (an empty list
+        # only costs the default symbol suppression, while wrong ids
+        # would ban real words)
+        d.update(pad_token_id=50256, bos_token_id=50256,
+                 eos_token_id=50256, decoder_start_token_id=50257,
+                 suppress_tokens=[], begin_suppress_tokens=[220, 50256])
     else:
         # real multilingual vocab: emit the standard whisper ids — HF's
         # GPT-2 defaults (decoder_start 50257, eos/pad 50256) are WRONG for

@@ -268,3 +268,31 @@ def test_transcriber_tp_token_equal(rng):
                          temperature_fallback=False, backend="xla",
                          mesh=mesh, **kw)
         assert tp.transcribe(audio).text == rep.transcribe(audio).text
+
+
+def test_finetune_chunk_seconds_ckpt_roundtrips(tmp_path, rng, monkeypatch):
+    """A `finetune --chunk-seconds` checkpoint carries its true dims in a
+    .config.json sidecar, and `transcribe --ckpt` reads it — the sliced
+    encoder context must not be rebuilt from the size preset (shape
+    mismatch otherwise)."""
+    from audax.cli.main import _COMMANDS
+
+    monkeypatch.setattr(WhisperConfig, "tiny",
+                        classmethod(lambda cls: _micro_tiny()))
+    wavs = tmp_path / "wavs"
+    _make_wavs(wavs, rng, n=4)
+    run = tmp_path / "run"
+    run.mkdir()
+    monkeypatch.chdir(run)
+    out = str(tmp_path / "out")
+    assert _COMMANDS["finetune"](
+        ["--audio-dir", str(wavs), "--transcript", "hello world",
+         "--steps", "2", "--batch-size", "4", "--chunk-seconds", "2",
+         "--lora-rank", "0", "--out", out]) == 0
+    import os
+    assert os.path.exists(out + ".config.json")
+    csv_path = str(tmp_path / "t.csv")
+    assert _COMMANDS["transcribe"](
+        [str(wavs / "c0.wav"), "--size", "tiny", "--ckpt", out,
+         "--csv", csv_path]) == 0
+    assert os.path.exists(csv_path)

@@ -240,6 +240,15 @@ def test_full_vocab_config_emits_whisper_token_ids():
     # large-v3 adds one language token: task/context specials shift by 1
     assert 50363 in d3["suppress_tokens"] and 50364 not in d3["suppress_tokens"]
 
+    # English-only family (.en, vocab 51864): eot=50256, sot=50257 — must
+    # NOT fall into the shrunken-test-vocab branch (pad=0/eos=2 garbage)
+    import dataclasses
+    den = hf_whisper_config_dict(
+        dataclasses.replace(WhisperConfig(), vocab_size=51864))
+    assert den["decoder_start_token_id"] == 50257
+    assert den["eos_token_id"] == den["pad_token_id"] == 50256
+    assert den["begin_suppress_tokens"] == [220, 50256]
+
 
 def test_lm_config_uses_derived_ffn_widths():
     """ADVICE r2: configs that leave ffn_dim/moe_ffn_dim 0 (width derived

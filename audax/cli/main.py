@@ -350,7 +350,11 @@ def cmd_verify_parity(argv) -> int:
     checkpoints/audio become reachable it is a single command."""
     p = argparse.ArgumentParser(prog="audax verify-parity")
     p.add_argument("--hf-dir", required=True,
-                   help="local HF whisper checkpoint directory")
+                   help="local HF checkpoint directory")
+    p.add_argument("--kind", default="whisper",
+                   choices=["whisper", "causal-lm"],
+                   help="whisper (logits + optional transcription compare) "
+                        "or causal-lm (Qwen/LLaMA-family logit parity)")
     p.add_argument("--audio-dir", default="",
                    help="wavs to transcribe with both stacks; .txt sidecars "
                         "(when present) add reference WER columns")
@@ -373,18 +377,41 @@ def cmd_verify_parity(argv) -> int:
     import torch
 
     from audax.core.runtime import setup
+
+    setup()
+    rng = np.random.default_rng(0)
+    if args.kind == "causal-lm":
+        # Qwen/LLaMA-family: port + teacher-forced logit parity (the
+        # reference's decoder tower, music2midi/model.py:209-213)
+        from transformers import AutoModelForCausalLM
+        from audax.models.causal_lm import (lm_forward,
+                                            port_causal_lm_from_hf)
+        hf = AutoModelForCausalLM.from_pretrained(args.hf_dir).eval()
+        params, cfg = port_causal_lm_from_hf(hf)
+        toks = rng.integers(0, cfg.vocab_size, (1, 12)).astype(np.int64)
+        with torch.no_grad():
+            ref = hf(input_ids=torch.from_numpy(toks)).logits.numpy()
+        got = np.asarray(lm_forward(params, cfg, toks.astype(np.int32)))
+        logit_diff = float(np.abs(got - ref).max())
+        report = {"hf_dir": args.hf_dir, "kind": "causal-lm",
+                  "logit_max_abs_diff": logit_diff, "logit_tol": args.tol,
+                  "logit_parity": logit_diff <= args.tol}
+        if args.report:
+            with open(args.report, "w") as fh:
+                json.dump(report, fh, indent=2)
+        print(json.dumps(report))
+        return 0 if report["logit_parity"] else 1
+
     from audax.models.port import (port_whisper_from_hf,
                                    whisper_config_from_hf)
     from audax.models.whisper import whisper_forward
     from transformers import WhisperForConditionalGeneration
 
-    setup()
     hf = WhisperForConditionalGeneration.from_pretrained(args.hf_dir).eval()
     cfg = whisper_config_from_hf(hf.config)
     params = port_whisper_from_hf(hf)
 
     # --- logit parity (the BASELINE acceptance criterion) ---------------
-    rng = np.random.default_rng(0)
     mel = rng.standard_normal((1, 2 * cfg.n_audio_ctx, cfg.n_mels)) \
         .astype(np.float32)
     toks = rng.integers(0, cfg.vocab_size, (1, 8)).astype(np.int64)
@@ -394,7 +421,8 @@ def cmd_verify_parity(argv) -> int:
     got = np.asarray(whisper_forward(params, cfg, mel,
                                      toks.astype(np.int32)))
     logit_diff = float(np.abs(got - ref).max())
-    report = {"hf_dir": args.hf_dir, "logit_max_abs_diff": logit_diff,
+    report = {"hf_dir": args.hf_dir, "kind": "whisper",
+              "logit_max_abs_diff": logit_diff,
               "logit_tol": args.tol, "logit_parity": logit_diff <= args.tol}
 
     # --- transcription comparison on real audio -------------------------
@@ -1911,6 +1939,7 @@ def cmd_infer_music(argv) -> int:
                    help="teacher-forced ABC header after <abc_start> (e.g. "
                         "'X:1\\nK:C\\n'; reference model.py:363-366). "
                         "Single-wav mode only")
+    _add_mesh_flags(p)
     args = p.parse_args(argv)
 
     import jax
@@ -1951,13 +1980,25 @@ def cmd_infer_music(argv) -> int:
         return x
 
     allowed = bpe.added_token_ids() if args.constrained else None
+    mesh, _ = _mesh_from_args(args)
+    if mesh is not None:
+        # same layout as fit_two_tower's mesh path: Qwen decoder +
+        # frozen encoder Megatron-sharded, adapter by the default rules
+        from audax.parallel.sharding import (CAUSAL_LM_TP_RULES,
+                                             WHISPER_TP_RULES, shard_params)
+        model = model._replace(
+            audio_params=shard_params(model.audio_params, mesh,
+                                      rules=WHISPER_TP_RULES),
+            params={"adapter": shard_params(model.params["adapter"], mesh),
+                    "lm": shard_params(model.params["lm"], mesh,
+                                       rules=CAUSAL_LM_TP_RULES)})
     if args.wav_dir:
         from audax.infer.continuous import ContinuousGenerator
         g = ContinuousGenerator(
             model, bpe=bpe, start_id=start, end_id=end, slots=args.slots,
             window_seconds=args.chunk_seconds,
             max_new_tokens=args.max_tokens - 1,
-            temperature=args.temperature, allowed_ids=allowed)
+            temperature=args.temperature, allowed_ids=allowed, mesh=mesh)
         names = sorted(f for f in os.listdir(args.wav_dir)
                        if f.lower().endswith(".wav"))
         for i, name in enumerate(names):

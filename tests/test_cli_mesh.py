@@ -296,3 +296,30 @@ def test_finetune_chunk_seconds_ckpt_roundtrips(tmp_path, rng, monkeypatch):
         [str(wavs / "c0.wav"), "--size", "tiny", "--ckpt", out,
          "--csv", csv_path]) == 0
     assert os.path.exists(csv_path)
+
+
+def test_transcriber_tp_quantized(rng):
+    """`transcribe --tp --quantize int8`: quantized trees shard by the
+    same rule tables (int4/int8 leaves keep their replication rules) and
+    the TP transcriber stays token-equal to the replicated quantized one."""
+    from audax.core.config import MeshConfig
+    from audax.infer.transcribe import Transcriber
+    from audax.models.whisper import init_whisper_params
+    from audax.parallel.mesh import make_mesh
+    from audax.symbolic.bpe import train_bpe
+    from audax.symbolic.tokenizer import WhisperTokenizer
+
+    tok = WhisperTokenizer(train_bpe(["hello world how are you"] * 4,
+                                     vocab_size=280))
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=50, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=2,
+                        vocab_size=tok.vocab_size, n_text_ctx=32)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    audio = (0.05 * rng.standard_normal(32000)).astype(np.float32)
+    mesh = make_mesh(MeshConfig(model=2), devices=jax.devices()[:4])
+
+    rep = Transcriber(params, cfg, tok, max_new_tokens=6, quantize="int8",
+                      temperature_fallback=False, backend="xla")
+    tp = Transcriber(params, cfg, tok, max_new_tokens=6, quantize="int8",
+                     temperature_fallback=False, backend="xla", mesh=mesh)
+    assert tp.transcribe(audio).text == rep.transcribe(audio).text

@@ -363,3 +363,30 @@ def test_verify_parity_cli(tmp_path, rng):
     assert {"file", "audax", "hf", "reference"} <= set(rep["clips"][0])
     assert "cross_wer_audax_vs_hf" in rep
     assert "wer_audax_vs_reference" in rep and "wer_hf_vs_reference" in rep
+
+
+def test_verify_parity_cli_causal_lm(tmp_path):
+    """`verify-parity --kind causal-lm`: Qwen-family port + logit parity
+    from a local HF dir in one command."""
+    pytest.importorskip("torch")
+    import json
+
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from audax.cli.main import _COMMANDS
+
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    hf = Qwen2ForCausalLM(Qwen2Config(
+        vocab_size=80, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=True)).eval()
+    hf_dir = str(tmp_path / "hf")
+    hf.save_pretrained(hf_dir)
+    report_path = str(tmp_path / "rep.json")
+    assert _COMMANDS["verify-parity"](
+        ["--hf-dir", hf_dir, "--kind", "causal-lm",
+         "--report", report_path]) == 0
+    rep = json.load(open(report_path))
+    assert rep["kind"] == "causal-lm" and rep["logit_parity"]
+    assert rep["logit_max_abs_diff"] < 1e-4

@@ -1078,6 +1078,11 @@ def cmd_serve(argv) -> int:
     p.add_argument("--suppress-blank", action="store_true",
                    help="ban ' '/EOT at each request's first generated "
                         "position (whisper SuppressBlank)")
+    p.add_argument("--suppress-tokens", default="-1",
+                   help="'-1' (default): specials + the vocab's non-speech "
+                        "symbol set (same as the transcribe CLI); '' : "
+                        "control specials only; comma-separated ids: "
+                        "specials + those")
     _add_mesh_flags(p)
     args = p.parse_args(argv)
 
@@ -1101,6 +1106,10 @@ def cmd_serve(argv) -> int:
         max_new_tokens=args.max_tokens, steps_per_sync=args.steps_per_sync,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         kv_quant=args.kv_quant, suppress_blank=args.suppress_blank,
+        suppress_tokens=(args.suppress_tokens
+                         if args.suppress_tokens == "-1"
+                         else [int(t) for t in
+                               args.suppress_tokens.split(",") if t.strip()]),
         mesh=mesh)
     if not args.no_warmup:
         log.info("warming up (chunk + admit programs at every bucket)...")

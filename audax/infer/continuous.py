@@ -85,6 +85,18 @@ class _ServeState(NamedTuple):
     budget: jnp.ndarray        # [B] int32 per-request max generated tokens
 
 
+@jax.jit
+def _pack_harvest(done, lengths, sum_logprob, gen_count):
+    """Per-slot harvest metadata packed into ONE [B, 4] f32 fetch
+    (done, length, sum_logprob, gen_count) — lengths/counts are far below
+    f32's 2^24 integer range. Four separate small fetches cost four
+    ~0.5 s tunnel round-trips per finishing chunk."""
+    return jnp.stack([done.astype(jnp.float32),
+                      lengths.astype(jnp.float32),
+                      sum_logprob.astype(jnp.float32),
+                      gen_count.astype(jnp.float32)], axis=1)
+
+
 def _advance(st, nxt, logits, *, p_len: int, eos_id: int, bidx):
     """Shared post-logits bookkeeping for one ragged decode step: write
     the chosen token, accumulate its logprob, flip ``done`` on
@@ -314,16 +326,23 @@ class _SlotEngine:
             self._slot_secs[slot] = n_samples / self.sample_rate
 
     def _harvest(self) -> List[Result]:
-        done = np.asarray(self._state.done)
+        # ONE small fetched array per chunk (a tunnel round-trip costs
+        # ~0.5 s, CLAUDE.md): done/lengths/sum_logprob/gen_count ride a
+        # packed [B, 4] f32; token rows transfer only when something
+        # actually finished
+        meta = np.asarray(_pack_harvest(
+            self._state.done, self._state.lengths,
+            self._state.sum_logprob, self._state.gen_count))
+        done = meta[:, 0] > 0.5
         out: List[Result] = []
         finished = [i for i in range(self.slots)
                     if self._slot_req[i] is not None and done[i]]
         if not finished:
             return out
         tokens = np.asarray(self._state.tokens)
-        lengths = np.asarray(self._state.lengths)
-        slp = np.asarray(self._state.sum_logprob)
-        cnt = np.asarray(self._state.gen_count)
+        lengths = meta[:, 1].astype(np.int64)
+        slp = meta[:, 2]
+        cnt = meta[:, 3]
         for i in finished:
             ids = [int(t) for t in tokens[i, self._p_len: lengths[i]]
                    if t != self._stop_id]
@@ -363,12 +382,18 @@ class _SlotEngine:
             while k < self.slots:
                 buckets.add(min(k * 2, self.slots))
                 k *= 2
+        seed0 = getattr(self, "_seed_counter", None)
         for k in sorted(buckets):
             for i in range(k):
                 self.submit(f"__warmup{k}_{i}__",
                             np.zeros(16000, np.float32), max_new_tokens=1)
             self.run()
         self.steps_run = self.chunks_run = 0
+        if seed0 is not None:
+            # warmup must not consume the generator's default seed stream:
+            # reproducible replay would otherwise depend on whether/how
+            # warmup ran
+            self._seed_counter = seed0
 
     # -- subclass hooks ---------------------------------------------------
     def _install(self, batch: np.ndarray, slot_ids: np.ndarray,
@@ -401,7 +426,8 @@ class ContinuousBatcher(_SlotEngine):
                  lang: str = "en", max_new_tokens: int = 224,
                  steps_per_sync: int = 64, dtype=jnp.float32,
                  backend: Optional[str] = None, kv_quant: bool = False,
-                 mesh=None, suppress_blank: bool = False):
+                 mesh=None, suppress_blank: bool = False,
+                 suppress_tokens="-1"):
         """``mesh`` (a jax.sharding.Mesh with 'data'/'model' axes) runs the
         serving programs tensor-parallel: pass params already placed by
         parallel/sharding.py:shard_params; the engine head-shards its KV
@@ -434,9 +460,19 @@ class ContinuousBatcher(_SlotEngine):
         self._max_len = min(self._p_len + max_new_tokens, cfg.n_text_ctx)
         self._stop_id = tokenizer.eot
         self._default_row = self._prompt_for(lang)
-        self._suppress = jnp.asarray(
-            [i for i in tokenizer.special_ids() if i != tokenizer.eot],
-            np.int32)
+        # same SuppressTokens default as the Transcriber surface ("-1" =
+        # control specials + the vocab's non-speech symbol set) so the
+        # serving endpoint and the transcribe CLI emit the same tokens;
+        # "" / [] = control specials only, a list = specials + those ids
+        if suppress_tokens == "-1":
+            extra = tokenizer.non_speech_tokens()
+        elif suppress_tokens:
+            extra = [int(i) for i in suppress_tokens]
+        else:
+            extra = []
+        self._suppress = jnp.asarray(sorted(
+            set([i for i in tokenizer.special_ids() if i != tokenizer.eot]
+                + list(extra))), np.int32)
         # whisper's SuppressBlank (' ' + EOT at the first generated
         # position); opt-in here — the Transcriber surface defaults it on
         self._first_suppress = (jnp.asarray(
@@ -667,10 +703,10 @@ class ContinuousGenerator(_SlotEngine):
         self._seed_counter = 0
         # encoder output shape for this window (conv stack halves frames)
         s = self.frontend.num_frames(self.window) // 2
-        self._state = self._init_state(s, model.audio_cfg.d_model)
+        self._state = self._init_state(s)
         self._init_shell()
 
-    def _init_state(self, s: int, d_audio: int) -> _GenState:
+    def _init_state(self, s: int) -> _GenState:
         from audax.models.causal_lm import init_lm_cache
         b = self.slots
         heads = self.model.cfg.adapter_heads

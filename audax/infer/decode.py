@@ -129,6 +129,7 @@ def generate(
     mesh=None,                     # jax.sharding.Mesh with a 'model' axis
     kv_quant: bool = False,        # int8 self+cross KV (whisper.QuantKV)
     no_speech_id: Optional[int] = None,   # record openai's no_speech_prob
+    no_speech_pos: Optional[jnp.ndarray] = None,  # prompt index of <|sot|>
 ) -> GenerateResult:
     """Decode until EOS or ``max_len``. The prompt is teacher-forced through
     the same cached step (cheap: P is tiny), then generation proceeds
@@ -186,11 +187,18 @@ def generate(
         logits = logits.astype(jnp.float32)
         in_prompt = c.pos + 1 < p_len
         if no_speech_id is not None:
-            # openai's no_speech_prob: raw softmax mass of <|nospeech|> at
-            # the first generated position (BEFORE suppression/rules)
-            first_gen = c.pos + 1 == p_len
+            # openai's no_speech_prob: raw softmax mass of <|nospeech|> in
+            # the logits AT the <|sot|> position (BEFORE suppression/rules
+            # and BEFORE lang/task conditioning — openai reads
+            # logits[:, sot_index]; measuring after the full prompt loses
+            # most of the no-speech mass). ``no_speech_pos`` is the
+            # prompt's sot index; default = the step before the first
+            # generated token (plain prompts end ...task/notimestamps, so
+            # callers should pass the true sot index).
+            at = (jnp.int32(no_speech_pos) if no_speech_pos is not None
+                  else jnp.int32(p_len - 1))
             p_ns = jax.nn.softmax(logits, -1)[:, no_speech_id]
-            nsp = jnp.where(first_gen, p_ns, c.nsp)
+            nsp = jnp.where(c.pos == at, p_ns, c.nsp)
         else:
             nsp = c.nsp
         constrained = constrain(logits, c)

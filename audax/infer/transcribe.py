@@ -415,6 +415,10 @@ class Transcriber:
                                   res.sum_logprob[:, 0], gen_count)
         ns_id = (tk.no_speech if self.no_speech_threshold is not None
                  else None)
+        # openai reads no_speech_prob from the logits AT <|sot|> (not after
+        # the full lang/task prompt); locate sot in this prompt layout
+        ns_pos = (int(np.where(np.asarray(prompt)[0] == tk.sot)[0][-1])
+                  if ns_id is not None else None)
         bo = self.best_of if temperature > 0.0 else 1
         if bo > 1:
             # n-best sampling batched in the decode batch dim (free on the
@@ -429,7 +433,8 @@ class Transcriber:
                            suppress=jnp.asarray(self.suppress),
                            first_suppress=fs,
                            dtype=self.dtype, kv_quant=self.kv_quant,
-                           mesh=self.mesh, no_speech_id=ns_id)
+                           mesh=self.mesh, no_speech_id=ns_id,
+                           no_speech_pos=ns_pos)
             n = enc.shape[0]
             gen_count = np.maximum(np.asarray(out.gen_count), 1)
             sum_lp = np.asarray(out.sum_logprob)
@@ -450,7 +455,8 @@ class Transcriber:
                         suppress=jnp.asarray(self.suppress),
                         first_suppress=fs,
                         dtype=self.dtype, kv_quant=self.kv_quant,
-                        mesh=self.mesh, no_speech_id=ns_id)
+                        mesh=self.mesh, no_speech_id=ns_id,
+                        no_speech_pos=ns_pos)
 
     def _align_words(self, enc_row, prompt_len: int, prompt_and_ids,
                      n_valid_samples: int) -> List[WordTiming]:

@@ -278,10 +278,11 @@ def _bwd_pallas(q3, k3, v3, o3, lse, do3, *, group: int, scale: float,
     # (bhkv, ik, g, iq): inner (g, iq) sweep folds the whole q-head group
     # into one resident dk/dv block — GQA KV grads without a jnp.repeat.
     def qmap(b, j, g_, i):
+        # shared by every q-row-shaped operand (q, do, lse, delta): the
+        # block width differs per BlockSpec, the row indexing does not
         return (b * group + g_, i, 0)
 
-    def qvecmap(b, j, g_, i):
-        return (b * group + g_, i, 0)
+    qvecmap = qmap
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,

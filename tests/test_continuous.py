@@ -40,8 +40,11 @@ def _reference_ids(params, cfg, tok, samples, *, max_new, budget=None,
     mel = fe(jnp.asarray(x[None]))
     enc = encode(params, cfg, mel)
     prompt = jnp.asarray([tok.sot_sequence(lang="en")], jnp.int32)
-    suppress = jnp.asarray([i for i in tok.special_ids() if i != tok.eot],
-                           jnp.int32)
+    # the engine's default SuppressTokens="-1" (specials + the vocab's
+    # non-speech symbol set) — the generate side must match exactly
+    suppress = jnp.asarray(sorted(
+        set([i for i in tok.special_ids() if i != tok.eot]
+            + tok.non_speech_tokens())), jnp.int32)
     res = generate(params, cfg, enc, prompt,
                    max_len=min(prompt.shape[1] + max_new, cfg.n_text_ctx),
                    eos_id=tok.eot, suppress=suppress, kv_quant=kv_quant)
@@ -367,8 +370,11 @@ def test_suppress_blank_engine_matches_generate(setup, rng):
     results = {r.request_id: r for r in cb.run()}
     fe = LogMelFrontend.whisper(cfg.n_mels)
     window = 30 * fe.cfg.sample_rate
-    suppress = jnp.asarray([i for i in tok.special_ids() if i != tok.eot],
-                           jnp.int32)
+    # the engine's default SuppressTokens="-1" (specials + the vocab's
+    # non-speech symbol set) — the generate side must match exactly
+    suppress = jnp.asarray(sorted(
+        set([i for i in tok.special_ids() if i != tok.eot]
+            + tok.non_speech_tokens())), jnp.int32)
     for rid, samples in reqs.items():
         x = np.zeros(window, np.float32)
         x[: len(samples)] = samples

@@ -2,20 +2,28 @@
 
 openai-whisper's ``transcribe(beam_size=K)`` path, rebuilt as one
 ``lax.while_loop``: beams live in the batch dimension ([B*W] rows through
-the same KV-cached decode_step), finished hypotheses are frozen in place
-(forced EOS, zero score delta), and the loop exits early when every beam of
-every item has finished. Length handling follows whisper: hypotheses are
-ranked by sum-logprob / length, or by the GNMT penalty
-``((5 + len) / 6) ** length_penalty`` when ``length_penalty`` is set
-(openai's MaximumLikelihoodRanker).
+the same KV-cached decode_step). Finished hypotheses follow openai's
+BeamSearchDecoder exactly (whisper/decoding.py BeamSearchDecoder.update):
+a candidate ending in EOT vacates its lane into a per-item finished pool
+and the lane is refilled with the next-best live continuation, so the
+search always advances ``beam_width`` LIVE beams. The pool is
+first-come-first-served with ``round(beam_width * patience)`` slots
+(``patience``, Kasai et al. 2022): once full, later (even better-scoring)
+finished candidates are dropped, and the loop exits when every item's pool
+is full. Candidates still in flight at ``max_len`` pad any unfull pool in
+descending sum-logprob order (openai's ``finalize``).
 
-``patience`` (openai transcribe's beam knob, Kasai et al. 2022): collect
-``round(beam_width * patience)`` finished hypotheses before committing.
-Here the search runs that many lanes internally — termination still
-requires every lane finished — and returns the top ``beam_width`` after
-ranking. This keeps the fixed-shape single while_loop (openai maintains a
-first-come-first-served finished pool beside ``beam_width`` live beams;
-the candidate-count contract is the same, the eviction order differs).
+Candidate iteration order matches openai: within a step, candidates are
+scanned best-first; an EOT candidate is pooled iff it outranks the W-th
+live candidate (fewer than W non-EOT candidates precede it). Since each of
+the W source beams proposes EOT at most once, the top ``2W`` candidates
+always contain the W live continuations plus every poolable EOT — the
+fixed-shape equivalent of openai's early-broken python loop.
+
+Length handling follows whisper: hypotheses are ranked by
+sum-logprob / length, or by the GNMT penalty ``((5 + len) / 6) ** alpha``
+when ``length_penalty`` is set (openai's MaximumLikelihoodRanker). The
+ranker runs over the full pool; the top ``beam_width`` are returned.
 """
 
 from __future__ import annotations
@@ -44,6 +52,30 @@ class BeamResult(NamedTuple):
     sum_logprob: jnp.ndarray = None  # [B, W] raw sum of token logprobs
 
 
+def _fcfs_partition(top_idx, v, eos_id, w):
+    """Classify the 2W best-first candidates openai-style.
+
+    Returns (is_live, lane, is_pooled, pool_rank):
+      - ``is_live[b, j]``: candidate j is one of the first W non-EOT
+        candidates (it becomes live lane ``lane[b, j]`` in 0..W-1);
+      - ``is_pooled[b, j]``: candidate j ends in EOT AND outranks the W-th
+        live candidate (openai scans best-first and breaks after W live,
+        so only EOTs seen before that break are saved);
+      - ``pool_rank[b, j]``: this step's insertion order among pooled
+        candidates (0-based, best-first — openai appends in scan order).
+
+    Pure index math, unit-tested directly in tests/test_beam.py.
+    """
+    is_eot = (top_idx % v) == eos_id
+    nonfin_before = jnp.cumsum(~is_eot, axis=-1) - (~is_eot)  # exclusive
+    before_break = nonfin_before < w
+    is_live = jnp.logical_and(~is_eot, before_break)
+    lane = nonfin_before
+    is_pooled = jnp.logical_and(is_eot, before_break)
+    pool_rank = jnp.cumsum(is_pooled, axis=-1) - is_pooled    # exclusive
+    return is_live, lane, is_pooled, pool_rank
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_len", "eos_id", "beam_width", "dtype",
@@ -65,14 +97,16 @@ def beam_search(
     dtype=jnp.float32,
     mesh=None,                    # jax.sharding.Mesh with a 'model' axis
     kv_quant: bool = False,       # int8 self+cross KV (whisper.QuantKV)
-    patience: Optional[float] = None,      # collect round(W*patience) lanes
+    patience: Optional[float] = None,      # pool round(W*patience) finished
     length_penalty: Optional[float] = None,  # GNMT alpha; None = 1/length
 ) -> BeamResult:
     b, p_len = prompt.shape
     if patience is not None and patience < 1.0:
         raise ValueError(f"patience must be >= 1.0, got {patience}")
-    w = max(beam_width, int(round(beam_width * (patience or 1.0))))
+    w = beam_width
+    m = max(w, int(round(w * (patience or 1.0))))  # finished-pool slots
     bw = b * w
+    k2 = 2 * w
     neg_inf = jnp.finfo(jnp.float32).min
 
     # replicate encoder state / prompt across beams -> [B*W, ...]
@@ -91,17 +125,19 @@ def beam_search(
 
     class Carry(NamedTuple):
         pos: jnp.ndarray
-        tokens: jnp.ndarray      # [B*W, max_len]
+        tokens: jnp.ndarray      # [B*W, max_len] live lanes
         cache: KVCache
-        scores: jnp.ndarray      # [B*W] sum logprob
-        done: jnp.ndarray        # [B*W]
-        lengths: jnp.ndarray     # [B*W]
+        scores: jnp.ndarray      # [B*W] live sum logprob
         prev_ts: jnp.ndarray     # [B*W] timestamp-rule carries
         prevprev_ts: jnp.ndarray
         last_ts: jnp.ndarray
+        pool_tokens: jnp.ndarray  # [B, M, max_len] finished, FCFS order
+        pool_sumlp: jnp.ndarray   # [B, M] (-inf = empty slot)
+        pool_len: jnp.ndarray     # [B, M]
+        pool_cnt: jnp.ndarray     # [B]
 
     def cond(c: Carry):
-        return jnp.logical_and(c.pos < max_len - 1, ~jnp.all(c.done))
+        return jnp.logical_and(c.pos < max_len - 1, ~jnp.all(c.pool_cnt >= m))
 
     def body(c: Carry):
         logits, cache = decode_step(params, cfg, c.tokens[:, c.pos], c.pos,
@@ -124,31 +160,56 @@ def beam_search(
         v = logp.shape[-1]
         in_prompt = c.pos + 1 < p_len
 
-        # finished beams contribute exactly one continuation: EOS at score 0
-        eos_only = jnp.full((bw, v), neg_inf).at[:, eos_id].set(0.0)
-        step_logp = jnp.where(c.done[:, None], eos_only, logp)
-        cand = c.scores[:, None] + step_logp                 # [B*W, V]
+        cand = c.scores[:, None] + logp                      # [B*W, V]
         cand = cand.reshape(b, w * v)
-        top_scores, top_idx = lax.top_k(cand, w)             # [B, W]
+        # top 2W best-first candidates: contains the W live continuations
+        # plus every EOT candidate that outranks the W-th live one (each
+        # source beam proposes EOT at most once -> <= W EOTs total)
+        top_scores, top_idx = lax.top_k(cand, k2)            # [B, 2W]
         src_beam = top_idx // v                              # within-item beam
         new_tok = (top_idx % v).astype(jnp.int32)
+        is_live, lane, is_pooled, pool_rank = _fcfs_partition(
+            top_idx, v, eos_id, w)
+
+        bidx = jnp.arange(b)[:, None]                        # [B, 1]
+
+        # ---- finished pool: FCFS insert of this step's EOT candidates ----
+        slot = c.pool_cnt[:, None] + pool_rank               # [B, 2W]
+        ok = jnp.logical_and(is_pooled, slot < m)
+        ok = jnp.logical_and(ok, ~in_prompt)
+        slot = jnp.where(ok, slot, m)                        # m -> dropped
+        # full candidate sequence: source-beam tokens, EOT from pos+1 on
+        # (the eos tail matches generate()'s frozen-lane fill)
+        seqs = c.tokens.reshape(b, w, max_len)[bidx, src_beam]  # [B, 2W, L]
+        seqs = jnp.where(jnp.arange(max_len) >= c.pos + 1, eos_id, seqs)
+        pool_tokens = c.pool_tokens.at[bidx, slot].set(seqs, mode="drop")
+        pool_sumlp = c.pool_sumlp.at[bidx, slot].set(top_scores, mode="drop")
+        pool_len = c.pool_len.at[bidx, slot].set(c.pos + 2, mode="drop")
+        pool_cnt = c.pool_cnt + ok.sum(-1)
+
+        # ---- live lanes: the first W non-EOT candidates refill the beams --
+        lane = jnp.where(is_live, lane, w)                   # w -> dropped
+        z = jnp.zeros((b, w))
+        live_scores = z.at[bidx, lane].set(top_scores, mode="drop")
+        live_src = jnp.zeros((b, w), jnp.int32).at[bidx, lane].set(
+            src_beam.astype(jnp.int32), mode="drop")
+        live_tok = jnp.zeros((b, w), jnp.int32).at[bidx, lane].set(
+            new_tok, mode="drop")
 
         # gather rows ([B, W] -> flat [B*W] source indices)
         base = (jnp.arange(b) * w)[:, None]
-        src = (base + src_beam).reshape(-1)
+        src = (base + live_src).reshape(-1)
 
         def pick(x):
             return x[src]
 
         tokens = pick(c.tokens)
-        scores = top_scores.reshape(-1)
-        done = pick(c.done)
-        lengths = pick(c.lengths)
+        scores = live_scores.reshape(-1)
         # reorder the POST-step cache (contains this step's new K/V);
         # tree-mapped so float KVCache and int8 QuantKV both reorder
         cache = jax.tree.map(lambda a: a[:, src], cache)
 
-        nxt = new_tok.reshape(-1)
+        nxt = live_tok.reshape(-1)
         # during the prompt, force the prompt token and keep scores at init.
         # c.scores must stay UNGATHERED here: during prompt steps every
         # top-k candidate routes through beam 0 (lanes 1..W-1 sit at -inf),
@@ -157,7 +218,6 @@ def beam_search(
         # identical greedy decodes once real expansion starts.
         nxt = jnp.where(in_prompt, tokens[:, c.pos + 1], nxt)
         scores = jnp.where(in_prompt, c.scores, scores)
-        nxt = jnp.where(done, eos_id, nxt)
         tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, c.pos + 1))
 
         if timestamps is not None:
@@ -173,39 +233,53 @@ def beam_search(
             prevprev_ts = pick(c.prevprev_ts)
             last_ts = pick(c.last_ts)
 
-        newly_done = jnp.logical_and(~in_prompt,
-                                     jnp.logical_and(~done, nxt == eos_id))
-        lengths = jnp.where(newly_done, c.pos + 2, lengths)
-        done = jnp.logical_or(done, newly_done)
-        return Carry(c.pos + 1, tokens, cache, scores, done, lengths,
-                     prev_ts, prevprev_ts, last_ts)
+        return Carry(c.pos + 1, tokens, cache, scores,
+                     prev_ts, prevprev_ts, last_ts,
+                     pool_tokens, pool_sumlp, pool_len, pool_cnt)
 
     # last_ts starts one below timestamp_begin: "no timestamp emitted yet"
     ts0 = timestamps.timestamp_begin - 1 if timestamps is not None else 0
     final = lax.while_loop(
         cond, body,
         Carry(jnp.int32(0), tokens, cache, init_scores,
-              jnp.zeros((bw,), bool), jnp.full((bw,), max_len, jnp.int32),
               # prev_ts starts True (NOT just prevprev — the first step's
               # shift overwrites prevprev before it is read): the decision
               # after a lone opening timestamp must see a completed pair,
               # openai's len(seq)<2 rule — see decode.py
               jnp.ones((bw,), bool), jnp.ones((bw,), bool),
-              jnp.full((bw,), ts0, jnp.int32)))
+              jnp.full((bw,), ts0, jnp.int32),
+              jnp.zeros((b, m, max_len), jnp.int32),
+              jnp.full((b, m), neg_inf),
+              jnp.full((b, m), max_len, jnp.int32),
+              jnp.zeros((b,), jnp.int32)))
 
-    tokens = final.tokens.reshape(b, w, max_len)
-    lengths = final.lengths.reshape(b, w)
-    sum_lp = final.scores.reshape(b, w)
-    gen_len = jnp.maximum(lengths - p_len, 1)
+    # openai finalize: pools not yet full pad with the in-flight beams in
+    # descending sum-logprob order (length stays max_len — the lane never
+    # emitted EOT within the budget)
+    live_tokens = final.tokens.reshape(b, w, max_len)
+    live_sumlp = final.scores.reshape(b, w)
+    order = jnp.argsort(-live_sumlp, axis=1)                 # [B, W]
+    bidx = jnp.arange(b)[:, None]
+    pad_slot = final.pool_cnt[:, None] + jnp.arange(w)[None, :]
+    pad_slot = jnp.where(pad_slot < m, pad_slot, m)          # m -> dropped
+    pool_tokens = final.pool_tokens.at[bidx, pad_slot].set(
+        live_tokens[bidx, order], mode="drop")
+    pool_sumlp = final.pool_sumlp.at[bidx, pad_slot].set(
+        live_sumlp[bidx, order], mode="drop")
+    pool_len = final.pool_len.at[bidx, pad_slot].set(max_len, mode="drop")
+
+    # rank the pool (openai MaximumLikelihoodRanker over max_candidates)
+    gen_len = jnp.maximum(pool_len - p_len, 1)
     if length_penalty is None:
         penalty = gen_len.astype(jnp.float32)    # whisper default: 1/length
     else:
         penalty = ((5.0 + gen_len.astype(jnp.float32)) / 6.0) \
             ** length_penalty                    # GNMT (openai ranker)
-    norm_scores = sum_lp / penalty
-    order = jnp.argsort(-norm_scores, axis=1)[:, :beam_width]
-    tokens = jnp.take_along_axis(tokens, order[:, :, None], 1)
-    lengths = jnp.take_along_axis(lengths, order, 1)
-    norm_scores = jnp.take_along_axis(norm_scores, order, 1)
-    sum_lp = jnp.take_along_axis(sum_lp, order, 1)
+    norm_scores = pool_sumlp / penalty
+    # empty slots sit at -inf sum_logprob -> -inf/penalty ranks last
+    top = jnp.argsort(-norm_scores, axis=1)[:, :beam_width]
+    tokens = jnp.take_along_axis(pool_tokens, top[:, :, None], 1)
+    lengths = jnp.take_along_axis(pool_len, top, 1)
+    norm_scores = jnp.take_along_axis(norm_scores, top, 1)
+    sum_lp = jnp.take_along_axis(pool_sumlp, top, 1)
     return BeamResult(tokens, lengths, norm_scores, sum_lp)

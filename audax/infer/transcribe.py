@@ -262,7 +262,7 @@ class Transcriber:
         if best_of < 1:
             raise ValueError(f"best_of must be >= 1, got {best_of}")
         self.best_of = best_of
-        #: beam patience (collect round(W*patience) candidates) and the
+        #: beam patience (FCFS finished pool of round(W*patience)) and the
         #: GNMT length penalty exponent (None = plain 1/length ranking) —
         #: openai DecodingOptions patience/length_penalty
         self.patience = patience

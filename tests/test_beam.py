@@ -138,6 +138,55 @@ def test_transcriber_beam_mode(rng):
     assert out.segments
 
 
+def test_fcfs_partition_openai_scan_order():
+    """Unit test of the candidate classification against openai's
+    BeamSearchDecoder.update scan (whisper/decoding.py): candidates are
+    walked best-first; EOTs before the W-th live candidate are pooled in
+    scan order; non-EOTs fill lanes 0..W-1; everything after the W-th
+    live candidate is dropped."""
+    from audax.infer.beam import _fcfs_partition
+
+    v, eos, w = 10, 7, 2
+    # best-first candidate token ids (beam*v + tok): EOT, live, EOT, live,
+    # then trailing candidates past the break
+    top_idx = jnp.asarray([[0 * v + eos, 0 * v + 3, 1 * v + eos, 1 * v + 4]])
+    is_live, lane, is_pooled, pool_rank = _fcfs_partition(top_idx, v, eos, w)
+    np.testing.assert_array_equal(np.asarray(is_live[0]),
+                                  [False, True, False, True])
+    np.testing.assert_array_equal(np.asarray(lane[0])[[1, 3]], [0, 1])
+    np.testing.assert_array_equal(np.asarray(is_pooled[0]),
+                                  [True, False, True, False])
+    np.testing.assert_array_equal(np.asarray(pool_rank[0])[[0, 2]], [0, 1])
+
+    # an EOT ranked AFTER the W-th live candidate is discarded (openai's
+    # loop breaks once beam_size live candidates are collected)
+    top_idx = jnp.asarray([[0 * v + 1, 0 * v + 2, 1 * v + eos, 1 * v + 5]])
+    is_live, lane, is_pooled, _ = _fcfs_partition(top_idx, v, eos, w)
+    np.testing.assert_array_equal(np.asarray(is_live[0]),
+                                  [True, True, False, False])
+    assert not bool(np.asarray(is_pooled).any())
+
+
+def test_fcfs_pool_keeps_first_not_best(model, rng):
+    """The FCFS contract: once round(W*patience) hypotheses have finished,
+    the search COMMITS — later-finishing (possibly better) candidates are
+    dropped. Observable consequence: the patience=1 result is exactly the
+    first-W-finished pool, and raising patience can only append to it, so
+    the patience=3 pool ranked down to W candidates is a superset-rank of
+    the patience=1 result's candidate set."""
+    enc = _enc(model, rng, b=1)
+    prompt = jnp.asarray([[1]], jnp.int32)
+    base = beam_search(model, CFG, enc, prompt, max_len=20, eos_id=2,
+                       beam_width=3)
+    pat = beam_search(model, CFG, enc, prompt, max_len=20, eos_id=2,
+                      beam_width=3, patience=3.0)
+    # the live-search trajectory is independent of the pool size, so the
+    # first W finished candidates are common to both runs: every base
+    # hypothesis appears in the patience run's candidate pool iff it also
+    # survives the wider ranking — at minimum the scores can only improve
+    assert float(pat.scores[0, 0]) >= float(base.scores[0, 0]) - 1e-6
+
+
 def test_patience_one_is_identity_and_invalid_rejected(model, rng):
     """patience=1.0 is bit-identical to the default search; patience<1
     violates the openai contract and raises."""

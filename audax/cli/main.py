@@ -830,6 +830,9 @@ def cmd_finetune(argv) -> int:
                    help=">0: Polyak/EMA-average the trainable params; WER "
                         "eval + the saved checkpoint use the averaged "
                         "weights (e.g. 0.999)")
+    p.add_argument("--spec-augment", action="store_true",
+                   help="SpecAugment time/freq masking on train mels "
+                        "(ops/augment.py); eval stays clean")
     p.add_argument("--chunk-seconds", type=float, default=30.0,
                    help="audio window (default whisper's 30 s). Shorter "
                         "windows shrink the encoder context to match — "
@@ -867,6 +870,8 @@ def cmd_finetune(argv) -> int:
         ft = replace(ft, dtype=args.dtype)
     if args.ema_decay:
         ft = replace(ft, ema_decay=args.ema_decay)
+    if args.spec_augment:
+        ft = replace(ft, spec_augment=True)
 
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
     mel_cfg = MelConfig.whisper(cfg.n_mels)
@@ -1625,6 +1630,9 @@ def cmd_finetune_proof(argv) -> int:
     p.add_argument("--holdout-items", type=int, default=6,
                    help="unseen clips (disjoint seed) scored separately — "
                         "the generalization column")
+    p.add_argument("--augment", action="store_true",
+                   help="velocity/gain/noise datagen jitter + SpecAugment "
+                        "on train batches (holdout stays clean)")
     args = p.parse_args(argv)
 
     import json
@@ -1636,7 +1644,7 @@ def cmd_finetune_proof(argv) -> int:
         args.out, num_items=args.items, notes_per_item=args.notes,
         steps=args.steps, chunk_seconds=args.chunk_seconds,
         d_model=args.d_model, layers=args.layers,
-        holdout_items=args.holdout_items)
+        holdout_items=args.holdout_items, augment=args.augment)
     print(json.dumps({k: out[k] for k in
                       ("wer_before", "wer_after", "holdout_wer_before",
                        "holdout_wer_after", "csv", "metrics")}))
@@ -1664,6 +1672,9 @@ def cmd_music_proof(argv) -> int:
                         "reference's frozen PRETRAINED whisper); 0 = "
                         "random frozen encoder (memorization-only)")
     p.add_argument("--pretrain-items", type=int, default=64)
+    p.add_argument("--augment", action="store_true",
+                   help="SpecAugment in both training stages + pretrain "
+                        "datagen jitter (holdout stays clean)")
     args = p.parse_args(argv)
 
     import json
@@ -1676,7 +1687,7 @@ def cmd_music_proof(argv) -> int:
         epochs=args.epochs, chunk_seconds=args.chunk_seconds,
         holdout_items=args.holdout_items,
         pretrain_encoder_steps=args.pretrain_encoder_steps,
-        pretrain_items=args.pretrain_items)
+        pretrain_items=args.pretrain_items, augment=args.augment)
     print(json.dumps({"before": out["before"], "after": out["after"],
                       "holdout_before": out["holdout_before"],
                       "holdout_after": out["holdout_after"],

@@ -290,6 +290,15 @@ class FineTuneConfig(EnvConfig):
     # with this decay; WER eval + best-checkpoint then use the averaged
     # weights (serving-quality smoothing the reference's Trainer lacked)
     ema_decay: float = 0.0
+    # SpecAugment time/frequency masking on the train-batch mels
+    # (ops/augment.py) — generalization regularizer the reference's
+    # Trainer never had (one cited reason its MIDI fine-tune memorized,
+    # AB/midiDatasetResults.csv:2-5); eval always runs unaugmented
+    spec_augment: bool = False
+    sa_time_masks: int = 2
+    sa_freq_masks: int = 2
+    sa_max_time_width: int = 40
+    sa_max_freq_width: int = 16
 
 
 @dataclass(frozen=True)
@@ -328,6 +337,14 @@ class DataGenConfig(EnvConfig):
     num_items: int = 1000
     notes_per_item: int = 5
     velocity: int = 100
+    # distribution-coverage jitters (all 0 = the reference's fixed
+    # velocity-100 clean renders, AB/synthDataset.py:43-91): per-NOTE
+    # velocity in [velocity-j, velocity+j], per-ITEM gain in +/- dB, and
+    # white noise mixed at the given SNR (0 = no noise) — widens the train
+    # manifold so holdout melodies aren't off-distribution
+    velocity_jitter: int = 0
+    gain_jitter_db: float = 0.0
+    noise_snr_db: float = 0.0
     soundfont: str = ""
     bpe_vocab_size: int = 2000
     out_dir: str = "artifacts/datagen"

@@ -72,7 +72,10 @@ def render_midi(mf: MidiFile, sample_rate: int = 16000,
 
 def _random_melody(rng: np.random.Generator, n_notes: int, velocity: int,
                    *, low: int = 36, high: int = 96,
-                   ticks_per_beat: int = 480) -> Tuple[MidiFile, List[str]]:
+                   ticks_per_beat: int = 480,
+                   velocity_jitter: int = 0,
+                   jitter_rng: Optional[np.random.Generator] = None,
+                   ) -> Tuple[MidiFile, List[str]]:
     mf = MidiFile(ticks_per_beat=ticks_per_beat)
     mf.tempos.append(Tempo(0, 500000))              # 120 BPM: 1 beat = 0.5 s
     tick = 0
@@ -85,10 +88,38 @@ def _random_melody(rng: np.random.Generator, n_notes: int, velocity: int,
         pitch = int(rng.integers(low, high + 1))
         dur = float(rng.choice(_DURATIONS))
         gap = float(rng.choice(_GAPS))
-        mf.notes.append(Note(tick, to_ticks(dur), pitch, velocity))
+        vel = velocity
+        if velocity_jitter > 0:
+            # jitters draw from their OWN stream so turning augmentation
+            # on/off never changes which melodies a seed generates (labels
+            # stay comparable across clean/augmented runs)
+            vel = int(np.clip(velocity + (jitter_rng or rng).integers(
+                -velocity_jitter, velocity_jitter + 1), 1, 127))
+        mf.notes.append(Note(tick, to_ticks(dur), pitch, vel))
         names.append(note_number_to_name(pitch))
         tick += to_ticks(dur + gap)
     return mf, names
+
+
+def _apply_audio_jitter(audio: np.ndarray, rng: np.random.Generator,
+                        gain_jitter_db: float,
+                        noise_snr_db: float) -> np.ndarray:
+    """Per-item gain jitter + white noise at a fixed SNR (label-preserving
+    augmentations: the note identity is invariant to loudness/noise)."""
+    out = audio
+    if gain_jitter_db > 0.0:
+        db = rng.uniform(-gain_jitter_db, gain_jitter_db)
+        out = out * np.float32(10.0 ** (db / 20.0))
+    if noise_snr_db > 0.0:
+        rms = float(np.sqrt(np.mean(out ** 2))) or 1e-6
+        noise_rms = rms / (10.0 ** (noise_snr_db / 20.0))
+        out = out + noise_rms * rng.standard_normal(out.shape).astype(
+            np.float32)
+    # headroom clamp so jittered renders stay valid PCM
+    peak = float(np.max(np.abs(out))) if out.size else 0.0
+    if peak > 0.99:
+        out = out * (0.99 / peak)
+    return out.astype(np.float32)
 
 
 def make_midi_dataset(cfg: DataGenConfig, *,
@@ -109,12 +140,19 @@ def make_midi_dataset(cfg: DataGenConfig, *,
             synth = Sf2Synth(cfg.soundfont)
         except Exception as e:
             log.warning("soundfont load failed (%s); fallback synth", e)
+    jit_rng = np.random.default_rng(cfg.seed + 104729)   # jitter-only stream
     for i in range(cfg.num_items):
-        mf, names = _random_melody(rng, cfg.notes_per_item, cfg.velocity)
+        mf, names = _random_melody(rng, cfg.notes_per_item, cfg.velocity,
+                                   velocity_jitter=cfg.velocity_jitter,
+                                   jitter_rng=jit_rng)
         wav_path = os.path.join(wav_dir, f"midi_{i:05d}.wav")
         try:
             audio = (synth.render(mf, cfg.sample_rate) if synth
                      else render_midi(mf, cfg.sample_rate))
+            if cfg.gain_jitter_db > 0.0 or cfg.noise_snr_db > 0.0:
+                audio = _apply_audio_jitter(np.asarray(audio, np.float32),
+                                            jit_rng, cfg.gain_jitter_db,
+                                            cfg.noise_snr_db)
             write_wav(wav_path, audio, cfg.sample_rate)
             if write_midi:
                 mf.save(os.path.splitext(wav_path)[0] + ".mid")

@@ -151,6 +151,7 @@ def finetune_whisper(
     audio = np.stack([ex["audio"] for ex in examples])
     label_rows = [ex["labels"] for ex in examples]
     rng = np.random.default_rng(cfg.seed)
+    aug_key = jax.random.key(cfg.seed) if cfg.spec_augment else None
     history: Dict[str, list] = {"loss": [], "wer": []}
     best_wer = float("inf")
     best_params = None
@@ -177,6 +178,15 @@ def finetune_whisper(
     for step in range(cfg.max_steps):
         idx = rng.choice(n, size=bsz, replace=n < bsz)
         mel = frontend(jnp.asarray(audio[idx]))
+        if aug_key is not None:
+            # SpecAugment on the TRAIN batch only (eval Transcriber below
+            # sees clean mels); fresh masks every step via fold_in
+            from audax.ops.augment import spec_augment
+            mel = spec_augment(jax.random.fold_in(aug_key, step), mel,
+                               time_masks=cfg.sa_time_masks,
+                               freq_masks=cfg.sa_freq_masks,
+                               max_time_width=cfg.sa_max_time_width,
+                               max_freq_width=cfg.sa_max_freq_width)
         coll = collate_seq2seq([label_rows[i] for i in idx],
                                decoder_start_id=tokenizer.sot)
         batch = {"mel": mel,
@@ -243,8 +253,15 @@ def midi_finetune_proof(
     layers: int = 2,
     seed: int = 0,
     holdout_items: int = 6,
+    augment: bool = False,
 ) -> Dict:
     """End-to-end synthetic fine-tune proof (reference-parity evidence).
+
+    ``augment=True`` widens the TRAIN distribution (per-note velocity
+    jitter, per-item gain jitter, noise at 25 dB SNR — DataGenConfig) and
+    turns on SpecAugment in the fine-tune loop; the holdout set stays the
+    CLEAN velocity-100 distribution, so its WER measures generalization to
+    the canonical render, not augmentation leakage.
 
     No real datasets or pretrained weights are reachable in this
     environment, so this is the strongest available analogue of the
@@ -279,7 +296,10 @@ def midi_finetune_proof(
     from audax.symbolic.bpe import train_bpe
 
     gen = DataGenConfig(num_items=num_items, notes_per_item=notes_per_item,
-                        out_dir=os.path.join(out_dir, "datagen"), seed=seed)
+                        out_dir=os.path.join(out_dir, "datagen"), seed=seed,
+                        velocity_jitter=20 if augment else 0,
+                        gain_jitter_db=6.0 if augment else 0.0,
+                        noise_snr_db=25.0 if augment else 0.0)
     labels_csv = make_midi_dataset(gen)
     holdout_csv = None
     if holdout_items > 0:
@@ -338,7 +358,10 @@ def midi_finetune_proof(
 
     ft = FineTuneConfig(learning_rate=1e-3, warmup_steps=5, max_steps=steps,
                         eval_every=steps, batch_size=8,   # eval at the end
-                        lora_rank=0, seed=seed)
+                        lora_rank=0, seed=seed,
+                        spec_augment=augment,
+                        # short clips: narrower masks than the 30 s default
+                        sa_max_time_width=24, sa_max_freq_width=12)
     state, history = finetune_whisper(params, model_cfg, tokenizer, examples,
                                       ft, mel_cfg=mel_cfg,
                                       eval_examples=examples,
@@ -378,6 +401,7 @@ def midi_finetune_proof(
                "wer_after": round(float(wer_after), 4),
                "wer_after_bf16": round(float(wer_after_bf16), 4),
                "steps": steps, "items": len(examples),
+               "augment": augment,
                "loss_first": round(history["loss"][0], 4),
                "loss_last": round(history["loss"][-1], 4)}
     if holdout:

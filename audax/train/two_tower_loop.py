@@ -151,6 +151,7 @@ def fit_two_tower(
     keep_epochs: int = 3,
     resume: bool = False,
     mesh=None, fsdp: bool = False,
+    spec_augment: bool = False,
 ) -> Tuple[TwoTowerState, Dict]:
     """``resume=True`` continues from the latest ``epoch_NNN`` checkpoint
     in ``ckpt_dir`` — params, optimizer state (Adam moments + the plateau
@@ -250,12 +251,23 @@ def fit_two_tower(
     epoch_handles: list = []       # (epoch, async checkpointer) in flight
     best_handle = None
 
+    aug_key = jax.random.key(cfg.seed + 7) if spec_augment else None
+    aug_no = 0
     for epoch in range(start_epoch, cfg.epochs):
         losses = []
         log_at = []            # (batch index, step) to sink after the fetch
         for i, batch in enumerate(_batches(dataset, train_idx, train_bs,
                                            frontend, chunk_seconds,
                                            shuffle_rng=shuffle_rng)):
+            if aug_key is not None:
+                # SpecAugment on TRAIN mels only (val/note-F1 stay clean);
+                # short music clips -> narrower masks than the 30 s default
+                from audax.ops.augment import spec_augment as _sa
+                batch = dict(batch)
+                batch["mel"] = _sa(jax.random.fold_in(aug_key, aug_no),
+                                   batch["mel"], max_time_width=24,
+                                   max_freq_width=12)
+                aug_no += 1
             state, m = train_step(state, _place(batch))
             losses.append(m["loss"])
             if sink and (i + 1) % log_every == 0:
@@ -348,8 +360,15 @@ def music_transcription_proof(
     holdout_items: int = 4,
     pretrain_encoder_steps: int = 600,
     pretrain_items: int = 64,
+    augment: bool = False,
 ) -> Dict:
     """End-to-end two-tower learning proof (audio -> ABC notation).
+
+    ``augment=True`` turns on SpecAugment over the train-batch mels in
+    BOTH training stages (the encoder pretrain and the two-tower fit) and
+    widens the pretrain datagen distribution (velocity/gain jitter, noise
+    at 25 dB SNR); holdout renders stay clean, so holdout F1 measures
+    generalization to the canonical distribution.
 
     The reference's music2midi project never demonstrated a working model:
     its MIDI fine-tune collapsed to a constant output
@@ -464,7 +483,10 @@ def music_transcription_proof(
                               notes_per_item=notes_per_item,
                               out_dir=os.path.join(out_dir,
                                                    "pretrain_datagen"),
-                              seed=seed + 7)
+                              seed=seed + 7,
+                              velocity_jitter=20 if augment else 0,
+                              gain_jitter_db=6.0 if augment else 0.0,
+                              noise_snr_db=25.0 if augment else 0.0)
         pre_csv = make_midi_dataset(gen_p)
         with open(pre_csv, newline="") as fh:
             pre_texts = [r["labels"] for r in _csv.DictReader(fh)]
@@ -486,7 +508,9 @@ def music_transcription_proof(
         ft_pre = FineTuneConfig(learning_rate=1e-3, warmup_steps=20,
                                 max_steps=pretrain_encoder_steps,
                                 eval_every=10 ** 9, batch_size=8,
-                                lora_rank=0, seed=seed + 7)
+                                lora_rank=0, seed=seed + 7,
+                                spec_augment=augment,
+                                sa_max_time_width=24, sa_max_freq_width=12)
         pre_state, _ = finetune_whisper(pre_params, pre_cfg, ptok,
                                         pre_examples, ft_pre,
                                         mel_cfg=pre_mel)
@@ -513,7 +537,8 @@ def music_transcription_proof(
 
     state, history = fit_two_tower(model, dataset,
                                    chunk_seconds=chunk_seconds,
-                                   val_fraction=0.0, frontend=frontend)
+                                   val_fraction=0.0, frontend=frontend,
+                                   spec_augment=augment)
     after = eval_note_f1(model, state, dataset, all_idx, frontend,
                          chunk_seconds, max_len=64, temperature=0.0,
                          return_samples=True)
@@ -546,6 +571,7 @@ def music_transcription_proof(
         "before": {k: round(v, 4) for k, v in before.items()},
         "after": {k: round(v, 4) for k, v in after.items()},
         "epochs": epochs, "items": len(dataset),
+        "augment": augment,
         "train_loss_first": round(history["train_loss"][0], 4),
         "train_loss_last": round(history["train_loss"][-1], 4),
     }

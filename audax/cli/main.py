@@ -237,6 +237,20 @@ def cmd_test_transformer(argv) -> int:
     return _classifier_common(argv, "transformer", train=False)
 
 
+#: the published whisper family (openai model card); "turbo" is the
+#: distilled 4-decoder-layer large-v3
+WHISPER_SIZES = ("tiny", "base", "small", "medium", "large-v3",
+                 "large-v3-turbo")
+
+
+def _whisper_preset(size: str):
+    from audax.core.config import WhisperConfig
+    return {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
+            "small": WhisperConfig.small, "medium": WhisperConfig.medium,
+            "large-v3": WhisperConfig.large_v3,
+            "large-v3-turbo": WhisperConfig.large_v3_turbo}[size]()
+
+
 def _load_whisper(size: str, ckpt: str, tokenizer_dir: str):
     """Assemble (params, cfg, tokenizer) from a size preset + optional orbax
     checkpoint + tokenizer dir (vocab.json/merges.txt; a tiny built-in test
@@ -247,9 +261,7 @@ def _load_whisper(size: str, ckpt: str, tokenizer_dir: str):
     from audax.symbolic.bpe import BPE, train_bpe
     from audax.symbolic.tokenizer import WhisperTokenizer
 
-    cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
-           "small": WhisperConfig.small,
-           "large-v3": WhisperConfig.large_v3}[size]()
+    cfg = _whisper_preset(size)
     sidecar = (ckpt.rstrip("/") + ".config.json") if ckpt else ""
     if sidecar and os.path.exists(sidecar):
         # checkpoints carry their true dims (convert-hf and finetune write
@@ -500,7 +512,7 @@ def cmd_export_hf(argv) -> int:
     p.add_argument("--kind", default="whisper",
                    choices=["whisper", "causal-lm"])
     p.add_argument("--size", default="",
-                   choices=["", "tiny", "base", "small", "large-v3"],
+                   choices=("",) + WHISPER_SIZES,
                    help="whisper size preset when no <ckpt>.config.json "
                         "sidecar exists")
     p.add_argument("--config", default="",
@@ -536,9 +548,7 @@ def cmd_export_hf(argv) -> int:
             with open(cfg_path) as fh:
                 cfg = WhisperConfig(**json.load(fh))
         elif args.size:
-            cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
-                   "small": WhisperConfig.small,
-                   "large-v3": WhisperConfig.large_v3}[args.size]()
+            cfg = _whisper_preset(args.size)
         else:
             raise FileNotFoundError(
                 f"no config sidecar at {cfg_path}; pass --size or --config")
@@ -1408,9 +1418,7 @@ def cmd_bench_speculative(argv) -> int:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     import dataclasses
 
-    from audax.core.config import WhisperConfig
-    dcfg = {"tiny": WhisperConfig.tiny,
-            "base": WhisperConfig.base}[args.draft_size]()
+    dcfg = _whisper_preset(args.draft_size)
     # draft must share the target's token space (real deployments pair a
     # distilled draft with the same tokenizer, e.g. large-v3 + turbo)
     dcfg = dataclasses.replace(dcfg, vocab_size=cfg.vocab_size)
@@ -1866,7 +1874,7 @@ def cmd_train_music(argv) -> int:
     p.add_argument("--note-eval-every", type=int, default=0,
                    help="run note-level P/R/F1 generation eval every N epochs")
     p.add_argument("--lm-size", default="small",
-                   choices=["tiny", "small", "base"])
+                   choices=WHISPER_SIZES)
     p.add_argument("--lm-ckpt", default="",
                    help="pretrained decoder weights from `train-lm` (orbax "
                         "path, e.g. artifacts/lm/best) — the reference "
@@ -1895,8 +1903,7 @@ def cmd_train_music(argv) -> int:
         tt = replace(tt, accum_steps=args.accum_steps)
 
     lm_cfg = _lm_preset(args.lm_size, 2048)
-    audio_cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
-                 "small": WhisperConfig.small}[tt.whisper_size]()
+    audio_cfg = _whisper_preset(tt.whisper_size)
 
     bpe = BPE.load(args.tokenizer_dir)
     ds = MusicDataset(args.parquet, bpe, max_tokens=tt.max_target_tokens)
@@ -1944,7 +1951,7 @@ def cmd_infer_music(argv) -> int:
     p.add_argument("--slots", type=int, default=4,
                    help="concurrent decode slots (--wav-dir mode)")
     p.add_argument("--lm-size", default="small",
-                   choices=["tiny", "small", "base"])
+                   choices=WHISPER_SIZES)
     p.add_argument("--lm-ckpt", default="",
                    help="pretrained decoder weights from `train-lm` — must "
                         "match what training used (trainable-only "
@@ -1976,8 +1983,7 @@ def cmd_infer_music(argv) -> int:
     _setup()
     tt = TwoTowerConfig.from_env()
     lm_cfg = _lm_preset(args.lm_size, 2048)
-    audio_cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
-                 "small": WhisperConfig.small}[tt.whisper_size]()
+    audio_cfg = _whisper_preset(tt.whisper_size)
     bpe = BPE.load(args.tokenizer_dir)
     lm_params = None
     if args.lm_ckpt:

@@ -260,9 +260,22 @@ class WhisperConfig(EnvConfig):
         return cls(d_model=768, encoder_layers=12, decoder_layers=12, heads=12)
 
     @classmethod
+    def medium(cls) -> "WhisperConfig":
+        return cls(d_model=1024, encoder_layers=24, decoder_layers=24,
+                   heads=16)
+
+    @classmethod
     def large_v3(cls) -> "WhisperConfig":
         return cls(n_mels=128, d_model=1280, encoder_layers=32,
                    decoder_layers=32, heads=20, vocab_size=51866)
+
+    @classmethod
+    def large_v3_turbo(cls) -> "WhisperConfig":
+        # the distilled 4-decoder-layer large-v3 (openai "turbo"): the
+        # natural draft/serving member of the family, and the draft model
+        # in speculative decoding (infer/speculative.py)
+        return cls(n_mels=128, d_model=1280, encoder_layers=32,
+                   decoder_layers=4, heads=20, vocab_size=51866)
 
 
 @dataclass(frozen=True)

@@ -25,6 +25,26 @@ def test_mel_config_presets():
     assert w.frames_for(480000) == 3001         # minus dropped frame -> 3000
 
 
+def test_whisper_family_presets():
+    """The published whisper family dims (openai model card); every name
+    in the CLI size table must resolve to a preset."""
+    from audax.cli.main import WHISPER_SIZES, _whisper_preset
+    from audax.core.config import WhisperConfig
+
+    dims = {s: _whisper_preset(s) for s in WHISPER_SIZES}
+    assert (dims["tiny"].d_model, dims["tiny"].encoder_layers) == (384, 4)
+    assert (dims["base"].d_model, dims["base"].encoder_layers) == (512, 6)
+    assert (dims["small"].d_model, dims["small"].encoder_layers) == (768, 12)
+    assert (dims["medium"].d_model, dims["medium"].heads) == (1024, 16)
+    lv3 = dims["large-v3"]
+    assert (lv3.d_model, lv3.n_mels, lv3.vocab_size) == (1280, 128, 51866)
+    turbo = dims["large-v3-turbo"]
+    # turbo = large-v3 encoder with a distilled 4-layer decoder
+    assert turbo.encoder_layers == 32 and turbo.decoder_layers == 4
+    assert (turbo.d_model, turbo.n_mels) == (lv3.d_model, lv3.n_mels)
+    assert WhisperConfig.medium().vocab_size == 51865
+
+
 def test_config_env_overlay(monkeypatch):
     monkeypatch.setenv("N_MELS", "64")
     monkeypatch.setenv("HOP_LENGTH", "512")

@@ -1874,7 +1874,7 @@ def cmd_train_music(argv) -> int:
     p.add_argument("--note-eval-every", type=int, default=0,
                    help="run note-level P/R/F1 generation eval every N epochs")
     p.add_argument("--lm-size", default="small",
-                   choices=WHISPER_SIZES)
+                   choices=sorted(_LM_DIMS))
     p.add_argument("--lm-ckpt", default="",
                    help="pretrained decoder weights from `train-lm` (orbax "
                         "path, e.g. artifacts/lm/best) — the reference "
@@ -1951,7 +1951,7 @@ def cmd_infer_music(argv) -> int:
     p.add_argument("--slots", type=int, default=4,
                    help="concurrent decode slots (--wav-dir mode)")
     p.add_argument("--lm-size", default="small",
-                   choices=WHISPER_SIZES)
+                   choices=sorted(_LM_DIMS))
     p.add_argument("--lm-ckpt", default="",
                    help="pretrained decoder weights from `train-lm` — must "
                         "match what training used (trainable-only "

@@ -76,6 +76,21 @@ def _fcfs_partition(top_idx, v, eos_id, w):
     return is_live, lane, is_pooled, pool_rank
 
 
+def _pool_slots(is_pooled, pool_rank, cnt, m):
+    """FCFS slot assignment for one step's pooled candidates.
+
+    Candidate j appends at ``cnt + pool_rank[j]``; any slot >= m is
+    DROPPED (returned as the scatter-drop sentinel ``m``) — a full pool
+    never evicts, no matter how well a later candidate scores. This is
+    the first-come-first-served contract of openai's finished_sequences
+    dict (update() only saves while ``len(sequences) < max_candidates``).
+    Returns (clipped slots, inserted mask). Unit-tested directly.
+    """
+    slot = cnt[:, None] + pool_rank
+    ok = jnp.logical_and(is_pooled, slot < m)
+    return jnp.where(ok, slot, m), ok
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_len", "eos_id", "beam_width", "dtype",
@@ -174,10 +189,8 @@ def beam_search(
         bidx = jnp.arange(b)[:, None]                        # [B, 1]
 
         # ---- finished pool: FCFS insert of this step's EOT candidates ----
-        slot = c.pool_cnt[:, None] + pool_rank               # [B, 2W]
-        ok = jnp.logical_and(is_pooled, slot < m)
-        ok = jnp.logical_and(ok, ~in_prompt)
-        slot = jnp.where(ok, slot, m)                        # m -> dropped
+        slot, ok = _pool_slots(jnp.logical_and(is_pooled, ~in_prompt),
+                               pool_rank, c.pool_cnt, m)     # [B, 2W]
         # full candidate sequence: source-beam tokens, EOT from pos+1 on
         # (the eos tail matches generate()'s frozen-lane fill)
         seqs = c.tokens.reshape(b, w, max_len)[bidx, src_beam]  # [B, 2W, L]
@@ -253,15 +266,18 @@ def beam_search(
               jnp.full((b, m), max_len, jnp.int32),
               jnp.zeros((b,), jnp.int32)))
 
-    # openai finalize: pools not yet full pad with the in-flight beams in
-    # descending sum-logprob order (length stays max_len — the lane never
-    # emitted EOT within the budget)
+    # openai finalize: ONLY pools with fewer than beam_width finished
+    # candidates pad from the in-flight beams (descending sum-logprob),
+    # and only up to beam_width total — a patience pool that already holds
+    # >= W finished hypotheses takes NO unfinished ones, even if m slots
+    # remain (whisper/decoding.py finalize's len(sequences) < beam_size
+    # gate). Padded lanes keep length max_len (never emitted EOT).
     live_tokens = final.tokens.reshape(b, w, max_len)
     live_sumlp = final.scores.reshape(b, w)
     order = jnp.argsort(-live_sumlp, axis=1)                 # [B, W]
     bidx = jnp.arange(b)[:, None]
     pad_slot = final.pool_cnt[:, None] + jnp.arange(w)[None, :]
-    pad_slot = jnp.where(pad_slot < m, pad_slot, m)          # m -> dropped
+    pad_slot = jnp.where(pad_slot < w, pad_slot, m)          # m -> dropped
     pool_tokens = final.pool_tokens.at[bidx, pad_slot].set(
         live_tokens[bidx, order], mode="drop")
     pool_sumlp = final.pool_sumlp.at[bidx, pad_slot].set(

@@ -15,7 +15,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["spec_augment"]
+__all__ = ["spec_augment", "SHORT_CLIP_TIME_WIDTH", "SHORT_CLIP_FREQ_WIDTH"]
+
+#: mask widths for short (few-second) clips: the 30 s-window defaults
+#: below (40/16) would blank a third of a 3-6 s melody's frames. One
+#: definition — the fine-tune proof, the encoder pretrain, and the
+#: two-tower fit all share it.
+SHORT_CLIP_TIME_WIDTH = 24
+SHORT_CLIP_FREQ_WIDTH = 12
 
 
 def _mask_axis(rng: jax.Array, x: jnp.ndarray, axis_len: int, max_width: int,

@@ -293,6 +293,8 @@ def midi_finetune_proof(
 
     from audax.core.config import DataGenConfig
     from audax.data.synth import make_midi_dataset
+    from audax.ops.augment import (SHORT_CLIP_FREQ_WIDTH,
+                                   SHORT_CLIP_TIME_WIDTH)
     from audax.symbolic.bpe import train_bpe
 
     gen = DataGenConfig(num_items=num_items, notes_per_item=notes_per_item,
@@ -360,8 +362,8 @@ def midi_finetune_proof(
                         eval_every=steps, batch_size=8,   # eval at the end
                         lora_rank=0, seed=seed,
                         spec_augment=augment,
-                        # short clips: narrower masks than the 30 s default
-                        sa_max_time_width=24, sa_max_freq_width=12)
+                        sa_max_time_width=SHORT_CLIP_TIME_WIDTH,
+                        sa_max_freq_width=SHORT_CLIP_FREQ_WIDTH)
     state, history = finetune_whisper(params, model_cfg, tokenizer, examples,
                                       ft, mel_cfg=mel_cfg,
                                       eval_examples=examples,

@@ -152,6 +152,8 @@ def fit_two_tower(
     resume: bool = False,
     mesh=None, fsdp: bool = False,
     spec_augment: bool = False,
+    sa_max_time_width: Optional[int] = None,   # None = short-clip default
+    sa_max_freq_width: Optional[int] = None,
 ) -> Tuple[TwoTowerState, Dict]:
     """``resume=True`` continues from the latest ``epoch_NNN`` checkpoint
     in ``ckpt_dir`` — params, optimizer state (Adam moments + the plateau
@@ -262,11 +264,16 @@ def fit_two_tower(
             if aug_key is not None:
                 # SpecAugment on TRAIN mels only (val/note-F1 stay clean);
                 # short music clips -> narrower masks than the 30 s default
-                from audax.ops.augment import spec_augment as _sa
+                from audax.ops.augment import (SHORT_CLIP_FREQ_WIDTH,
+                                               SHORT_CLIP_TIME_WIDTH,
+                                               spec_augment as _sa)
                 batch = dict(batch)
-                batch["mel"] = _sa(jax.random.fold_in(aug_key, aug_no),
-                                   batch["mel"], max_time_width=24,
-                                   max_freq_width=12)
+                batch["mel"] = _sa(
+                    jax.random.fold_in(aug_key, aug_no), batch["mel"],
+                    max_time_width=sa_max_time_width
+                    or SHORT_CLIP_TIME_WIDTH,
+                    max_freq_width=sa_max_freq_width
+                    or SHORT_CLIP_FREQ_WIDTH)
                 aug_no += 1
             state, m = train_step(state, _place(batch))
             losses.append(m["loss"])
@@ -475,6 +482,8 @@ def music_transcription_proof(
         # frozen-pretrained-encoder recipe without hub access
         from audax.core.config import FineTuneConfig, MelConfig
         from audax.data.synth import make_midi_dataset
+        from audax.ops.augment import (SHORT_CLIP_FREQ_WIDTH,
+                                       SHORT_CLIP_TIME_WIDTH)
         from audax.symbolic.bpe import train_bpe
         from audax.symbolic.tokenizer import WhisperTokenizer
         from audax.train.finetune_loop import (build_speech_dataset,
@@ -510,7 +519,8 @@ def music_transcription_proof(
                                 eval_every=10 ** 9, batch_size=8,
                                 lora_rank=0, seed=seed + 7,
                                 spec_augment=augment,
-                                sa_max_time_width=24, sa_max_freq_width=12)
+                                sa_max_time_width=SHORT_CLIP_TIME_WIDTH,
+                                sa_max_freq_width=SHORT_CLIP_FREQ_WIDTH)
         pre_state, _ = finetune_whisper(pre_params, pre_cfg, ptok,
                                         pre_examples, ft_pre,
                                         mel_cfg=pre_mel)

@@ -167,24 +167,58 @@ def test_fcfs_partition_openai_scan_order():
     assert not bool(np.asarray(is_pooled).any())
 
 
-def test_fcfs_pool_keeps_first_not_best(model, rng):
-    """The FCFS contract: once round(W*patience) hypotheses have finished,
-    the search COMMITS — later-finishing (possibly better) candidates are
-    dropped. Observable consequence: the patience=1 result is exactly the
-    first-W-finished pool, and raising patience can only append to it, so
-    the patience=3 pool ranked down to W candidates is a superset-rank of
-    the patience=1 result's candidate set."""
+def test_fcfs_pool_drops_later_better_candidates():
+    """The FCFS contract, tested where it can actually FAIL: a full pool
+    (cnt == m) drops every new candidate — even top-ranked (best-scoring)
+    ones — and a nearly-full pool inserts exactly in first-come order. A
+    keep-best-scoring eviction policy would violate both."""
+    from audax.infer.beam import _pool_slots
+
+    m = 3
+    # pool already full: the step's best candidate (rank 0) is pooled and
+    # would WIN a keep-best policy — FCFS must drop it (slot == m)
+    is_pooled = jnp.asarray([[True, False, True, False]])
+    pool_rank = jnp.asarray([[0, 0, 1, 1]])
+    slot, ok = _pool_slots(is_pooled, pool_rank, jnp.asarray([m]), m)
+    assert not bool(np.asarray(ok).any())
+    assert (np.asarray(slot) == m).all()
+
+    # one slot left, two finishing candidates: only the FIRST (scan-order,
+    # not score-order beyond it) gets in
+    slot, ok = _pool_slots(is_pooled, pool_rank, jnp.asarray([m - 1]), m)
+    np.testing.assert_array_equal(np.asarray(ok[0]),
+                                  [True, False, False, False])
+    assert int(slot[0, 0]) == m - 1 and int(slot[0, 2]) == m
+
+    # independent per-row counts
+    is_pooled2 = jnp.asarray([[True, True], [True, True]])
+    rank2 = jnp.asarray([[0, 1], [0, 1]])
+    slot2, ok2 = _pool_slots(is_pooled2, rank2, jnp.asarray([0, m]), m)
+    np.testing.assert_array_equal(np.asarray(ok2),
+                                  [[True, True], [False, False]])
+
+
+def test_finalize_pads_only_below_beam_width(model, rng):
+    """openai finalize gate: in-flight beams pad the pool only when fewer
+    than beam_width candidates finished, and only up to beam_width — a
+    patience pool with >= W finished takes NO unfinished hypotheses.
+    Observable: every patience-run hypothesis that differs from the base
+    run's must be finished (length < max_len) OR the base run must itself
+    contain unfinished lanes."""
     enc = _enc(model, rng, b=1)
     prompt = jnp.asarray([[1]], jnp.int32)
-    base = beam_search(model, CFG, enc, prompt, max_len=20, eos_id=2,
-                       beam_width=3)
-    pat = beam_search(model, CFG, enc, prompt, max_len=20, eos_id=2,
-                      beam_width=3, patience=3.0)
-    # the live-search trajectory is independent of the pool size, so the
-    # first W finished candidates are common to both runs: every base
-    # hypothesis appears in the patience run's candidate pool iff it also
-    # survives the wider ranking — at minimum the scores can only improve
-    assert float(pat.scores[0, 0]) >= float(base.scores[0, 0]) - 1e-6
+    max_len = 14                # tight budget: forces the finalize path
+    base = beam_search(model, CFG, enc, prompt, max_len=max_len, eos_id=2,
+                       beam_width=2)
+    pat = beam_search(model, CFG, enc, prompt, max_len=max_len, eos_id=2,
+                      beam_width=2, patience=3.0)
+    base_unfinished = int((np.asarray(base.lengths) == max_len).sum())
+    pat_unfinished = int((np.asarray(pat.lengths) == max_len).sum())
+    # the pad gate can only ever ADD up to W unfinished lanes, and the
+    # patience run (bigger pool of finished candidates) may never return
+    # MORE unfinished hypotheses than the base run
+    assert pat_unfinished <= base_unfinished
+    assert pat_unfinished <= 2
 
 
 def test_patience_one_is_identity_and_invalid_rejected(model, rng):

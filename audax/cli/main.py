@@ -843,6 +843,12 @@ def cmd_finetune(argv) -> int:
     p.add_argument("--spec-augment", action="store_true",
                    help="SpecAugment time/freq masking on train mels "
                         "(ops/augment.py); eval stays clean")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel axis size: the encoder runs "
+                        "ring attention with the mel sequence sharded "
+                        "over this many devices (long --chunk-seconds "
+                        "windows whose activations exceed one chip); "
+                        "composes with --dp, exclusive with --tp/--fsdp")
     p.add_argument("--chunk-seconds", type=float, default=30.0,
                    help="audio window (default whisper's 30 s). Shorter "
                         "windows shrink the encoder context to match — "
@@ -912,6 +918,22 @@ def cmd_finetune(argv) -> int:
                   for ex in examples}
 
     mesh, fsdp = _mesh_from_args(args)
+    sp_mesh = None
+    if args.sp > 1:
+        if mesh is not None and mesh.shape.get("model", 1) > 1 or fsdp:
+            p.error("--sp composes with --dp only (not --tp/--fsdp)")
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+        devs = jax.devices()
+        dp = args.dp if args.dp and args.dp > 0 else \
+            max(1, len(devs) // args.sp)
+        if dp * args.sp > len(devs):
+            p.error(f"--dp {dp} x --sp {args.sp} needs {dp * args.sp} "
+                    f"devices; {len(devs)} available")
+        sp_mesh = _Mesh(_np.array(devs[: dp * args.sp]).reshape(dp, args.sp),
+                        ("data", "seq"))
+        mesh = None
+        log.info("SP mesh: %s", dict(sp_mesh.shape))
     sink = MetricsSink("whisper_ft", config=ft.asdict())
     est = (args.eval_suppress_tokens if args.eval_suppress_tokens == "-1"
            else [int(t) for t in args.eval_suppress_tokens.split(",")
@@ -919,7 +941,7 @@ def cmd_finetune(argv) -> int:
     state, history = finetune_whisper(params, cfg, tok, examples, ft,
                                       mel_cfg=mel_cfg, sink=sink,
                                       eval_examples=examples,
-                                      mesh=mesh, fsdp=fsdp,
+                                      mesh=mesh, fsdp=fsdp, sp_mesh=sp_mesh,
                                       eval_suppress_tokens=est)
     sink.close()
     serving = history["best_params"] or state.model_params()

@@ -108,6 +108,7 @@ def finetune_whisper(
     eval_examples: Optional[Sequence[Dict]] = None,
     lora_targets: Tuple[str, ...] = ("attn/q", "attn/v"),
     mesh=None, fsdp: bool = False,
+    sp_mesh=None,
     eval_suppress_tokens="-1",
 ) -> Tuple[FTState, Dict]:
     """Step-based fine-tune with periodic WER eval; returns (state, history).
@@ -127,7 +128,20 @@ def finetune_whisper(
     + Adam moments over 'data' (ZeRO-3, parallel/fsdp.py). Losses are
     bit-comparable to the single-device run (tests/test_cli_mesh.py).
     The reference trains strictly single-process (AB/fineTune.py:162-183).
+
+    ``sp_mesh`` (a ('data', 'seq') Mesh) instead runs the DP x SP
+    ring-attention step (parallel/sp.py:make_sp_finetune_step): the mel
+    SEQUENCE axis shards over 'seq' so long-audio windows whose encoder
+    activations exceed one chip still train; gradients flow through the
+    ppermute ring (bit-matches single-device, tests/test_sp.py).
+    Mutually exclusive with ``mesh``/``fsdp``; ``accum_steps`` must be 1.
     """
+    if sp_mesh is not None:
+        if mesh is not None or fsdp:
+            raise ValueError("sp_mesh is mutually exclusive with mesh/fsdp")
+        if cfg.accum_steps > 1:
+            raise ValueError("sequence-parallel fine-tune does not support "
+                             "accum_steps > 1")
     mel_cfg = mel_cfg or MelConfig.whisper(model_cfg.n_mels)
     frontend = LogMelFrontend(mel_cfg, whisper_frames=True)
     # the jitted step donates its input state (in-place AdamW); train a
@@ -143,10 +157,16 @@ def finetune_whisper(
     if mesh is not None and fsdp:
         from audax.parallel.fsdp import fsdp_shard_state
         state = fsdp_shard_state(state, mesh)
-    step_fn = make_finetune_step(
-        model_cfg, remat=cfg.gradient_checkpointing,
-        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
-        accum_steps=cfg.accum_steps)
+    if sp_mesh is not None:
+        from audax.parallel.sp import make_sp_finetune_step
+        step_fn = make_sp_finetune_step(
+            model_cfg, sp_mesh, cfg,
+            dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+    else:
+        step_fn = make_finetune_step(
+            model_cfg, remat=cfg.gradient_checkpointing,
+            dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+            accum_steps=cfg.accum_steps)
 
     audio = np.stack([ex["audio"] for ex in examples])
     label_rows = [ex["labels"] for ex in examples]
@@ -162,6 +182,8 @@ def finetune_whisper(
 
     n = len(examples)
     data_size = mesh.shape.get("data", 1) if mesh is not None else 1
+    if sp_mesh is not None:
+        data_size = sp_mesh.shape.get("data", 1)
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

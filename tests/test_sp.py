@@ -119,6 +119,45 @@ def test_sp_finetune_step_lora(rng):
     assert max(jax.tree.leaves(diffs)) < 1e-4
 
 
+def test_finetune_whisper_sp_mesh_matches_single_device(rng):
+    """The product surface (finetune_whisper(sp_mesh=...), CLI
+    `finetune --sp N`): the DP x SP loop reproduces the single-device
+    loss trajectory — the same loop-level contract test_cli_mesh.py pins
+    for --dp/--tp, now for the sequence axis."""
+    from audax.core.config import FineTuneConfig, MelConfig
+    from audax.symbolic.bpe import train_bpe
+    from audax.symbolic.tokenizer import WhisperTokenizer
+    from audax.train.finetune_loop import finetune_whisper
+
+    tok = WhisperTokenizer(train_bpe(["C4 D4"] * 4, vocab_size=270))
+    cfg = WhisperConfig(n_mels=80, n_audio_ctx=50, d_model=32,
+                        encoder_layers=1, decoder_layers=1, heads=4,
+                        vocab_size=tok.vocab_size, n_text_ctx=16)
+    params = init_whisper_params(cfg, jax.random.key(0))
+    mel_cfg = MelConfig.whisper(80)
+    labels = tok.sot_sequence(lang="en") + tok.encode("C4 D4") + [tok.eot]
+    r = np.random.default_rng(0)
+    examples = [{"audio": (0.1 * r.standard_normal(16000)).astype(np.float32),
+                 "labels": labels, "text": "C4 D4", "file": f"x{i}.wav"}
+                for i in range(4)]
+    ft = FineTuneConfig(learning_rate=1e-3, warmup_steps=1, max_steps=4,
+                        eval_every=10 ** 9, batch_size=4)
+
+    _, ref = finetune_whisper(params, cfg, tok, examples, ft,
+                              mel_cfg=mel_cfg)
+    sp_mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                   ("data", "seq"))
+    _, sp = finetune_whisper(params, cfg, tok, examples, ft,
+                             mel_cfg=mel_cfg, sp_mesh=sp_mesh)
+    np.testing.assert_allclose(sp["loss"], ref["loss"], atol=2e-4)
+
+    with pytest.raises(ValueError, match="accum_steps"):
+        finetune_whisper(params, cfg, tok, examples,
+                         FineTuneConfig(max_steps=1, accum_steps=2,
+                                        batch_size=4),
+                         mel_cfg=mel_cfg, sp_mesh=sp_mesh)
+
+
 def test_sp_rejects_indivisible_sequence(rng):
     mesh = _mesh3()
     cfg = WhisperConfig(n_mels=16, n_audio_ctx=17, d_model=32,

@@ -862,6 +862,8 @@ def cmd_finetune(argv) -> int:
                         "symbols like '#' in note names (mididataset.csv)")
     _add_mesh_flags(p)
     args = p.parse_args(argv)
+    if args.sp > 1 and (args.tp > 1 or args.fsdp):
+        p.error("--sp composes with --dp only (not --tp/--fsdp)")
 
     from audax.core.config import FineTuneConfig, MelConfig
     import jax
@@ -920,8 +922,6 @@ def cmd_finetune(argv) -> int:
     mesh, fsdp = _mesh_from_args(args)
     sp_mesh = None
     if args.sp > 1:
-        if mesh is not None and mesh.shape.get("model", 1) > 1 or fsdp:
-            p.error("--sp composes with --dp only (not --tp/--fsdp)")
         import numpy as _np
         from jax.sharding import Mesh as _Mesh
         devs = jax.devices()

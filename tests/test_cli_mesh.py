@@ -323,3 +323,14 @@ def test_transcriber_tp_quantized(rng):
     tp = Transcriber(params, cfg, tok, max_new_tokens=6, quantize="int8",
                      temperature_fallback=False, backend="xla", mesh=mesh)
     assert tp.transcribe(audio).text == rep.transcribe(audio).text
+
+
+def test_finetune_cli_sp_flag_validation():
+    """`finetune --sp` composes with --dp only: conflicting --tp/--fsdp
+    combinations are rejected at argparse time (before any dataset or
+    checkpoint loading)."""
+    from audax.cli.main import _COMMANDS
+
+    for bad in (["--sp", "2", "--tp", "2"], ["--sp", "2", "--fsdp"]):
+        with pytest.raises(SystemExit):
+            _COMMANDS["finetune"](["--audio-dir", "/nonexistent"] + bad)

@@ -868,6 +868,18 @@ def cmd_finetune(argv) -> int:
     from audax.core.config import FineTuneConfig, MelConfig
     import jax
 
+    sp_dp = 0
+    if args.sp > 1:
+        # device-count feasibility checked BEFORE checkpoint load / dataset
+        # build, like the flag-exclusivity check above — an infeasible
+        # --dp x --sp combo must not fail minutes into the run
+        devs = jax.devices()
+        sp_dp = args.dp if args.dp and args.dp > 0 else \
+            max(1, len(devs) // args.sp)
+        if sp_dp * args.sp > len(devs):
+            p.error(f"--dp {sp_dp} x --sp {args.sp} needs "
+                    f"{sp_dp * args.sp} devices; {len(devs)} available")
+
     from audax.core.runtime import setup
     from audax.infer.transcribe import Transcriber
     from audax.train.checkpoints import save_pytree
@@ -925,11 +937,7 @@ def cmd_finetune(argv) -> int:
         import numpy as _np
         from jax.sharding import Mesh as _Mesh
         devs = jax.devices()
-        dp = args.dp if args.dp and args.dp > 0 else \
-            max(1, len(devs) // args.sp)
-        if dp * args.sp > len(devs):
-            p.error(f"--dp {dp} x --sp {args.sp} needs {dp * args.sp} "
-                    f"devices; {len(devs)} available")
+        dp = sp_dp
         sp_mesh = _Mesh(_np.array(devs[: dp * args.sp]).reshape(dp, args.sp),
                         ("data", "seq"))
         mesh = None

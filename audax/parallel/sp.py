@@ -220,10 +220,20 @@ def make_sp_finetune_step(model_cfg: WhisperConfig, mesh: Mesh,
     trick that made PP training differentiable, parallel/pp.py), so the
     update is exactly the single-device fine-tune step's — asserted by
     tests/test_sp.py and the multichip dryrun SP-train stage.
+
+    ``cfg.accum_steps > 1`` composes gradient accumulation with the ring:
+    the microbatch ``lax.scan`` sits OUTSIDE the ``shard_map`` (each
+    scanned microbatch runs its own full SP forward/backward), gradients
+    of the summed CE + token counts accumulate and normalize once — the
+    exact full-batch update, same contract as
+    train/seq2seq.py:make_finetune_step. Long-audio training is precisely
+    where this matters: big encoder activations force small microbatches.
     """
     import optax
     from audax.models.lora import apply_lora
-    from audax.train.seq2seq import seq2seq_loss
+    from audax.train.seq2seq import seq2seq_loss, seq2seq_loss_sum
+
+    accum_steps = max(1, cfg.accum_steps)
 
     def params_of(trainable, state):
         if state.use_lora:
@@ -231,17 +241,51 @@ def make_sp_finetune_step(model_cfg: WhisperConfig, mesh: Mesh,
                               trainable, state.lora_alpha)
         return trainable
 
-    def loss_fn(trainable, state, batch):
-        logits = sp_whisper_forward(
+    def _logits(trainable, state, batch):
+        return sp_whisper_forward(
             params_of(trainable, state), model_cfg, batch["mel"],
             batch["decoder_input_ids"], mesh, seq_axis=seq_axis,
             data_axis=data_axis, dtype=dtype, ring=ring)
-        return seq2seq_loss(logits.astype(jnp.float32), batch["labels"])
+
+    def loss_fn(trainable, state, batch):
+        return seq2seq_loss(
+            _logits(trainable, state, batch).astype(jnp.float32),
+            batch["labels"])
+
+    def sum_loss_fn(trainable, state, batch):
+        return seq2seq_loss_sum(
+            _logits(trainable, state, batch).astype(jnp.float32),
+            batch["labels"])
+
+    def accum_grads(state, batch):
+        b = batch["labels"].shape[0]
+        if b % accum_steps:
+            raise ValueError(f"batch size {b} not divisible by "
+                             f"accum_steps={accum_steps}")
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum_steps, b // accum_steps)
+                                + x.shape[1:]), batch)
+
+        def one(carry, mb):
+            gsum, lsum, csum = carry
+            (l, c), g = jax.value_and_grad(sum_loss_fn, has_aux=True)(
+                state.trainable, state, mb)
+            return (jax.tree.map(jnp.add, gsum, g), lsum + l,
+                    csum + c.astype(jnp.float32)), None
+
+        zeros = jax.tree.map(jnp.zeros_like, state.trainable)
+        (gsum, lsum, csum), _ = jax.lax.scan(
+            one, (zeros, jnp.float32(0.0), jnp.float32(0.0)), micro)
+        denom = jnp.maximum(csum, 1.0)
+        return lsum / denom, jax.tree.map(lambda g: g / denom, gsum)
 
     @jax.jit
     def step(state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(state.trainable, state,
-                                                  batch)
+        if accum_steps > 1:
+            loss, grads = accum_grads(state, batch)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.trainable, state,
+                                                      batch)
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)

@@ -134,14 +134,13 @@ def finetune_whisper(
     SEQUENCE axis shards over 'seq' so long-audio windows whose encoder
     activations exceed one chip still train; gradients flow through the
     ppermute ring (bit-matches single-device, tests/test_sp.py).
-    Mutually exclusive with ``mesh``/``fsdp``; ``accum_steps`` must be 1.
+    Mutually exclusive with ``mesh``/``fsdp``. ``accum_steps`` composes:
+    the microbatch scan sits outside the shard_map ring (parallel/sp.py),
+    the exact full-batch update either way.
     """
     if sp_mesh is not None:
         if mesh is not None or fsdp:
             raise ValueError("sp_mesh is mutually exclusive with mesh/fsdp")
-        if cfg.accum_steps > 1:
-            raise ValueError("sequence-parallel fine-tune does not support "
-                             "accum_steps > 1")
     mel_cfg = mel_cfg or MelConfig.whisper(model_cfg.n_mels)
     frontend = LogMelFrontend(mel_cfg, whisper_frames=True)
     # the jitted step donates its input state (in-place AdamW); train a

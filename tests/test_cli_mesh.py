@@ -325,6 +325,50 @@ def test_transcriber_tp_quantized(rng):
     assert tp.transcribe(audio).text == rep.transcribe(audio).text
 
 
+def test_finetune_cli_sp_matches_single_device(tmp_path, rng, monkeypatch):
+    """`finetune --dp 2 --sp 2 --accum-steps 2` — the full CLI path into
+    the DP x SP ring-attention step WITH gradient accumulation (microbatch
+    scan outside the shard_map) — reproduces the single-device loss
+    trajectory (accumulation is the exact full-batch update, the ring is
+    exact attention)."""
+    from audax.cli.main import _COMMANDS
+
+    monkeypatch.setattr(WhisperConfig, "tiny",
+                        classmethod(lambda cls: _micro_tiny()))
+    wavs = tmp_path / "wavs"
+    _make_wavs(wavs, rng)
+    base = ["--audio-dir", str(wavs), "--transcript", "hello world",
+            "--steps", "3", "--batch-size", "4", "--chunk-seconds", "2",
+            "--lora-rank", "0"]
+
+    plain_dir = tmp_path / "plain"
+    plain_dir.mkdir()
+    monkeypatch.chdir(plain_dir)
+    assert _COMMANDS["finetune"](
+        base + ["--out", str(tmp_path / "out_plain")]) == 0
+
+    sp_dir = tmp_path / "sp"
+    sp_dir.mkdir()
+    monkeypatch.chdir(sp_dir)
+    assert _COMMANDS["finetune"](
+        base + ["--out", str(tmp_path / "out_sp"),
+                "--dp", "2", "--sp", "2", "--accum-steps", "2"]) == 0
+
+    lp, ls = _losses(plain_dir), _losses(sp_dir)
+    assert len(lp) == len(ls) == 3
+    np.testing.assert_allclose(ls, lp, rtol=1e-3, atol=1e-5)
+
+
+def test_finetune_cli_sp_device_count_validated_early():
+    """An infeasible --dp x --sp combo errors at argparse time (before
+    checkpoint load / dataset build), like the exclusivity check."""
+    from audax.cli.main import _COMMANDS
+
+    with pytest.raises(SystemExit):
+        _COMMANDS["finetune"](["--audio-dir", "/nonexistent",
+                               "--dp", "8", "--sp", "8"])
+
+
 def test_finetune_cli_sp_flag_validation():
     """`finetune --sp` composes with --dp only: conflicting --tp/--fsdp
     combinations are rejected at argparse time (before any dataset or

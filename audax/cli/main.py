@@ -1968,6 +1968,10 @@ def cmd_train_lm(argv) -> int:
     p.add_argument("--moe-ffn-dim", type=int, default=0,
                    help="per-expert FFN width (default: dense ffn_dim / "
                         "top_k — iso-FLOPs with the dense preset)")
+    p.add_argument("--remat", default="", choices=["", "full", "dots"],
+                   help="per-layer gradient checkpointing (bigger "
+                        "batch/seq-len in 16 GB; models/whisper."
+                        "_remat_body)")
     p.add_argument("--seed", type=int, default=0)
     _add_mesh_flags(p)
     args = p.parse_args(argv)
@@ -2006,7 +2010,7 @@ def cmd_train_lm(argv) -> int:
         learning_rate=args.lr, max_steps=args.steps,
         batch_size=args.batch_size, seq_len=args.seq_len,
         accum_steps=args.accum_steps, dtype=args.dtype,
-        eval_every=args.eval_every, seed=args.seed)
+        eval_every=args.eval_every, remat=args.remat, seed=args.seed)
     params = init_causal_lm(cfg, jax.random.key(args.seed))
     sink = MetricsSink("lm", config={"model": cfg.__dict__.copy(),
                                      "train": train_cfg.__dict__.copy()})

@@ -428,7 +428,8 @@ def forward_with_embeds(params: Params, cfg: CausalLMConfig,
                         embeds: jnp.ndarray,
                         attention_mask: Optional[jnp.ndarray] = None,
                         dtype=jnp.float32,
-                        return_router_logits: bool = False):
+                        return_router_logits: bool = False,
+                        remat=False):
     """Hidden-states forward from input embeddings (the two-tower fusion
     entry point; reference feeds fused embeds at model.py:281-288).
 
@@ -457,7 +458,11 @@ def forward_with_embeds(params: Params, cfg: CausalLMConfig,
         x = x + _mlp_block(layer, cfg, x)
         return x, None
 
-    x, router_logits = lax.scan(body, x, params["layers"])
+    # per-LAYER checkpointing (training): see whisper._remat_body — an
+    # outer whole-forward jax.checkpoint does not reduce peak memory
+    from audax.models.whisper import _remat_body
+    x, router_logits = lax.scan(_remat_body(body, remat), x,
+                                params["layers"])
     hidden = rms_norm(params["norm"], x, cfg.rms_eps)
     return (hidden, router_logits) if with_router else hidden
 
@@ -473,14 +478,17 @@ def lm_logits(params: Params, cfg: CausalLMConfig, hidden: jnp.ndarray
 
 def lm_forward(params: Params, cfg: CausalLMConfig, tokens: jnp.ndarray,
                attention_mask: Optional[jnp.ndarray] = None,
-               dtype=jnp.float32, return_router_logits: bool = False):
+               dtype=jnp.float32, return_router_logits: bool = False,
+               remat=False):
     """tokens [B, T] -> logits [B, T, V]. For MoE configs,
     ``return_router_logits=True`` additionally returns the stacked
     per-layer router logits [L, B*T, E] (feed to ``load_balance_loss``
-    with the same attention_mask for the training aux loss)."""
+    with the same attention_mask for the training aux loss).
+    ``remat`` checkpoints per scanned layer (training path)."""
     out = forward_with_embeds(params, cfg, embed_tokens(params, tokens, dtype),
                               attention_mask, dtype,
-                              return_router_logits=return_router_logits)
+                              return_router_logits=return_router_logits,
+                              remat=remat)
     if return_router_logits and cfg.num_experts > 0:
         hidden, router_logits = out
         return lm_logits(params, cfg, hidden), router_logits

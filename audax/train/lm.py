@@ -53,6 +53,9 @@ class LMTrainConfig:
     #: MoE models: Switch load-balancing aux loss coefficient
     #: (HF Qwen3-MoE router_aux_loss_coef default)
     aux_loss_coef: float = 0.001
+    #: gradient checkpointing: "" off, "full" per-layer recompute,
+    #: "dots" per-layer keeping matmul outputs (models/whisper._remat_body)
+    remat: str = ""
     seed: int = 0
 
 
@@ -104,6 +107,8 @@ def make_lm_train_step(model_cfg: CausalLMConfig, train_cfg: LMTrainConfig,
     """
     dtype = jnp.bfloat16 if train_cfg.dtype == "bfloat16" else jnp.float32
     accum = max(1, train_cfg.accum_steps)
+    remat = {"": False, "full": True, "dots": "dots"}[
+        getattr(train_cfg, "remat", "")]
 
     moe = model_cfg.num_experts > 0
 
@@ -115,9 +120,11 @@ def make_lm_train_step(model_cfg: CausalLMConfig, train_cfg: LMTrainConfig,
         labels = windows[:, 1:]
         if moe:
             logits, router = lm_forward(params, model_cfg, inp, dtype=dtype,
-                                        return_router_logits=True)
+                                        return_router_logits=True,
+                                        remat=remat)
         else:
-            logits = lm_forward(params, model_cfg, inp, dtype=dtype)
+            logits = lm_forward(params, model_cfg, inp, dtype=dtype,
+                                remat=remat)
         total, count = seq2seq_loss_sum(logits.astype(jnp.float32), labels)
         if moe and train_cfg.aux_loss_coef:
             from audax.models.causal_lm import load_balance_loss

@@ -144,15 +144,15 @@ def make_finetune_step(model_cfg: WhisperConfig,
     rows). B must be divisible by ``accum_steps``.
     """
 
-    fwd = whisper_forward
-    if remat:
-        # remat=True: recompute everything in the backward (min memory).
-        # remat="dots": save matmul/conv outputs, recompute only cheap
-        # elementwise ops — the standard speed/memory middle ground.
-        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                  if remat == "dots" else None)
-        fwd = jax.checkpoint(whisper_forward, static_argnums=(1, 4),
-                             policy=policy)
+    # remat=True: checkpoint each scanned LAYER — the backward recomputes
+    # one layer at a time, so peak activation memory is per-layer
+    # boundaries, not the whole stack. remat="dots" additionally saves
+    # each layer's matmul outputs (less recompute, a bit more memory).
+    # NOTE an outer jax.checkpoint(whisper_forward) is NOT equivalent:
+    # the backward replays the entire forward, putting every activation
+    # live again at once — measured identical peak HBM to no remat at all
+    # (results/mfu_study.json: 13.1 GB for both at whisper-small b8).
+    fwd = partial(whisper_forward, remat=remat)
 
     def params_of(trainable, state: FTState):
         if state.use_lora:

@@ -188,6 +188,39 @@ def test_remat_policies_agree():
                                        rtol=1e-4, atol=1e-6)
 
 
+def test_remat_actually_reduces_peak_memory():
+    """Regression for the round-4 remat bug: a single outer
+    jax.checkpoint(whisper_forward) was a NO-OP for peak memory (the
+    backward replays the whole forward, so every activation is live again
+    — measured 13.1 GB planned HBM for remat full AND none at
+    whisper-small b8 on the v5e AOT compiler). Per-LAYER checkpointing
+    inside the lax.scan must plan strictly less temp memory than no
+    remat, with full <= dots <= none."""
+    # dims big enough that activations dominate the fixed-size buffers
+    # (at TINY's 48-frame context the checkpoint bookkeeping outweighs
+    # the savings and the ordering is noise)
+    big = WhisperConfig(n_mels=80, n_audio_ctx=96, d_model=64,
+                        encoder_layers=3, decoder_layers=2, heads=2,
+                        vocab_size=320, n_text_ctx=32)
+    params = init_whisper_params(big, jax.random.key(0))
+    cfg = FineTuneConfig(learning_rate=1e-3, warmup_steps=2, max_steps=10)
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((4, 2 * big.n_audio_ctx, big.n_mels)
+                              ).astype(np.float32)
+    labels = collate_seq2seq([[4, 5, 6, 2]] * 4, decoder_start_id=1)
+    batch = {"mel": jnp.asarray(mel),
+             "decoder_input_ids": jnp.asarray(labels["decoder_input_ids"]),
+             "labels": jnp.asarray(labels["labels"])}
+    state = init_finetune(params, cfg)
+    temps = {}
+    for remat in (True, "dots", False):
+        step = make_finetune_step(big, remat=remat, donate=False)
+        mem = step.lower(state, batch).compile().memory_analysis()
+        temps[remat] = int(mem.temp_size_in_bytes)
+    assert temps[True] <= temps["dots"] <= temps[False], temps
+    assert temps[True] < 0.65 * temps[False], temps
+
+
 def test_midi_finetune_proof_wer_drops(tmp_path):
     """The reference-parity proof (VERDICT round-1 #4): framework datagen ->
     random-init model -> fine-tune -> eval WER drops measurably, with the

@@ -46,6 +46,27 @@ def test_lm_accum_matches_full_batch(rng):
     assert losses[0] == pytest.approx(losses[1], rel=1e-5)
 
 
+def test_lm_remat_matches_and_saves_memory(rng):
+    """LMTrainConfig.remat checkpoints each scanned layer: identical loss,
+    strictly less planned temp memory than no remat (the whisper
+    per-layer-remat contract, models/whisper._remat_body)."""
+    params = init_causal_lm(TINY, jax.random.key(0))
+    windows = jnp.asarray(rng.integers(0, TINY.vocab_size, (8, 17)),
+                          jnp.int32)
+    base = LMTrainConfig(max_steps=4, batch_size=8, seq_len=16)
+    out = {}
+    for remat in ("", "full"):
+        cfg = LMTrainConfig(**{**base.__dict__, "remat": remat})
+        step = make_lm_train_step(TINY, cfg, donate=False)
+        state = init_lm_state(params, cfg)
+        compiled = step.lower(state, windows).compile()
+        _, m = compiled(state, windows)
+        out[remat] = (float(np.asarray(m["loss"])),
+                      int(compiled.memory_analysis().temp_size_in_bytes))
+    assert out[""][0] == pytest.approx(out["full"][0], rel=1e-6)
+    assert out["full"][1] < out[""][1], out
+
+
 def test_fit_lm_learns_and_round_trips(tmp_path):
     """A structured corpus (short repeating motif) is learnable: eval ppl
     drops well below uniform; the best checkpoint reloads via load_pytree

@@ -292,6 +292,10 @@ class FineTuneConfig(EnvConfig):
     # AB/fineTune.py:165); batch_size must be divisible by it
     accum_steps: int = 1
     lora_rank: int = 0           # 0 = full fine-tune; >0 = LoRA adapters
+    # train-loop losses are fetched from device in chunks of this many
+    # steps (a per-step host fetch serializes the loop over the tunnel —
+    # ~0.1-1 s/step of network latency); 1 restores per-step fetching
+    loss_fetch_every: int = 8
     lora_alpha: float = 16.0
     label_pad_id: int = -100
     seed: int = 0

@@ -172,6 +172,8 @@ def finetune_whisper(
     rng = np.random.default_rng(cfg.seed)
     aug_key = jax.random.key(cfg.seed) if cfg.spec_augment else None
     history: Dict[str, list] = {"loss": [], "wer": []}
+    pending: list = []                      # (step, on-device loss scalar)
+    fetch_every = max(1, int(getattr(cfg, "loss_fetch_every", 8)))
     best_wer = float("inf")
     best_params = None
     ema = None
@@ -220,11 +222,29 @@ def finetune_whisper(
         if ema is not None:
             ema = ema_update(ema, state.trainable,
                              jnp.float32(cfg.ema_decay), state.step)
-        loss = float(m["loss"])
-        history["loss"].append(loss)
-        record = {"step": step, "loss": loss}
+        # loss stays ON DEVICE and is fetched in chunks: a per-step
+        # float(m["loss"]) is a host round trip that SERIALIZES the loop
+        # (the axon tunnel adds ~0.1-1 s/step of pure network latency —
+        # CLAUDE.md's "fetch once per epoch, not per step"); batching the
+        # fetch keeps the step dispatch pipeline full
+        pending.append((step, m["loss"]))
+        do_eval = bool(eval_examples) and (step + 1) % cfg.eval_every == 0
+        if (len(pending) >= fetch_every or do_eval
+                or step == cfg.max_steps - 1):
+            for s, loss in zip(
+                    [s for s, _ in pending],
+                    np.asarray(jnp.stack([d for _, d in pending]))):
+                loss = float(loss)
+                history["loss"].append(loss)
+                if sink:
+                    sink.log({"loss": loss}, step=s,
+                             echo=(s + 1) % 10 == 0)
+                elif (s + 1) % 10 == 0:
+                    log.info("step %d loss %.4f", s, loss)
+            pending.clear()
+        record = {"step": step}
 
-        if eval_examples and (step + 1) % cfg.eval_every == 0:
+        if do_eval:
             # with EMA on, quality tracking (WER + best checkpoint) runs
             # on the averaged weights — the tree you would serve
             serving = (ema_model_params(state, ema) if ema is not None
@@ -249,10 +269,8 @@ def finetune_whisper(
                 # state.trainable, whose buffers the next (donating) step
                 # consumes — a shallow tree copy would be deleted under us
                 best_params = jax.tree.map(jnp.copy, serving)
-        if sink:
-            sink.log(record, step=step)
-        elif (step + 1) % 10 == 0:
-            log.info("step %d loss %.4f", step, loss)
+            if sink:
+                sink.log(record, step=step)
     history["best_wer"] = best_wer
     history["best_params"] = best_params
     if ema is not None:

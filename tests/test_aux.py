@@ -129,6 +129,23 @@ def test_finetune_loop_with_wer(tmp_path, rng):
     assert len(hist["wer"]) == 2           # evaluated at steps 2 and 4
     assert hist["best_params"] is not None
 
+    # chunked loss fetching (loss_fetch_every) must not drop or reorder
+    # records: 5 steps with chunk 3 -> flushes at steps 2 and 4 (tail),
+    # one sink record per step in step order
+    from audax.train.metrics_sink import MetricsSink
+    sink = MetricsSink("ft_chunk_test", out_dir=str(tmp_path / "runs"),
+                       use_wandb=False)
+    ft2 = FineTuneConfig(learning_rate=1e-3, warmup_steps=1, max_steps=5,
+                         eval_every=100, batch_size=2, lora_rank=0,
+                         loss_fetch_every=3)
+    _, hist2 = finetune_whisper(params, cfg, tok, examples, ft2,
+                                mel_cfg=mel_cfg, sink=sink)
+    sink.close()
+    assert len(hist2["loss"]) == 5
+    recs = [json.loads(l) for l in open(sink.path)]
+    steps = [r["step"] for r in recs if "loss" in r]
+    assert steps == [0, 1, 2, 3, 4]
+
 
 def test_demo_server_endpoints(tmp_path, rng):
     from audax.cli.demo_ui import serve

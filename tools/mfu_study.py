@@ -157,6 +157,11 @@ def run_config(size: str, lora_rank: int, batch: int, dtype: str,
             "loss": round(loss, 4), "compile_s": round(compile_s, 1)}
 
 
+# Measured HBM reality (the chipless AOT compiler reports true OOMs —
+# "Used 20.74G of 15.75G" for small/full/b16/dots): batches past 8 need
+# remat FULL on a 16 GB v5e for full-param small, so the grid leans on
+# full remat (+accum) for the larger batches. OOM rows are kept as final
+# results — what does NOT fit is part of the study.
 GRID = [
     # size, lora, batch, dtype, remat, accum
     ("small", 0, 8, "bfloat16", "dots", 1),
@@ -164,15 +169,20 @@ GRID = [
     ("small", 0, 8, "bfloat16", "full", 1),
     ("small", 0, 8, "float32", "dots", 1),      # dtype anchor
     ("small", 0, 16, "bfloat16", "dots", 1),
-    ("small", 0, 32, "bfloat16", "dots", 2),
+    ("small", 0, 16, "bfloat16", "full", 1),
+    ("small", 0, 32, "bfloat16", "full", 1),
+    ("small", 0, 32, "bfloat16", "full", 2),
+    ("small", 0, 64, "bfloat16", "full", 2),
+    # PARITY's executed memory plan: b8 x 30 s, donation + accum 4, remat
+    # (8.55 GB planned; the real-loop run is results/whisper_small_ft)
+    ("small", 0, 8, "bfloat16", "full", 4),
     ("small", 8, 16, "bfloat16", "dots", 1),
-    ("small", 8, 32, "bfloat16", "dots", 1),
-    ("small", 8, 64, "bfloat16", "dots", 1),
-    ("medium", 0, 4, "bfloat16", "dots", 1),
-    ("medium", 0, 8, "bfloat16", "dots", 1),
-    ("medium", 0, 16, "bfloat16", "dots", 2),
-    ("medium", 8, 8, "bfloat16", "dots", 1),
-    ("medium", 8, 16, "bfloat16", "dots", 1),
+    ("small", 8, 16, "bfloat16", "full", 1),
+    ("small", 8, 32, "bfloat16", "full", 1),
+    ("medium", 0, 4, "bfloat16", "full", 1),
+    ("medium", 0, 8, "bfloat16", "full", 2),
+    ("medium", 8, 8, "bfloat16", "full", 1),
+    ("medium", 8, 16, "bfloat16", "full", 2),
 ]
 
 
@@ -199,8 +209,17 @@ def main() -> int:
         json.dump(report, open(args.out, "w"), indent=1)
     roof = report["roofline_tflops"]
 
+    # successes AND true OOMs are final; infra errors (compile-service
+    # outages) are retried. Stale error rows for configs no longer in the
+    # grid are dropped.
+    keys = {g[:6] for g in GRID}
+    report["configs"] = [
+        c for c in report["configs"]
+        if (c["size"], c["lora_rank"], c["batch"], c["dtype"], c["remat"],
+            c["accum"]) in keys or "error" not in c]
     done = {(c["size"], c["lora_rank"], c["batch"], c["dtype"], c["remat"],
-             c["accum"]) for c in report["configs"] if "error" not in c}
+             c["accum"]) for c in report["configs"]
+            if "error" not in c or c.get("oom")}
     only = {int(i) for i in args.only.split(",") if i.strip()}
     for i, (size, lora, b, dt, rm, acc) in enumerate(GRID):
         if (only and i not in only) or (size, lora, b, dt, rm, acc) in done:
@@ -212,9 +231,17 @@ def main() -> int:
             row = run_config(size, lora, b, dt, rm, accum=acc,
                              steps=args.steps, roof_tflops=roof)
         except Exception as e:                       # OOM etc: record, go on
+            msg = str(e)
+            # surface the XLA OOM verdict (it hides mid-log in the axon
+            # wrapper's output): "Ran out of memory in memory space hbm.
+            # Used 20.74G of 15.75G hbm." is the row's real result
+            oom = [ln.strip() for ln in msg.splitlines()
+                   if "Ran out of memory" in ln]
             row = {"size": size, "lora_rank": lora, "batch": b, "dtype": dt,
                    "remat": rm, "accum": acc,
-                   "error": f"{type(e).__name__}: {str(e)[:300]}"}
+                   "oom": bool(oom),
+                   "error": (oom[0].split("compile: ")[-1] if oom
+                             else f"{type(e).__name__}: {msg[:300]}")}
         print(json.dumps(row), flush=True)
         report["configs"] = [c for c in report["configs"]
                              if (c["size"], c["lora_rank"], c["batch"],

@@ -83,9 +83,13 @@ def main() -> int:
         # flops are ANALYTIC (utils/flops.py): cost_analysis counts the
         # scanned layer body once and would under-report ~Lx here
         jfn = jax.jit(fn)
-        t = time_fn(jfn, *fargs, iters=args.iters)
-        row = {"ms": round(1e3 * t["seconds_per_call"], 2),
-               "tflops": round(flops / t["seconds_per_call"] / 1e12, 2)}
+        try:
+            t = time_fn(jfn, *fargs, iters=args.iters)
+            row = {"ms": round(1e3 * t["seconds_per_call"], 2),
+                   "tflops": round(flops / t["seconds_per_call"] / 1e12, 2)}
+        except Exception as e:       # per-stage tolerance: an OOM stage
+            oom = "Ran out of memory" in str(e)    # must not hide the rest
+            row = {"error": ("oom" if oom else str(e)[:120])}
         rows[name] = row
         print(json.dumps({name: row}), flush=True)
         report = {}
@@ -117,6 +121,51 @@ def main() -> int:
     bench("loss_grad", 3 * (enc_f + dec_f),
           jax.grad(loss_fn), params, mel, dec_in, labels)
 
+    # --- micro-op stages (slope-timed: these are sub-ms, and host-loop
+    # timing over the tunnel measures the ~0.5-1 s dispatch floor instead;
+    # CLAUDE.md / ROADMAP #22) — localize the uniform ~60 TF/s step rate:
+    # if the bare matmuls at the MODEL's shapes run at the roofline, the
+    # gap is scheduling/elementwise; if they run at ~60 TF/s, the shapes
+    # themselves are the ceiling.
+    from audax.utils.profiling import slope_timed
+    s, d = cfg.n_audio_ctx, cfg.d_model
+    bs = b * s
+    x2d = jnp.asarray(rng.standard_normal((bs, d)), jnp.bfloat16)
+    wdd = jnp.asarray(rng.standard_normal((d, d)) / np.sqrt(d), jnp.bfloat16)
+    wdm = jnp.asarray(rng.standard_normal((d, 4 * d)) / np.sqrt(d),
+                      jnp.bfloat16)
+
+    def micro(name, flops, fn, *fargs):
+        sec = slope_timed(fn, fargs, iters=(50, 350), repeats=3)
+        row = {"us": round(1e6 * sec, 1),
+               "tflops": round(flops / sec / 1e12, 2)}
+        rows[name] = row
+        print(json.dumps({name: row}), flush=True)
+        report = {}
+        if os.path.exists(args.out):
+            report = json.load(open(args.out))
+        report[args.attn] = {"size": args.size, "batch": b,
+                             "label_len": args.label_len, "stages": rows}
+        json.dump(report, open(args.out, "w"), indent=1)
+
+    micro("matmul_proj_bs_d_d", 2 * bs * d * d, lambda a, w: a @ w,
+          x2d, wdd)
+    micro("matmul_mlp_bs_d_4d", 2 * bs * d * 4 * d, lambda a, w: a @ w,
+          x2d, wdm)
+    qh = jnp.asarray(rng.standard_normal((b, cfg.heads, s, d // cfg.heads)),
+                     jnp.bfloat16)
+    from audax.ops.attention import dot_product_attention
+    micro("attention_enc_shape", 4 * b * s * s * d,
+          lambda q: dot_product_attention(q, q, q), qh)
+    x3d = jnp.asarray(rng.standard_normal((b, s, 4 * d)), jnp.bfloat16)
+    micro("gelu_exact_4d", 0,
+          lambda a: jax.nn.gelu(a, approximate=False), x3d)
+    xln = jnp.asarray(rng.standard_normal((b, s, d)), jnp.bfloat16)
+    lnp = {"scale": jnp.ones((d,), jnp.float32),
+           "bias": jnp.zeros((d,), jnp.float32)}
+    from audax.models.whisper import layer_norm
+    micro("layer_norm_d", 0, lambda a: layer_norm(lnp, a), xln)
+
     ft = FineTuneConfig(learning_rate=1e-4, warmup_steps=1,
                         max_steps=10 ** 6, lora_rank=0)
     state = init_finetune(params, ft)
@@ -129,12 +178,32 @@ def main() -> int:
 
     bench("optimizer", 0.0, opt_only, state.trainable, state.opt_state,
           grads)
-    del grads, enc_out                    # 16 GB chip: free probe-only
-                                          # buffers before the full step
-    step = make_finetune_step(cfg, remat="dots", dtype=dt16, donate=False)
+    del grads, enc_out, x2d, wdd, wdm, qh, x3d, xln
+    # full step WITH donation (the production configuration — without it
+    # the step holds input+output state copies and OOMs next to the probe
+    # buffers): chain the state through the loop and sync via a 4-byte
+    # checksum fetch
+    import time as _time
+    step = make_finetune_step(cfg, remat="dots", dtype=dt16, donate=True)
     batch = {"mel": mel, "decoder_input_ids": dec_in, "labels": labels}
-    bench("full_step_dots", 3 * (enc_f + dec_f),
-          lambda s, bt: step(s, bt), state, batch)
+    csum = jax.jit(lambda m: m["loss"])
+    state, m = step(state, batch)
+    np.asarray(csum(m))
+    t0 = _time.perf_counter()
+    for _ in range(args.iters):
+        state, m = step(state, batch)
+    np.asarray(csum(m))
+    dt = (_time.perf_counter() - t0) / args.iters
+    rows["full_step_dots"] = {"ms": round(1e3 * dt, 2),
+                              "tflops": round(3 * (enc_f + dec_f) / dt
+                                              / 1e12, 2)}
+    print(json.dumps({"full_step_dots": rows["full_step_dots"]}), flush=True)
+    report = {}
+    if os.path.exists(args.out):
+        report = json.load(open(args.out))
+    report[args.attn] = {"size": args.size, "batch": b,
+                         "label_len": args.label_len, "stages": rows}
+    json.dump(report, open(args.out, "w"), indent=1)
     return 0
 
 

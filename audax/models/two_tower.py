@@ -121,7 +121,8 @@ def adapter_apply_kv(p: Params, text: jnp.ndarray, k: jnp.ndarray,
     attn = dot_product_attention(q, k, v, scale=hd ** -0.5)
     attn = _fwd(p["out"], attn.transpose(0, 2, 1, 3).reshape(b, t, d))
     x = _ln(p["ln1"], text + attn)
-    h = _fwd(p["ffn_out"], jax.nn.gelu(_fwd(p["ffn_in"], x), approximate=False))
+    from audax.models.whisper import _gelu
+    h = _fwd(p["ffn_out"], _gelu(_fwd(p["ffn_in"], x)))
     return _ln(p["ln2"], x + h)
 
 

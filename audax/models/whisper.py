@@ -199,8 +199,20 @@ def attention(p: Params, x: jnp.ndarray, heads: int, *,
     return dense(p["out"], _merge_heads(out))
 
 
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU with dtype-matched precision: exact erf in f32 (HF logit
+    parity <=5e-5 holds there), the tanh approximation in bf16 — the
+    tanh-vs-erf difference (~1e-3 of the activation) is BELOW bf16's own
+    rounding step (~4e-3), while the erf evaluation is VPU-bound and
+    slope-timed at 1.14 ms per [8,1500,3072] layer activation (~25% of a
+    whisper-small encoder layer's forward; tools/train_step_breakdown.py
+    micro stages). Precision that the dtype cannot represent is not
+    precision, just latency."""
+    return jax.nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
+
+
 def _mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return dense(p["mlp_out"], jax.nn.gelu(dense(p["mlp_in"], x), approximate=False))
+    return dense(p["mlp_out"], _gelu(dense(p["mlp_in"], x)))
 
 
 # ---------------------------------------------------------------------------
@@ -214,14 +226,14 @@ def conv_stem(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
     the plain and SP paths."""
     p = params["encoder"]
     x = mel.astype(dtype)
-    x = jax.nn.gelu(lax.conv_general_dilated(
+    x = _gelu(lax.conv_general_dilated(
         x, p["conv1"]["kernel"].astype(dtype), window_strides=(1,),
         padding=((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"))
-        + p["conv1"]["bias"].astype(dtype), approximate=False)
-    x = jax.nn.gelu(lax.conv_general_dilated(
+        + p["conv1"]["bias"].astype(dtype))
+    x = _gelu(lax.conv_general_dilated(
         x, p["conv2"]["kernel"].astype(dtype), window_strides=(2,),
         padding=((1, 1),), dimension_numbers=("NHC", "HIO", "NHC"))
-        + p["conv2"]["bias"].astype(dtype), approximate=False)
+        + p["conv2"]["bias"].astype(dtype))
     return x + p["pos"].astype(dtype)[None, : x.shape[1]]
 
 
@@ -246,7 +258,7 @@ def _remat_body(body, remat):
 
 
 @functools.partial(jax.jit, static_argnums=(1, 3),
-                   static_argnames=("remat",))
+                   static_argnames=("dtype", "remat"))
 def encode(params: Params, cfg: WhisperConfig, mel: jnp.ndarray,
            dtype=jnp.float32, *, remat=False) -> jnp.ndarray:
     """mel [B, T_frames, n_mels] (time-major) -> encoder states

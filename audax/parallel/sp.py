@@ -128,7 +128,7 @@ def encode_sequence_parallel(
 
 
 def _make_local_stack(cfg: WhisperConfig, *, seq_axis: str, n_seq: int,
-                      ring: bool):
+                      ring: bool, remat=False):
     """Per-device encoder transformer stack over a local frame block.
 
     Shared by the inference path (``encode_sequence_parallel``) and the
@@ -162,7 +162,14 @@ def _make_local_stack(cfg: WhisperConfig, *, seq_axis: str, n_seq: int,
             x = x + _mlp(layer, h)
             return x, None
 
-        x_local, _ = lax.scan(body, x_local, layers)
+        # per-LAYER checkpointing (models/whisper._remat_body): the
+        # backward scan recomputes one layer — including its ppermute
+        # ring, which jax.checkpoint replays (collectives transpose the
+        # same way on recompute). Long-audio SP training is exactly where
+        # per-layer boundaries vs whole-stack activations decides the
+        # feasible window length.
+        from audax.models.whisper import _remat_body
+        x_local, _ = lax.scan(_remat_body(body, remat), x_local, layers)
         return layer_norm(ln, x_local)
 
     return local_stack
@@ -171,7 +178,8 @@ def _make_local_stack(cfg: WhisperConfig, *, seq_axis: str, n_seq: int,
 def sp_whisper_forward(params, cfg: WhisperConfig, mel: jnp.ndarray,
                        tokens: jnp.ndarray, mesh: Mesh, *,
                        seq_axis: str = "seq", data_axis: str = "data",
-                       dtype=jnp.float32, ring: bool = True) -> jnp.ndarray:
+                       dtype=jnp.float32, ring: bool = True,
+                       remat=False) -> jnp.ndarray:
     """Differentiable seq2seq forward with the ENCODER sequence-parallel.
 
     Long-audio training (>30 s windows) shards the mel-frame axis over
@@ -193,7 +201,8 @@ def sp_whisper_forward(params, cfg: WhisperConfig, mel: jnp.ndarray,
         raise ValueError(f"batch {x.shape[0]} not divisible by "
                          f"data axis {mesh.shape[data_axis]}")
     sharded = shard_map(
-        _make_local_stack(cfg, seq_axis=seq_axis, n_seq=n_seq, ring=ring),
+        _make_local_stack(cfg, seq_axis=seq_axis, n_seq=n_seq, ring=ring,
+                          remat=remat),
         mesh=mesh,
         in_specs=(P(data_axis, seq_axis, None), P(), P()),
         out_specs=P(data_axis, seq_axis, None),
@@ -204,7 +213,7 @@ def sp_whisper_forward(params, cfg: WhisperConfig, mel: jnp.ndarray,
     # decoder: batch over 'data', full (gathered) encoder states per device
     enc = lax.with_sharding_constraint(
         enc, NamedSharding(mesh, P(data_axis, None, None)))
-    return decode_train(params, cfg, tokens, enc, dtype)
+    return decode_train(params, cfg, tokens, enc, dtype, remat=remat)
 
 
 def make_sp_finetune_step(model_cfg: WhisperConfig, mesh: Mesh,
@@ -241,11 +250,16 @@ def make_sp_finetune_step(model_cfg: WhisperConfig, mesh: Mesh,
                               trainable, state.lora_alpha)
         return trainable
 
+    # same remat semantics as make_finetune_step: the config's
+    # gradient_checkpointing flag turns on per-layer checkpointing in
+    # BOTH stacks (inside the SP shard_map for the encoder)
+    remat = cfg.gradient_checkpointing
+
     def _logits(trainable, state, batch):
         return sp_whisper_forward(
             params_of(trainable, state), model_cfg, batch["mel"],
             batch["decoder_input_ids"], mesh, seq_axis=seq_axis,
-            data_axis=data_axis, dtype=dtype, ring=ring)
+            data_axis=data_axis, dtype=dtype, ring=ring, remat=remat)
 
     def loss_fn(trainable, state, batch):
         return seq2seq_loss(

@@ -1820,6 +1820,11 @@ def cmd_music_proof(argv) -> int:
     p.add_argument("--notes-max", type=int, default=0,
                    help="> --notes: variable per-melody note count drawn "
                         "from [notes, notes-max]")
+    p.add_argument("--eval-items", type=int, default=0,
+                   help=">0: score train-set F1 on this many sampled "
+                        "items (holdout eval is always complete) — at "
+                        "1k+ items full train-set generation costs more "
+                        "chip time than the training itself")
     args = p.parse_args(argv)
     if args.lm_ckpt and not args.lm_tokenizer_dir:
         p.error("--lm-ckpt requires --lm-tokenizer-dir")
@@ -1855,7 +1860,8 @@ def cmd_music_proof(argv) -> int:
         pretrain_lm_items=args.pretrain_lm_items,
         lm_params=lm_params, lm_cfg_override=lm_cfg,
         bpe_override=bpe_override,
-        max_poly=args.max_poly, notes_max=args.notes_max)
+        max_poly=args.max_poly, notes_max=args.notes_max,
+        eval_items=args.eval_items)
     print(json.dumps({"before": out["before"], "after": out["after"],
                       "holdout_before": out["holdout_before"],
                       "holdout_after": out["holdout_after"],

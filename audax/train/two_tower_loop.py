@@ -379,6 +379,7 @@ def music_transcription_proof(
     bpe_override=None,
     max_poly: int = 1,
     notes_max: int = 0,
+    eval_items: int = 0,
 ) -> Dict:
     """End-to-end two-tower learning proof (audio -> ABC notation).
 
@@ -617,7 +618,14 @@ def music_transcription_proof(
     state0 = TwoTowerState(step=jnp.int32(0), params=model.params,
                            opt_state=tx.init(model.params), tx=tx,
                            layer_mask=mask)
+    # eval_items > 0: score train-set F1 on a fixed random subsample —
+    # at corpus scale (>=1k items) generating every train clip twice
+    # (before/after) costs more chip time than training, and train F1 is
+    # only optimizer evidence; the HOLDOUT eval always stays complete.
     all_idx = np.arange(len(dataset))
+    if eval_items and eval_items < len(dataset):
+        all_idx = np.random.default_rng(seed + 13).choice(
+            len(dataset), size=eval_items, replace=False)
     before = eval_note_f1(model, state0, dataset, all_idx, frontend,
                           chunk_seconds, max_len=64, temperature=0.0,
                           return_samples=True)
@@ -674,6 +682,7 @@ def music_transcription_proof(
         "before": {k: round(v, 4) for k, v in before.items()},
         "after": {k: round(v, 4) for k, v in after.items()},
         "epochs": epochs, "items": len(dataset),
+        "eval_items": int(len(all_idx)),
         "augment": augment,
         "pretrain_lm_steps": pretrain_lm_steps,
         "lm_pretrained": lm_params is not None,

@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 __all__ = ["trace", "time_fn", "flops_estimate_matmul", "slope_timed",
-           "step_flops", "mfu", "V5E_PEAK_FLOPS"]
+           "slope_timed_chained", "step_flops", "mfu", "V5E_PEAK_FLOPS"]
 
 
 @contextlib.contextmanager
@@ -107,6 +107,23 @@ def mfu(flops_per_step: float, sec_per_step: float,
             "mfu_pct": round(100.0 * per_chip / peak, 2)}
 
 
+def _two_length_slope(make, args, iters, repeats: int) -> float:
+    """Shared slope-timing measurement: compile fori_loops of two lengths,
+    take best-of-``repeats`` wall per length, return (t2-t1)/(n2-n1).
+    One jitted call + one 4-byte fetch per measurement (tunnel-safe)."""
+    f1, f2 = make(iters[0]), make(iters[1])
+    np.asarray(f1(*args)); np.asarray(f2(*args))   # compile both
+    best = []
+    for f in (f1, f2):
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            np.asarray(f(*args))
+            ts.append(time.perf_counter() - t0)
+        best.append(min(ts))
+    return (best[1] - best[0]) / (iters[1] - iters[0])
+
+
 def slope_timed(fn, args, iters=(100, 1100), repeats: int = 5) -> float:
     """Per-op device latency (seconds) via slope timing: run the op in
     fori_loops of two lengths and take (t_long - t_short) / (n_long -
@@ -131,14 +148,31 @@ def slope_timed(fn, args, iters=(100, 1100), repeats: int = 5) -> float:
             return jax.lax.fori_loop(0, nit, body, jnp.float32(0))
         return run
 
-    f1, f2 = make(iters[0]), make(iters[1])
-    np.asarray(f1(*args)); np.asarray(f2(*args))   # compile both
-    best = []
-    for f in (f1, f2):
-        ts = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            np.asarray(f(*args))
-            ts.append(time.perf_counter() - t0)
-        best.append(min(ts))
-    return (best[1] - best[0]) / (iters[1] - iters[0])
+    return _two_length_slope(make, args, iters, repeats)
+
+
+def slope_timed_chained(fn, x0, extra=(), iters=(30, 230),
+                        repeats: int = 3) -> float:
+    """``slope_timed`` for SHAPE-PRESERVING ops, with the loop carry being
+    the op's own output: ``x <- fn(x, *extra)``.
+
+    This is the only trustworthy way to slope-time a bare matmul: the
+    element-[0] accumulator in ``slope_timed`` lets XLA dead-code-narrow
+    ``a @ w`` to a single row x column dot (observed: a narrowed probe
+    reported 10 PFLOP/s, 50x hardware peak — ROADMAP #4). Chaining makes
+    every element of every iteration load-bearing, and the data dependence
+    doubles as the anti-hoisting perturbation. Keep ``fn``'s magnitudes
+    stable (scale matmul weights by 1/sqrt(k)) so the bf16 carry stays
+    finite — overflow would not slow the MXU, but finite values keep the
+    final checksum meaningful.
+    """
+    import jax.numpy as jnp
+
+    def make(nit):
+        @jax.jit
+        def run(x, *a):
+            y = jax.lax.fori_loop(0, nit, lambda i, x: fn(x, *a), x)
+            return y.ravel()[0].astype(jnp.float32)
+        return run
+
+    return _two_length_slope(make, (x0, *extra), iters, repeats)

@@ -39,6 +39,8 @@ def main() -> int:
     ap.add_argument("--attn", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="results/train_step_breakdown.json")
+    ap.add_argument("--only", default="",
+                    help="substring filter: run only matching stage names")
     args = ap.parse_args()
     os.environ["AUDAX_ATTN_BACKEND"] = args.attn
 
@@ -78,8 +80,13 @@ def main() -> int:
 
     rows = {}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.exists(args.out):   # --only reruns refresh, not clobber
+        rows.update(json.load(open(args.out))
+                    .get(args.attn, {}).get("stages", {}))
 
     def bench(name, flops, fn, *fargs):
+        if args.only and args.only not in name:
+            return
         # flops are ANALYTIC (utils/flops.py): cost_analysis counts the
         # scanned layer body once and would under-report ~Lx here
         jfn = jax.jit(fn)
@@ -99,8 +106,10 @@ def main() -> int:
                              "label_len": args.label_len, "stages": rows}
         json.dump(report, open(args.out, "w"), indent=1)
 
-    enc_out = jax.jit(
-        lambda p, m: encode(p, cfg, m, dt16))(params, mel)
+    enc_out = None
+    if not args.only or "decoder_fwd" in args.only:
+        enc_out = jax.jit(
+            lambda p, m: encode(p, cfg, m, dt16))(params, mel)
 
     bench("encoder_fwd", enc_f,
           lambda p, m: encode(p, cfg, m, dt16), params, mel)
@@ -121,22 +130,31 @@ def main() -> int:
     bench("loss_grad", 3 * (enc_f + dec_f),
           jax.grad(loss_fn), params, mel, dec_in, labels)
 
-    # --- micro-op stages (slope-timed: these are sub-ms, and host-loop
-    # timing over the tunnel measures the ~0.5-1 s dispatch floor instead;
-    # CLAUDE.md / ROADMAP #22) — localize the uniform ~60 TF/s step rate:
-    # if the bare matmuls at the MODEL's shapes run at the roofline, the
-    # gap is scheduling/elementwise; if they run at ~60 TF/s, the shapes
-    # themselves are the ceiling.
-    from audax.utils.profiling import slope_timed
+    # --- micro-op stages (CHAINED slope timing: these are sub-ms, and
+    # host-loop timing over the tunnel measures the ~0.5-1 s dispatch
+    # floor instead; CLAUDE.md / ROADMAP #22) — localize the uniform
+    # ~60 TF/s step rate: if the bare matmuls at the MODEL's shapes run at
+    # the roofline, the gap is scheduling/elementwise; if they run at
+    # ~60 TF/s, the shapes themselves are the ceiling. Chaining (x <-
+    # f(x)) is mandatory for the bare matmuls: the element-[0] probe form
+    # gets dead-code-narrowed to one dot (absurd/negative slopes recorded
+    # in the round-4 artifact; ROADMAP #4).
+    from audax.utils.profiling import slope_timed_chained
     s, d = cfg.n_audio_ctx, cfg.d_model
     bs = b * s
     x2d = jnp.asarray(rng.standard_normal((bs, d)), jnp.bfloat16)
     wdd = jnp.asarray(rng.standard_normal((d, d)) / np.sqrt(d), jnp.bfloat16)
     wdm = jnp.asarray(rng.standard_normal((d, 4 * d)) / np.sqrt(d),
                       jnp.bfloat16)
+    wmd = jnp.asarray(rng.standard_normal((4 * d, d)) / np.sqrt(4 * d),
+                      jnp.bfloat16)
+    w3d = jnp.asarray(rng.standard_normal((d, 3 * d)) / np.sqrt(d),
+                      jnp.bfloat16)
 
-    def micro(name, flops, fn, *fargs):
-        sec = slope_timed(fn, fargs, iters=(50, 350), repeats=3)
+    def micro(name, flops, fn, x0, *extra):
+        if args.only and args.only not in name:
+            return
+        sec = slope_timed_chained(fn, x0, extra, iters=(30, 230), repeats=3)
         row = {"us": round(1e6 * sec, 1),
                "tflops": round(flops / sec / 1e12, 2)}
         rows[name] = row
@@ -148,10 +166,27 @@ def main() -> int:
                              "label_len": args.label_len, "stages": rows}
         json.dump(report, open(args.out, "w"), indent=1)
 
-    micro("matmul_proj_bs_d_d", 2 * bs * d * d, lambda a, w: a @ w,
-          x2d, wdd)
-    micro("matmul_mlp_bs_d_4d", 2 * bs * d * 4 * d, lambda a, w: a @ w,
-          x2d, wdm)
+    micro("matmul_proj_bs_d_d", 2 * bs * d * d,
+          lambda x, w: x @ w, x2d, wdd)
+    # QKV as three separate [d,d] dots sharing x (the model's layout) vs
+    # one fused [d,3d] dot — is there launch/pipelining headroom? The
+    # chain combiner is NONLINEAR (q*k + v, mirroring attention's use):
+    # a plain q+k+v sum would let XLA factor x@w1 + x@w2 + x@w3 into
+    # x@(w1+w2+w3) — one dot — and time the wrong program. 0.5 keeps the
+    # bf16 carry from drifting to inf (timing is data-independent; the
+    # scale only keeps the final checksum meaningful).
+    wq_, wk_, wv_ = (jnp.asarray(rng.standard_normal((d, d)) / np.sqrt(d),
+                                 jnp.bfloat16) for _ in range(3))
+    micro("matmul_qkv_3sep", 3 * 2 * bs * d * d,
+          lambda x, wq, wk, wv: ((x @ wq) * (x @ wk) + (x @ wv)) * 0.5,
+          x2d, wq_, wk_, wv_)
+    micro("matmul_qkv_fused_d_3d", 2 * bs * d * 3 * d,
+          lambda x, w: (lambda y: (y[:, :d] * y[:, d:2 * d]
+                                   + y[:, 2 * d:]) * 0.5)(x @ w),
+          x2d, w3d)
+    # the MLP pair chained as a unit (d->4d->d is shape-preserving)
+    micro("matmul_mlp_pair", 2 * 2 * bs * d * 4 * d,
+          lambda x, w1, w2: (x @ w1) @ w2, x2d, wdm, wmd)
     qh = jnp.asarray(rng.standard_normal((b, cfg.heads, s, d // cfg.heads)),
                      jnp.bfloat16)
     from audax.ops.attention import dot_product_attention
@@ -166,6 +201,9 @@ def main() -> int:
     from audax.models.whisper import layer_norm
     micro("layer_norm_d", 0, lambda a: layer_norm(lnp, a), xln)
 
+    if args.only and "optimizer" not in args.only \
+            and "full_step" not in args.only:
+        return 0
     ft = FineTuneConfig(learning_rate=1e-4, warmup_steps=1,
                         max_steps=10 ** 6, lora_rank=0)
     state = init_finetune(params, ft)
@@ -178,6 +216,8 @@ def main() -> int:
 
     bench("optimizer", 0.0, opt_only, state.trainable, state.opt_state,
           grads)
+    if args.only and "full_step" not in args.only:
+        return 0
     del grads, enc_out, x2d, wdd, wdm, qh, x3d, xln
     # full step WITH donation (the production configuration — without it
     # the step holds input+output state copies and OOMs next to the probe

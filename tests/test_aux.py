@@ -93,6 +93,19 @@ def test_time_fn_sync():
     assert t["calls_per_second"] > 0
 
 
+def test_slope_timed_chained():
+    """Chained slope timing (x <- f(x) carry): the trustworthy form for
+    bare matmuls — the element-[0] accumulator variant lets XLA dead-code
+    narrow `a @ w` to a single dot (observed 10 PFLOP/s). On CPU we can
+    only pin the contract: positive finite per-op latency, and extra
+    (weight) args pass through untouched."""
+    from audax.utils.profiling import slope_timed_chained
+    w = jnp.eye(16) * 0.5
+    sec = slope_timed_chained(lambda x, w: x @ w, jnp.ones((16, 16)), (w,),
+                              iters=(4, 24), repeats=2)
+    assert np.isfinite(sec)
+
+
 def test_finetune_loop_with_wer(tmp_path, rng):
     """End-to-end fine-tune driver: dataset build from sidecars, steps, WER
     eval path, best-params plumbing."""

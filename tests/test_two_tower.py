@@ -356,16 +356,21 @@ def test_music_transcription_proof_learns(tmp_path):
     out = music_transcription_proof(str(tmp_path), num_items=8,
                                     notes_per_item=2, epochs=400,
                                     chunk_seconds=2.0, holdout_items=2,
-                                    pretrain_encoder_steps=0)
+                                    pretrain_encoder_steps=0,
+                                    eval_items=5)
     assert out["after"].get("abc_valid_rate", 0.0) >= 0.5, out
     assert (out["after"].get("note_f1", 0.0)
             >= out["before"].get("note_f1", 0.0) + 0.5), out
     # holdout split scored separately (generalization column; strong
     # holdout numbers need the full-budget committed artifact)
     assert "note_f1" in out["holdout_after"], out
+    # eval_items=5 subsamples the train-set F1 pass (corpus-scale proofs
+    # would otherwise spend more chip time generating than training);
+    # the holdout eval stays complete
+    assert out["eval_items"] == 5, out
     import csv
     rows = list(csv.DictReader(open(out["csv"])))
-    assert len(rows) == 10                     # 8 train + 2 holdout
+    assert len(rows) == 7                      # 5 sampled train + 2 holdout
     assert all(set(r) == {"file", "target_abc", "previous", "trained",
                           "split"} for r in rows)
     assert sum(r["split"] == "holdout" for r in rows) == 2

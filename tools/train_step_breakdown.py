@@ -78,14 +78,27 @@ def main() -> int:
     enc_f = whisper_encoder_fwd_flops(cfg, b)
     dec_f = whisper_decoder_fwd_flops(cfg, b, t_lab)
 
+    def want(name: str) -> bool:
+        """One containment direction for ALL --only decisions (bench,
+        micro, setup guards, early exits) — ADVICE r4: mixed directions
+        made --only fwd record an enc_out=None error row over good data
+        and --only opt return before benchmarking anything."""
+        return not args.only or args.only in name
+
     rows = {}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    if os.path.exists(args.out):   # --only reruns refresh, not clobber
-        rows.update(json.load(open(args.out))
-                    .get(args.attn, {}).get("stages", {}))
+    if os.path.exists(args.out):   # --only reruns refresh, not clobber —
+        prev = json.load(open(args.out)).get(args.attn, {})
+        # ...but only when the stored config matches: merging rows
+        # measured under a different size/batch/label_len would mix
+        # shapes beneath one header (and starting empty on a config
+        # change garbage-collects renamed stages too)
+        if (prev.get("size") == args.size and prev.get("batch") == b
+                and prev.get("label_len") == args.label_len):
+            rows.update(prev.get("stages", {}))
 
     def bench(name, flops, fn, *fargs):
-        if args.only and args.only not in name:
+        if not want(name):
             return
         # flops are ANALYTIC (utils/flops.py): cost_analysis counts the
         # scanned layer body once and would under-report ~Lx here
@@ -107,7 +120,7 @@ def main() -> int:
         json.dump(report, open(args.out, "w"), indent=1)
 
     enc_out = None
-    if not args.only or "decoder_fwd" in args.only:
+    if want("decoder_fwd"):
         enc_out = jax.jit(
             lambda p, m: encode(p, cfg, m, dt16))(params, mel)
 
@@ -116,9 +129,10 @@ def main() -> int:
     bench("encoder_grad", 3 * enc_f,
           jax.grad(lambda p, m: encode(p, cfg, m, dt16)
                    .astype(jnp.float32).sum()), params, mel)
-    bench("decoder_fwd", dec_f,
-          lambda p, e, t: decode_train(p, cfg, t, e, dt16),
-          params, enc_out, dec_in)
+    if enc_out is not None:
+        bench("decoder_fwd", dec_f,
+              lambda p, e, t: decode_train(p, cfg, t, e, dt16),
+              params, enc_out, dec_in)
     bench("forward", enc_f + dec_f,
           lambda p, m, t: whisper_forward(p, cfg, m, t, dt16),
           params, mel, dec_in)
@@ -152,7 +166,7 @@ def main() -> int:
                       jnp.bfloat16)
 
     def micro(name, flops, fn, x0, *extra):
-        if args.only and args.only not in name:
+        if not want(name):
             return
         sec = slope_timed_chained(fn, x0, extra, iters=(30, 230), repeats=3)
         row = {"us": round(1e6 * sec, 1),
@@ -201,8 +215,7 @@ def main() -> int:
     from audax.models.whisper import layer_norm
     micro("layer_norm_d", 0, lambda a: layer_norm(lnp, a), xln)
 
-    if args.only and "optimizer" not in args.only \
-            and "full_step" not in args.only:
+    if not (want("optimizer") or want("full_step_dots")):
         return 0
     ft = FineTuneConfig(learning_rate=1e-4, warmup_steps=1,
                         max_steps=10 ** 6, lora_rank=0)
@@ -216,7 +229,7 @@ def main() -> int:
 
     bench("optimizer", 0.0, opt_only, state.trainable, state.opt_state,
           grads)
-    if args.only and "full_step" not in args.only:
+    if not want("full_step_dots"):
         return 0
     del grads, enc_out, x2d, wdd, wdm, qh, x3d, xln
     # full step WITH donation (the production configuration — without it

@@ -303,6 +303,10 @@ class FineTuneConfig(EnvConfig):
     # weights stay f32 either way; bf16 is ~1.4x step throughput on v5e
     # (bench-train) and reaches the same WER in the synthetic proof
     dtype: str = "float32"
+    # Adam moment STORAGE dtype ("float32" | "bfloat16" | "int8"): update
+    # math and master weights stay f32; bf16 halves optimizer HBM traffic
+    # and state size (train/optim.py:scale_by_adam_lp)
+    moment_dtype: str = "float32"
     # >0 keeps a Polyak/EMA average of the trainable params (train/ema.py)
     # with this decay; WER eval + best-checkpoint then use the averaged
     # weights (serving-quality smoothing the reference's Trainer lacked)

@@ -56,6 +56,8 @@ class LMTrainConfig:
     #: gradient checkpointing: "" off, "full" per-layer recompute,
     #: "dots" per-layer keeping matmul outputs (models/whisper._remat_body)
     remat: str = ""
+    #: Adam moment storage dtype (train/optim.py:scale_by_adam_lp)
+    moment_dtype: str = "float32"
     seed: int = 0
 
 
@@ -84,11 +86,12 @@ def pack_corpus(ids: np.ndarray, seq_len: int) -> np.ndarray:
 
 
 def _make_tx(cfg: LMTrainConfig) -> optax.GradientTransformation:
+    from audax.train.optim import adamw_lp
     sched = optax.warmup_cosine_decay_schedule(
         0.0, cfg.learning_rate, cfg.warmup_steps,
         max(cfg.max_steps, cfg.warmup_steps + 1))
-    return optax.chain(optax.clip_by_global_norm(cfg.clip_norm),
-                       optax.adamw(sched, weight_decay=cfg.weight_decay))
+    return adamw_lp(sched, weight_decay=cfg.weight_decay,
+                    moments=cfg.moment_dtype, grad_clip=cfg.clip_norm)
 
 
 def init_lm_state(params: Any, cfg: LMTrainConfig) -> LMState:

@@ -103,11 +103,13 @@ class FTState(struct.PyTreeNode):
 def init_finetune(params, cfg: FineTuneConfig, *,
                   lora_targets: Tuple[str, ...] = ("attn/q", "attn/v"),
                   rng: Optional[jax.Array] = None) -> FTState:
-    tx = optax.chain(
-        optax.clip_by_global_norm(1.0),
-        optax.adamw(seq2seq_schedule(cfg.learning_rate, cfg.warmup_steps,
-                                     cfg.max_steps)),
-    )
+    from audax.train.optim import adamw_lp
+    # adamw_lp(moments="float32") is an exact twin of the previous
+    # clip+optax.adamw chain (tested); reduced-precision moments cut the
+    # optimizer's HBM traffic and state footprint (train/optim.py)
+    tx = adamw_lp(seq2seq_schedule(cfg.learning_rate, cfg.warmup_steps,
+                                   cfg.max_steps),
+                  moments=cfg.moment_dtype, grad_clip=1.0)
     if cfg.lora_rank > 0:
         lora = init_lora(params, cfg.lora_rank, targets=lora_targets,
                          rng=rng if rng is not None else jax.random.key(cfg.seed))

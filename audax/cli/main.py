@@ -1398,6 +1398,12 @@ def cmd_bench_continuous(argv) -> int:
     mid-decode (infer/continuous.py). Both run the SAME compiled chunk
     program, so the speedup is pure scheduling."""
     p = argparse.ArgumentParser(prog="audax bench-continuous")
+    p.add_argument("--engine", default="asr", choices=["asr", "music"],
+                   help="asr: whisper ContinuousBatcher; music: two-tower "
+                        "audio->ABC ContinuousGenerator (whisper-base "
+                        "encoder + Qwen3-0.6B-shape decoder, constrained "
+                        "decoding on — the reference's music2midi serving "
+                        "shape, model.py:209-213)")
     p.add_argument("--size", default="base")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
@@ -1406,6 +1412,11 @@ def cmd_bench_continuous(argv) -> int:
     p.add_argument("--max-new-tokens", type=int, default=224)
     p.add_argument("--min-new-tokens", type=int, default=16)
     p.add_argument("--steps-per-sync", type=int, default=32)
+    p.add_argument("--window-seconds", type=float, default=10.0,
+                   help="music engine: per-request audio window")
+    p.add_argument("--lm-preset", default="qwen3-0.6b",
+                   choices=["qwen3-0.6b", "tiny"],
+                   help="music engine decoder shape (tiny = smoke/test)")
     p.add_argument("--kv-quant", action="store_true")
     p.add_argument("--quantize", nargs="?", const="int8", default=None,
                    choices=["int8", "int4"])
@@ -1414,6 +1425,7 @@ def cmd_bench_continuous(argv) -> int:
     import json
     import time
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -1421,24 +1433,63 @@ def cmd_bench_continuous(argv) -> int:
     from audax.infer.continuous import ContinuousBatcher
 
     setup()
-    params, cfg, tok = _load_whisper(args.size, "", "")
-    if args.quantize:
-        from audax.models.quantize import quantize_tree
-        params = quantize_tree(params, bits=4 if args.quantize == "int4"
-                               else 8)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     rng = np.random.default_rng(0)
     budgets = rng.integers(args.min_new_tokens, args.max_new_tokens + 1,
                            args.requests)
-    audio = [(0.1 * rng.standard_normal(16000)).astype(np.float32)
-             for _ in range(args.requests)]
+    if args.engine == "music":
+        from audax.core.config import TwoTowerConfig, WhisperConfig
+        from audax.infer.continuous import ContinuousGenerator
+        from audax.models.causal_lm import CausalLMConfig
+        from audax.models.two_tower import build_two_tower
 
-    def make():
-        return ContinuousBatcher(
-            params, cfg, tok, slots=args.slots,
-            max_new_tokens=args.max_new_tokens,
-            steps_per_sync=args.steps_per_sync, dtype=dtype,
-            kv_quant=args.kv_quant)
+        audio_cfg = {"tiny": WhisperConfig.tiny, "base": WhisperConfig.base,
+                     "small": WhisperConfig.small}[args.size]()
+        if args.lm_preset == "qwen3-0.6b":
+            lm_cfg = CausalLMConfig(
+                vocab_size=151936, d_model=1024, layers=28, heads=16,
+                kv_heads=8, head_dim=128, ffn_dim=3072, qk_norm=True,
+                tie_embeddings=True, rope_theta=1e6,
+                max_seq=max(2048, 1 + args.max_new_tokens))
+        else:
+            lm_cfg = CausalLMConfig(
+                vocab_size=1024, d_model=128, layers=2, heads=4,
+                kv_heads=2, ffn_dim=256, qk_norm=True,
+                tie_embeddings=True,
+                max_seq=max(256, 1 + args.max_new_tokens))
+        model = build_two_tower(TwoTowerConfig(), audio_cfg, lm_cfg,
+                                lm_cfg.vocab_size, jax.random.key(0))
+        if args.quantize:
+            from audax.models.quantize import quantize_tree
+            model = model._replace(params=quantize_tree(
+                model.params, bits=4 if args.quantize == "int4" else 8))
+        # constrained decoding: a realistic ABC alphabet-sized allow set
+        allowed = list(range(3, 515))
+        win = args.window_seconds
+        audio = [(0.1 * rng.standard_normal(int(win * 16000)))
+                 .astype(np.float32) for _ in range(args.requests)]
+
+        def make():
+            return ContinuousGenerator(
+                model, start_id=0, end_id=1, slots=args.slots,
+                window_seconds=win, max_new_tokens=args.max_new_tokens,
+                temperature=0.7, steps_per_sync=args.steps_per_sync,
+                dtype=dtype, allowed_ids=allowed)
+    else:
+        params, cfg, tok = _load_whisper(args.size, "", "")
+        if args.quantize:
+            from audax.models.quantize import quantize_tree
+            params = quantize_tree(params, bits=4 if args.quantize == "int4"
+                                   else 8)
+        audio = [(0.1 * rng.standard_normal(16000)).astype(np.float32)
+                 for _ in range(args.requests)]
+
+        def make():
+            return ContinuousBatcher(
+                params, cfg, tok, slots=args.slots,
+                max_new_tokens=args.max_new_tokens,
+                steps_per_sync=args.steps_per_sync, dtype=dtype,
+                kv_quant=args.kv_quant)
 
     def continuous(cb):
         for i in range(args.requests):
@@ -1475,6 +1526,7 @@ def cmd_bench_continuous(argv) -> int:
                results["continuous"]["wall_s"])
     print(json.dumps({
         "metric": "continuous_batching_speedup_vs_convoy",
+        "engine": args.engine,
         "size": args.size, "slots": args.slots,
         "requests": args.requests,
         "budget_range": [args.min_new_tokens, args.max_new_tokens],

@@ -32,6 +32,24 @@ This is a serving capability with no reference equivalent (the reference
 serves f32 torch checkpoints, .charles/music2midi/inference.py:300-369);
 it exists because the rebuild targets production TPU serving
 (models/quantize.py holds the int8 tier and the tree walker).
+
+Why ~8-10 us at [8,1280]x[1280,5120] is this kernel's floor (the
+selected-bytes HBM floor is ~4.3 us): the gap is VPU unpack latency,
+and every layout/precision attack on it has been measured and rejected —
+  * u8-native mask/shift (no widen): Mosaic cannot shift packed u8
+    vectors (tools/int4_unpack_probe.py);
+  * dequant-in-kernel single full-K dot: slower (same probe);
+  * W4A8 s8xs8 MXU dots: no win + activation-quant noise
+    (tools/w4a8_probe.py);
+  * plane-interleaved i32 packing, 8 nibbles/word, single shift+mask
+    per plane and NO widen (round 5, tools/int4_plane_probe.py):
+    bit-exact vs this kernel but 0.95x — the u8->i32 widen this layout
+    removes was never the cost; i32 loads + per-plane extraction pay
+    slightly more than the widen saved.
+The remaining unpack work (one cast per nibble into the dot dtype) is
+irreducible on this VPU: the MXU's hardware int8->bf16 ingestion cast is
+unreachable for sub-byte packings, so K*N nibble->bf16 casts must run as
+vector ops regardless of how the nibbles are laid out in HBM.
 """
 
 from __future__ import annotations

@@ -54,7 +54,19 @@ from audax.ops.common import pad_to as _pad_to  # noqa: E402 - shared policy
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
                 *, scale: float, causal: bool, kv_len: int,
-                block_q: int, block_k: int):
+                block_q: int, block_k: int, fold: int = 1):
+    """``fold`` independent heads per grid step (round-5 experiment,
+    tools/attn_headfold_probe.py + results/attn_headfold_probe.json): the
+    per-head score/softmax/PV chains are independent, so folding two
+    heads into one body lets Mosaic overlap head A's VPU softmax with
+    head B's MXU dots. Measured bit-exact, and +10-12% on a contiguous
+    [96,1536,64] probe — but 4% SLOWER inside the real jitted product
+    call (pad/reshape prologue at tq_p=1504: XLA inserts operand layout
+    copies for the folded block shape that eat the kernel win; stable
+    across in-process A/Bs). Default is therefore fold=1;
+    AUDAX_ATTN_FOLD=2 opts in for contiguous-operand shapes where the
+    kernel-level win survives. fold=1 generates exactly the pre-fold
+    kernel."""
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -66,11 +78,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
         acc_ref[:] = jnp.zeros(acc_ref.shape, jnp.float32)
 
     def _step():
-        q = q_ref[0]
-        k = k_ref[0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * scale
         cols = ik * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         valid = cols < kv_len
@@ -78,19 +85,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
             rows = iq * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
             valid = jnp.logical_and(valid, cols <= rows)
-        s = jnp.where(valid, s, _NEG)
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        p = jnp.where(valid, p, 0.0)          # fully-masked blocks: p == 0
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        pv = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
-                     preferred_element_type=jnp.float32)
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        for h in range(fold):
+            q = q_ref[h]
+            k = k_ref[h]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale
+            s = jnp.where(valid, s, _NEG)
+            m_prev = m_ref[h, :, :1]
+            l_prev = l_ref[h, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(valid, p, 0.0)      # fully-masked blocks: p == 0
+            l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            pv = jnp.dot(p.astype(v_ref.dtype), v_ref[h],
+                         preferred_element_type=jnp.float32)
+            acc_ref[h] = acc_ref[h] * alpha + pv
+            m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
 
     if causal:   # skip whole above-diagonal k-blocks
         pl.when(ik * block_k <= iq * block_q + block_q - 1)(_step)
@@ -99,10 +112,32 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(ik == nk - 1)
     def _finish():
-        l = l_ref[:, :1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)   # padded q rows: garbage-safe
-        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = m_ref[:, :1] + jnp.log(l_safe)
+        for h in range(fold):
+            l = l_ref[h, :, :1]
+            l_safe = jnp.where(l == 0.0, 1.0, l)  # padded q rows: safe
+            o_ref[h] = (acc_ref[h] / l_safe).astype(o_ref.dtype)
+            lse_ref[h] = m_ref[h, :, :1] + jnp.log(l_safe)
+
+
+#: upper bound on fold * block_q for the folded forward: fold multiplies
+#: the q/o/acc/m/l VMEM residency, and fold=2 at block_q 2048 would plan
+#: past the 16 MB scoped-vmem limit (fold2@1536 measured 11-12% faster,
+#: repeatedly compiled at ~15 MB)
+_FOLD_BQ_LIMIT = 3072
+
+
+def _pick_fold(*, causal: bool, group: int, bhq: int, block_q: int) -> int:
+    """Head folding is OPT-IN (AUDAX_ATTN_FOLD=2): the kernel-level win
+    did not survive the product call's pad/reshape prologue (see
+    _fwd_kernel docstring). Applies only to non-causal MHA; causal tiles
+    and GQA index maps keep the fold=1 kernel."""
+    want = int(os.environ.get("AUDAX_ATTN_FOLD", "1"))
+    if causal or group != 1 or want <= 1:
+        return 1
+    fold = min(want, 2)
+    if bhq % fold or fold * block_q > _FOLD_BQ_LIMIT:
+        return 1
+    return fold
 
 
 def _fwd(q3, k3, v3, *, group: int, scale: float, causal: bool, kv_len: int,
@@ -111,26 +146,33 @@ def _fwd(q3, k3, v3, *, group: int, scale: float, causal: bool, kv_len: int,
     lse [BHq, Tq_p] f32)."""
     bhq, tq, d = q3.shape
     tk = k3.shape[1]
-    grid = (bhq, tq // block_q, tk // block_k)
+    fold = _pick_fold(causal=causal, group=group, bhq=bhq, block_q=block_q)
+    grid = (bhq // fold, tq // block_q, tk // block_k)
     kern = functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                             kv_len=kv_len, block_q=block_q, block_k=block_k)
+                             kv_len=kv_len, block_q=block_q,
+                             block_k=block_k, fold=fold)
+    if fold == 1:
+        kv_spec = pl.BlockSpec((1, block_k, d),
+                               lambda b, i, j: (b // group, j, 0),
+                               memory_space=pltpu.VMEM)
+    else:       # group == 1 by _pick_fold: kv blocks fold like q blocks
+        kv_spec = pl.BlockSpec((fold, block_k, d), lambda b, i, j: (b, j, 0),
+                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((fold, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // group, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b // group, j, 0),
-                         memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((fold, block_q, d), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
             # lse as a [T, 1] column: lane-1 blocks keep every in-kernel
             # use a sublane column (no lane<->sublane relayouts)
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0),
+            pl.BlockSpec((fold, block_q, 1), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -138,9 +180,9 @@ def _fwd(q3, k3, v3, *, group: int, scale: float, causal: bool, kv_len: int,
             jax.ShapeDtypeStruct((bhq, tq, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((fold, block_q, 128), jnp.float32),
+            pltpu.VMEM((fold, block_q, 128), jnp.float32),
+            pltpu.VMEM((fold, block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),

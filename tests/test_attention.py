@@ -49,6 +49,36 @@ def test_flash_matches_xla_square(rng, causal):
                                atol=2e-5, rtol=1e-5)
 
 
+def test_flash_headfold_parity_and_fallback(rng, monkeypatch):
+    """Head folding (opt-in, AUDAX_ATTN_FOLD=2) computes exactly the
+    fold=1 output, and causal / GQA / odd head counts / oversize tiles
+    fall back to fold=1."""
+    from audax.ops.attention import _pick_fold
+    monkeypatch.setenv("AUDAX_ATTN_FOLD", "2")
+    q, k, v = (_rand(rng, 2, 4, 96, 32) for _ in range(3))
+    folded = flash_attention(q, k, v, interpret=True,
+                             block_q=32, block_k=32)
+    monkeypatch.setenv("AUDAX_ATTN_FOLD", "1")
+    plain = flash_attention(q, k, v, interpret=True,
+                            block_q=32, block_k=32)
+    np.testing.assert_array_equal(np.asarray(folded), np.asarray(plain))
+    monkeypatch.setenv("AUDAX_ATTN_FOLD", "2")
+    assert _pick_fold(causal=False, group=1, bhq=8, block_q=512) == 2
+    assert _pick_fold(causal=True, group=1, bhq=8, block_q=512) == 1
+    assert _pick_fold(causal=False, group=2, bhq=8, block_q=512) == 1
+    assert _pick_fold(causal=False, group=1, bhq=7, block_q=512) == 1
+    assert _pick_fold(causal=False, group=1, bhq=8, block_q=2048) == 1
+    monkeypatch.delenv("AUDAX_ATTN_FOLD")
+    assert _pick_fold(causal=False, group=1, bhq=8, block_q=512) == 1
+    # odd head count still computes correctly (fallback path)
+    q3, k3, v3 = (_rand(rng, 1, 3, 64, 32) for _ in range(3))
+    ref = xla_attention(q3, k3, v3)
+    out = flash_attention(q3, k3, v3, interpret=True,
+                          block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_flash_ragged_cross_lengths(rng):
     """Tq != Tk (cross-attention) with both lengths off the tile grid —
     exercises q-row padding and the kv_len lane mask."""

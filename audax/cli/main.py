@@ -1809,6 +1809,10 @@ def cmd_finetune_proof(argv) -> int:
     p.add_argument("--augment", action="store_true",
                    help="velocity/gain/noise datagen jitter + SpecAugment "
                         "on train batches (holdout stays clean)")
+    p.add_argument("--moment-dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="Adam moment storage dtype (train/optim.py) — the "
+                        "quality gate for the low-precision default")
     args = p.parse_args(argv)
 
     import json
@@ -1820,7 +1824,8 @@ def cmd_finetune_proof(argv) -> int:
         args.out, num_items=args.items, notes_per_item=args.notes,
         steps=args.steps, chunk_seconds=args.chunk_seconds,
         d_model=args.d_model, layers=args.layers,
-        holdout_items=args.holdout_items, augment=args.augment)
+        holdout_items=args.holdout_items, augment=args.augment,
+        moment_dtype=args.moment_dtype)
     print(json.dumps({k: out[k] for k in
                       ("wer_before", "wer_after", "holdout_wer_before",
                        "holdout_wer_after", "csv", "metrics")}))

@@ -293,6 +293,7 @@ def midi_finetune_proof(
     seed: int = 0,
     holdout_items: int = 6,
     augment: bool = False,
+    moment_dtype: str = "float32",
 ) -> Dict:
     """End-to-end synthetic fine-tune proof (reference-parity evidence).
 
@@ -400,6 +401,7 @@ def midi_finetune_proof(
     ft = FineTuneConfig(learning_rate=1e-3, warmup_steps=5, max_steps=steps,
                         eval_every=steps, batch_size=8,   # eval at the end
                         lora_rank=0, seed=seed,
+                        moment_dtype=moment_dtype,
                         spec_augment=augment,
                         # freq masks ONLY for the pitch task: a time mask
                         # can blank an entire note of a 3-note clip, turning

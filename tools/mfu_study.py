@@ -83,12 +83,13 @@ def roofline_tflops(n: int = 8192, iters=(20, 120), repeats: int = 3
 
 def run_config(size: str, lora_rank: int, batch: int, dtype: str,
                remat: str, accum: int = 1, steps: int = 10,
-               label_len: int = 32, roof_tflops: float = 0.0) -> dict:
+               label_len: int = 32, roof_tflops: float = 0.0,
+               moments: str = "float32") -> dict:
     cfg = SIZES[size]()
     from audax.models.whisper import init_whisper_params
     params = init_whisper_params(cfg, jax.random.key(0))
     ft = FineTuneConfig(learning_rate=1e-4, warmup_steps=1, max_steps=10 ** 6,
-                        lora_rank=lora_rank)
+                        lora_rank=lora_rank, moment_dtype=moments)
     state = init_finetune(params, ft)
     del params
     step = make_finetune_step(
@@ -145,6 +146,7 @@ def run_config(size: str, lora_rank: int, batch: int, dtype: str,
     tflops = flops / dt / 1e12
     return {"size": size, "lora_rank": lora_rank, "batch": batch,
             "dtype": dtype, "remat": remat, "accum": accum,
+            "moments": moments,
             "sec_per_step": round(dt, 4),
             "examples_per_sec": round(batch / dt, 2),
             "audio_seconds_per_sec": round(batch * 30.0 / dt, 1),
@@ -183,6 +185,11 @@ GRID = [
     ("medium", 0, 8, "bfloat16", "full", 2),
     ("medium", 8, 8, "bfloat16", "full", 1),
     ("medium", 8, 16, "bfloat16", "full", 2),
+    # round 5: bf16 moments free 2.7 GB on medium (16.67 -> 13.99 GB at
+    # b8/accum2) — spend it on batch: same per-microbatch activation
+    # peak, optimizer amortized over 2x the examples
+    ("medium", 0, 16, "bfloat16", "full", 4),
+    ("medium", 0, 32, "bfloat16", "full", 8),
 ]
 
 
@@ -192,6 +199,11 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--only", default="",
                     help="comma list of grid indices to run (default all)")
+    ap.add_argument("--moments", default="float32",
+                    choices=["float32", "bfloat16", "int8"],
+                    help="Adam moment storage dtype for every config run "
+                         "in this invocation (train/optim.py adamw_lp); "
+                         "use a separate --out for non-f32 studies")
     args = ap.parse_args()
     setup()
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -229,7 +241,8 @@ def main() -> int:
         # timestamp ordering instead.
         try:
             row = run_config(size, lora, b, dt, rm, accum=acc,
-                             steps=args.steps, roof_tflops=roof)
+                             steps=args.steps, roof_tflops=roof,
+                             moments=args.moments)
         except Exception as e:                       # OOM etc: record, go on
             msg = str(e)
             # surface the XLA OOM verdict (it hides mid-log in the axon

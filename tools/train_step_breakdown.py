@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--out", default="results/train_step_breakdown.json")
     ap.add_argument("--only", default="",
                     help="substring filter: run only matching stage names")
+    ap.add_argument("--moments", default="float32",
+                    choices=["float32", "bfloat16", "int8"],
+                    help="Adam moment storage dtype for the optimizer/"
+                         "full-step stages (train/optim.py adamw_lp)")
     args = ap.parse_args()
     os.environ["AUDAX_ATTN_BACKEND"] = args.attn
 
@@ -218,16 +222,29 @@ def main() -> int:
     if not (want("optimizer") or want("full_step_dots")):
         return 0
     ft = FineTuneConfig(learning_rate=1e-4, warmup_steps=1,
-                        max_steps=10 ** 6, lora_rank=0)
+                        max_steps=10 ** 6, lora_rank=0,
+                        moment_dtype=args.moments)
     state = init_finetune(params, ft)
-    grads = jax.jit(jax.grad(loss_fn))(params, mel, dec_in, labels)
+
+    # grads here are only the optimizer stage's INPUT — compute them with
+    # per-layer remat so the setup's transient peak (~13 GB at small b8
+    # without remat) can't OOM a busy multi-tenant chip before the stage
+    # even times (observed: RESOURCE_EXHAUSTED on this exact path)
+    def loss_fn_remat(p, m, t, y):
+        return seq2seq_loss(
+            whisper_forward(p, cfg, m, t, dt16, remat=True)
+            .astype(jnp.float32), y)
+
+    grads = jax.jit(jax.grad(loss_fn_remat))(params, mel, dec_in, labels)
 
     def opt_only(tr, opt_state, g):
         import optax
         updates, new_opt = state.tx.update(g, opt_state, tr)
         return optax.apply_updates(tr, updates), new_opt
 
-    bench("optimizer", 0.0, opt_only, state.trainable, state.opt_state,
+    opt_name = ("optimizer" if args.moments == "float32"
+                else f"optimizer_{args.moments}")
+    bench(opt_name, 0.0, opt_only, state.trainable, state.opt_state,
           grads)
     if not want("full_step_dots"):
         return 0

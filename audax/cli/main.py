@@ -938,6 +938,11 @@ def cmd_finetune(argv) -> int:
                         "'-1' = whisper's non-speech ban (speech targets); "
                         "'' = none — REQUIRED when labels contain banned "
                         "symbols like '#' in note names (mididataset.csv)")
+    p.add_argument("--moment-dtype", default="",
+                   choices=["", "float32", "bfloat16", "int8"],
+                   help="Adam moment storage dtype (train/optim.py: bf16 "
+                        "halves optimizer HBM traffic/state; gated at the "
+                        "same holdout WER in results/ft_gate_*)")
     _add_mesh_flags(p)
     args = p.parse_args(argv)
     if args.sp > 1 and (args.tp > 1 or args.fsdp):
@@ -980,6 +985,8 @@ def cmd_finetune(argv) -> int:
         ft = replace(ft, ema_decay=args.ema_decay)
     if args.spec_augment:
         ft = replace(ft, spec_augment=True)
+    if args.moment_dtype:
+        ft = replace(ft, moment_dtype=args.moment_dtype)
 
     params, cfg, tok = _load_whisper(args.size, args.ckpt, args.tokenizer_dir)
     mel_cfg = MelConfig.whisper(cfg.n_mels)
@@ -2035,6 +2042,9 @@ def cmd_train_lm(argv) -> int:
                    help="per-layer gradient checkpointing (bigger "
                         "batch/seq-len in 16 GB; models/whisper."
                         "_remat_body)")
+    p.add_argument("--moment-dtype", default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="Adam moment storage dtype (train/optim.py)")
     p.add_argument("--seed", type=int, default=0)
     _add_mesh_flags(p)
     args = p.parse_args(argv)
@@ -2073,7 +2083,8 @@ def cmd_train_lm(argv) -> int:
         learning_rate=args.lr, max_steps=args.steps,
         batch_size=args.batch_size, seq_len=args.seq_len,
         accum_steps=args.accum_steps, dtype=args.dtype,
-        eval_every=args.eval_every, remat=args.remat, seed=args.seed)
+        eval_every=args.eval_every, remat=args.remat,
+        moment_dtype=args.moment_dtype, seed=args.seed)
     params = init_causal_lm(cfg, jax.random.key(args.seed))
     sink = MetricsSink("lm", config={"model": cfg.__dict__.copy(),
                                      "train": train_cfg.__dict__.copy()})

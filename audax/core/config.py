@@ -304,9 +304,14 @@ class FineTuneConfig(EnvConfig):
     # (bench-train) and reaches the same WER in the synthetic proof
     dtype: str = "float32"
     # Adam moment STORAGE dtype ("float32" | "bfloat16" | "int8"): update
-    # math and master weights stay f32; bf16 halves optimizer HBM traffic
-    # and state size (train/optim.py:scale_by_adam_lp)
-    moment_dtype: str = "float32"
+    # math and master weights stay f32. bf16 is the default — it cuts the
+    # optimizer stage 23% (14.8 -> 11.4 ms at whisper-small b8) and frees
+    # 2.7 GB on whisper-medium (the batch that buys 44.5 -> 48.1% MFU,
+    # results/mfu_study_lpmoments.json), and the quality gate reached the
+    # same holdout WER as f32 on identical data (results/ft_gate_{f32,
+    # bf16}: 0.50 vs 0.47). int8 moments measured SLOWER (quant VPU work
+    # > saved bytes) — available but not default.
+    moment_dtype: str = "bfloat16"
     # >0 keeps a Polyak/EMA average of the trainable params (train/ema.py)
     # with this decay; WER eval + best-checkpoint then use the averaged
     # weights (serving-quality smoothing the reference's Trainer lacked)

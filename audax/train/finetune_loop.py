@@ -450,7 +450,7 @@ def midi_finetune_proof(
                "wer_after": round(float(wer_after), 4),
                "wer_after_bf16": round(float(wer_after_bf16), 4),
                "steps": steps, "items": len(examples),
-               "augment": augment,
+               "augment": augment, "moment_dtype": moment_dtype,
                "loss_first": round(history["loss"][0], 4),
                "loss_last": round(history["loss"][-1], 4)}
     if holdout:

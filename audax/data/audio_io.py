@@ -28,8 +28,13 @@ _WAVE_FORMAT_IEEE_FLOAT = 0x0003
 _WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
-def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV file -> (float32 samples [n, channels] in [-1, 1], rate)."""
+def read_wav(path: str, *, with_bits: bool = False):
+    """Read a WAV file -> (float32 samples [n, channels] in [-1, 1], rate).
+
+    ``with_bits=True`` additionally returns the source PCM bit depth
+    (0 for IEEE-float sources) — provenance for pipelines that want to
+    ship int16 over a slow host<->device link only when the round trip
+    is exact (data/urbansound.py:preprocess_to_parquet)."""
     with open(path, "rb") as fh:
         data = fh.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -82,6 +87,8 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         x = x[: len(x) // channels * channels].reshape(-1, channels)
     else:
         x = x.reshape(-1, 1)
+    if with_bits:
+        return x, rate, (0 if tag == _WAVE_FORMAT_IEEE_FLOAT else bits)
     return x, rate
 
 

@@ -77,31 +77,87 @@ def preprocess_to_parquet(
     out_path = out_path or os.path.join(cfg.parquet_dir, parquet_name(mel))
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
 
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
     n_samples = int(cfg.duration_s * mel.sample_rate)
     writer = pq.ParquetWriter(out_path, _schema())
     rows: list = []
     wavs: list = []
+    exact16 = True                # whole batch int16-exact?
+
+    # Host<->device pipelining (round 5). The naive loop was pure wall
+    # time on the tunneled chip: per 256-clip batch, 2.6 s f32 upload +
+    # 1.9 s feature download + ~1.7 s host Arrow prep, all serialized.
+    # Three changes, all exact:
+    #   * PCM-16 provenance (read_wav with_bits): mono 16-bit sources at
+    #     the target rate upload as int16 — half the bytes — and dequant
+    #     on device inside the featurize jit (q/32768 round-trips
+    #     exactly, so the output is bit-identical to the f32 path);
+    #   * the log_mel column is built zero-copy from the fetched [B,M,T]
+    #     block via ListArray.from_arrays instead of 256 per-row copies;
+    #   * ONE writer thread owns every ParquetWriter access: the fetch +
+    #     write of batch k-1 (network + Arrow, GIL-free for the network
+    #     part) overlaps reading and dispatching batch k. Row order =
+    #     submission order; one job in flight bounds memory.
+    pool = ThreadPoolExecutor(max_workers=1)
+    jobs: deque = deque()
+
+    @jax.jit
+    def _featurize_i16(q):
+        return frontend(q.astype(jnp.float32) / 32768.0, mel_first=True)
+
+    def _fetch_write(prows, feats_dev):
+        feats = np.asarray(feats_dev)                   # [B, n_mels, T]
+        b = feats.shape[0]
+        flat = np.ascontiguousarray(feats.reshape(b, -1).astype(
+            np.float32, copy=False)).ravel()
+        per = feats.shape[1] * feats.shape[2]
+        offsets = pa.array(np.arange(b + 1, dtype=np.int32) * per)
+        log_mel = pa.ListArray.from_arrays(offsets, pa.array(flat))
+        shp = np.tile(np.asarray(feats.shape[1:], np.int32), b)
+        shp_off = pa.array(np.arange(b + 1, dtype=np.int32) * 2)
+        mel_shape = pa.ListArray.from_arrays(shp_off, pa.array(shp))
+        table = pa.table({
+            "slice_file_name": [r["slice_file_name"] for r in prows],
+            "fold": [r["fold"] for r in prows],
+            "class_id": [r["class_id"] for r in prows],
+            "class_name": [r["class_name"] for r in prows],
+            "log_mel": log_mel,
+            "mel_shape": mel_shape,
+            "processing_success": [True] * b,
+        }, schema=_schema())
+        writer.write_table(table)
+
+    def _write_fail(rec):
+        writer.write_table(pa.table({
+            "slice_file_name": [rec["slice_file_name"]],
+            "fold": [rec["fold"]], "class_id": [rec["class_id"]],
+            "class_name": [rec["class_name"]],
+            "log_mel": [np.zeros(0, np.float32)],
+            "mel_shape": [np.zeros(0, np.int32)],
+            "processing_success": [False],
+        }, schema=_schema()))
 
     def flush():
-        nonlocal rows, wavs
+        nonlocal rows, wavs, exact16
         if not wavs:
             return
         batch = np.stack(wavs)                          # [B, n_samples]
-        feats = np.asarray(frontend(batch, mel_first=True))   # [B, n_mels, T]
-        arrays: Dict[str, list] = {k: [] for k in
-                                   ("slice_file_name", "fold", "class_id",
-                                    "class_name", "log_mel", "mel_shape",
-                                    "processing_success")}
-        for row, feat in zip(rows, feats):
-            arrays["slice_file_name"].append(row["slice_file_name"])
-            arrays["fold"].append(row["fold"])
-            arrays["class_id"].append(row["class_id"])
-            arrays["class_name"].append(row["class_name"])
-            arrays["log_mel"].append(feat.ravel().astype(np.float32))
-            arrays["mel_shape"].append(np.asarray(feat.shape, np.int32))
-            arrays["processing_success"].append(True)
-        writer.write_table(pa.table(arrays, schema=_schema()))
+        if exact16:
+            q = np.clip(np.rint(batch * 32768.0), -32768, 32767) \
+                .astype(np.int16)
+            feats_dev = _featurize_i16(jnp.asarray(q))
+        else:
+            feats_dev = frontend(jnp.asarray(batch), mel_first=True)
+        while len(jobs) > 1:      # keep one fetch+write in flight
+            jobs.popleft().result()
+        jobs.append(pool.submit(_fetch_write, rows, feats_dev))
         rows, wavs = [], []
+        exact16 = True
 
     failed = 0
     for _, r in meta.iterrows():
@@ -111,7 +167,8 @@ def preprocess_to_parquet(
         path = os.path.join(cfg.dataset_root, "audio", f"fold{rec['fold']}",
                             rec["slice_file_name"])
         try:
-            x, rate = read_wav(path)
+            x, rate, bits = read_wav(path, with_bits=True)
+            mono = x.shape[1] == 1
             x = to_mono(x)
             if rate != mel.sample_rate:
                 x = resample(x, rate, mel.sample_rate)
@@ -119,22 +176,22 @@ def preprocess_to_parquet(
                 x = x[:n_samples]
             else:
                 x = np.pad(x, (0, n_samples - len(x)))
+            # int16 upload stays exact only for untouched PCM-16 data
+            # (pad/trim preserve exactness; downmix/resample don't)
+            exact16 = exact16 and bits == 16 and mono \
+                and rate == mel.sample_rate
             wavs.append(x.astype(np.float32))
             rows.append(rec)
         except Exception as e:
             failed += 1
             log.warning("skip %s: %s", path, e)
-            writer.write_table(pa.table({
-                "slice_file_name": [rec["slice_file_name"]],
-                "fold": [rec["fold"]], "class_id": [rec["class_id"]],
-                "class_name": [rec["class_name"]],
-                "log_mel": [np.zeros(0, np.float32)],
-                "mel_shape": [np.zeros(0, np.int32)],
-                "processing_success": [False],
-            }, schema=_schema()))
+            jobs.append(pool.submit(_write_fail, rec))
         if len(wavs) >= batch_size:
             flush()
     flush()
+    while jobs:
+        jobs.popleft().result()
+    pool.shutdown(wait=True)
     writer.close()
     log.success("wrote %s (%d rows, %d failed)", out_path, len(meta), failed)
     return out_path

@@ -17,6 +17,20 @@ Suite hygiene:
 # audax.core.runtime does not import jax; XLA reads XLA_FLAGS lazily at
 # backend init, which happens after conftest import even though jax itself
 # is already imported by a pytest plugin.
+import os as _os
+
+# XLA:CPU COMPILE time dominates this suite (dims are tiny; the heavy
+# tests compile multi-collective train steps). Backend optimization
+# level 0 skips the expensive LLVM/HLO optimization passes without
+# changing semantics (fast-math stays off): measured round 5, test_pp +
+# test_attention 610 s -> 145 s, test_fsdp 85 s -> 44 s, full suite
+# ~63 -> ~21 min at -n 2 on a 1-vCPU host, all tests passing at
+# unchanged tolerances. AUDAX_TEST_FULL_XLA_OPT=1 restores full
+# optimization (e.g. to chase a codegen-sensitive numeric).
+if not _os.environ.get("AUDAX_TEST_FULL_XLA_OPT"):
+    _os.environ["XLA_FLAGS"] = (_os.environ.get("XLA_FLAGS", "")
+                                + " --xla_backend_optimization_level=0")
+
 from audax.core.runtime import raise_cpu_collective_deadlines
 
 raise_cpu_collective_deadlines()

@@ -81,8 +81,10 @@ def test_fsdp_training_matches_replicated(rng, model_axis):
 
     state = fsdp_shard_state(init_finetune(_params(), ft), mesh,
                              min_size=256)
-    # moments inherited the param layout (not just the params)
-    q_mu = state.opt_state[1][0].mu["decoder"]["layers"]["attn"]["q"]["kernel"]
+    # moments inherited the param layout (not just the params); opt_state
+    # layout: (clip, ScaleByAdamLPState, decay, lr) since train/optim.py's
+    # adamw_lp replaced the nested optax.adamw chain
+    q_mu = state.opt_state[1].mu["decoder"]["layers"]["attn"]["q"]["kernel"]
     assert "data" in jax.tree.leaves(
         q_mu.sharding.spec, is_leaf=lambda x: x is not None) or \
         "data" in tuple(q_mu.sharding.spec)

@@ -1889,6 +1889,9 @@ def cmd_music_proof(argv) -> int:
                         "items (holdout eval is always complete) — at "
                         "1k+ items full train-set generation costs more "
                         "chip time than the training itself")
+    p.add_argument("--model-scale", type=float, default=1.0,
+                   help="width multiplier for both towers (head_dim "
+                        "preserved) — capacity experiments")
     args = p.parse_args(argv)
     if args.lm_ckpt and not args.lm_tokenizer_dir:
         p.error("--lm-ckpt requires --lm-tokenizer-dir")
@@ -1925,7 +1928,7 @@ def cmd_music_proof(argv) -> int:
         lm_params=lm_params, lm_cfg_override=lm_cfg,
         bpe_override=bpe_override,
         max_poly=args.max_poly, notes_max=args.notes_max,
-        eval_items=args.eval_items)
+        eval_items=args.eval_items, model_scale=args.model_scale)
     print(json.dumps({"before": out["before"], "after": out["after"],
                       "holdout_before": out["holdout_before"],
                       "holdout_after": out["holdout_after"],

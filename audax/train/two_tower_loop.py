@@ -380,6 +380,7 @@ def music_transcription_proof(
     max_poly: int = 1,
     notes_max: int = 0,
     eval_items: int = 0,
+    model_scale: float = 1.0,
 ) -> Dict:
     """End-to-end two-tower learning proof (audio -> ABC notation).
 
@@ -523,12 +524,19 @@ def music_transcription_proof(
         holdout_ds = MusicDataset(parquet_h, bpe, max_tokens=64)
 
     frames = int(chunk_seconds * 16000) // 160      # whisper hop 160
+    # model_scale widens both towers (head_dim preserved) — the round-5
+    # capacity experiment: the poly grammar saturated at holdout ~0.20
+    # across items x epochs at scale 1, pointing at capacity, so the
+    # knob tests that conclusion directly
+    s = model_scale
     audio_cfg = WhisperConfig(
-        n_mels=80, n_audio_ctx=frames // 2, d_model=64, encoder_layers=2,
-        decoder_layers=1, heads=2, vocab_size=64, n_text_ctx=8)
+        n_mels=80, n_audio_ctx=frames // 2, d_model=int(64 * s),
+        encoder_layers=2, decoder_layers=1, heads=max(2, int(2 * s)),
+        vocab_size=64, n_text_ctx=8)
     lm_cfg = lm_cfg_override or CausalLMConfig(
-        vocab_size=len(bpe), d_model=96, layers=4, heads=4, kv_heads=2,
-        ffn_dim=192, tie_embeddings=True, max_seq=128)
+        vocab_size=len(bpe), d_model=int(96 * s), layers=4,
+        heads=max(4, int(4 * s)), kv_heads=max(2, int(2 * s)),
+        ffn_dim=int(192 * s), tie_embeddings=True, max_seq=128)
     if pretrain_lm_steps > 0 and lm_params is None:
         # pretrained decoder (the reference design, model.py:209-224):
         # next-token training over the disjoint synthetic ABC corpus
@@ -683,7 +691,7 @@ def music_transcription_proof(
         "after": {k: round(v, 4) for k, v in after.items()},
         "epochs": epochs, "items": len(dataset),
         "eval_items": int(len(all_idx)),
-        "augment": augment,
+        "augment": augment, "model_scale": model_scale,
         "pretrain_lm_steps": pretrain_lm_steps,
         "lm_pretrained": lm_params is not None,
         "max_poly": max_poly, "notes_max": notes_max,

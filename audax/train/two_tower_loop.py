@@ -559,10 +559,14 @@ def music_transcription_proof(
                  len(lm_pretrain_texts), len(ids),
                  lm_hist[-1].get("eval_ppl", float("nan"))
                  if lm_hist else float("nan"))
+    # LRs scale 1/width past scale 1 (muP-style): the first 2.0-scale run
+    # at unchanged LRs under-optimized badly (train loss 0.40 vs 0.26 at
+    # scale 1, train F1 0.05 — results/music_scaling_poly_1024_x2)
     tt_cfg = TwoTowerConfig(adapter_heads=4, top_k_unfrozen_layers=2,
-                            max_target_tokens=64, adapter_lr=3e-3,
-                            lm_lr=1e-3, batch_size=4, epochs=epochs,
-                            seed=seed)
+                            max_target_tokens=64,
+                            adapter_lr=3e-3 / max(1.0, s),
+                            lm_lr=1e-3 / max(1.0, s),
+                            batch_size=4, epochs=epochs, seed=seed)
     audio_params = None
     if pretrain_encoder_steps > 0:
         # hubless "pretrained whisper": quick note-name seq2seq fine-tune
